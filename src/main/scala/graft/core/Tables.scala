@@ -1,0 +1,38 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table registry over the driver-provided parquet testdata.
+  *
+  * The reference addresses tables as `{project_id, dataset_id, table_id}`
+  * (ref: config/bigquery/bigquery.py:65-70); here a "dataset" is a
+  * scale-factor directory and a table is one parquet file/dir. At cluster
+  * scale each table would be a partitioned parquet directory — the loader
+  * is agnostic (Spark handles both transparently).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 rejects
+      // outright (PARQUET_TYPE_ILLEGAL). Read nanos as long, then floor to
+      // microseconds — the same truncation Spark applies to ns elsewhere.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000"))
+            .cast("timestamp_ntz"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view — the stand-in for the reference's
+    * remote-SQL (Redash) source, S10 (ref: config/redash/Redash.py:46-78):
+    * SQL text evaluated against warehouse tables becomes `spark.sql` over
+    * registered views, planned and optimized by Catalyst.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

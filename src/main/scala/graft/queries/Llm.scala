@@ -1,0 +1,359 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Q.t
+
+/** LLM-training-data pipeline operators over `documents` / `embeddings`
+  * (builder brief + VERDICT.md "LLM-data-pipeline operators").
+  *
+  * Scale design notes (the 100 TB story):
+  *  - near-dup detection is LSH-bucketed (MinHash bands, SimHash lang
+  *    buckets, Jaccard length buckets) — candidate generation is always a
+  *    hash-equi-join on a bucket key, never an all-pairs cross join;
+  *  - similarity search has a brute-force top-k baseline (one pass, no
+  *    shuffle of the big side, TakeOrderedAndProject) and a
+  *    random-projection bucketed variant for the scale path;
+  *  - all text functions are built-in Column compositions (codegen-friendly,
+  *    zero UDFs).
+  */
+object Llm {
+
+  // Tokenization shared by the text operators: lowercase, split on
+  // non-space runs, drop empties. Pure built-ins.
+  private val toksExpr = "filter(split(lower(text), '\\\\s+'), x -> x <> '')"
+  private val toksSql = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+
+  // ---- text statistics / quality scoring -------------------------------
+  private val docStats = Q(
+    "q40_doc_stats",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("toks", expr(toksExpr))
+        .select(col("doc_id"), col("n_chars"),
+          length(col("text")).cast("long").as("char_len"),
+          size(col("toks")).cast("long").as("word_cnt"),
+          size(array_distinct(col("toks"))).cast("long").as("uniq_word_cnt"))
+        .orderBy("doc_id"),
+    Some(s"""WITH b AS (SELECT doc_id, n_chars, text, $toksSql AS toks FROM documents)
+            SELECT doc_id, n_chars, CAST(length(text) AS BIGINT) AS char_len,
+              CAST(len(toks) AS BIGINT) AS word_cnt,
+              CAST(len(list_distinct(toks)) AS BIGINT) AS uniq_word_cnt
+            FROM b ORDER BY doc_id"""))
+
+  // ---- token counting (whitespace + BPE-ish regex) ---------------------
+  private val tokenCount = Q(
+    "q41_token_count",
+    (s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        expr(s"CAST(size($toksExpr) AS BIGINT)").as("n_ws_tokens"),
+        expr("CAST(size(filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT)")
+          .as("n_tokens"))
+        .orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
+              CAST(len($toksSql) AS BIGINT) AS n_ws_tokens,
+              CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS BIGINT) AS n_tokens
+            FROM documents ORDER BY doc_id"""))
+
+  // ---- language-ID heuristic (stopword-ratio n-gram stand-in) ----------
+  private val langHeuristic = Q(
+    "q42_lang_heuristic",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("toks", expr(toksExpr))
+        .select(col("doc_id"), col("lang"),
+          expr("CAST(size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)")
+            .as("stop_cnt"),
+          size(col("toks")).cast("long").as("tok_cnt"))
+        .withColumn("is_en_like", col("stop_cnt") * 4 > col("tok_cnt"))
+        .orderBy("doc_id"),
+    Some(s"""WITH b AS (SELECT doc_id, lang, $toksSql AS toks FROM documents)
+            SELECT doc_id, lang,
+              CAST(len(list_filter(toks, x -> list_contains(['the', 'a', 'of', 'and', 'to'], x))) AS BIGINT) AS stop_cnt,
+              CAST(len(toks) AS BIGINT) AS tok_cnt,
+              CAST(len(list_filter(toks, x -> list_contains(['the', 'a', 'of', 'and', 'to'], x))) AS BIGINT) * 4
+                > CAST(len(toks) AS BIGINT) AS is_en_like
+            FROM b ORDER BY doc_id"""))
+
+  // ---- document fingerprinting (normalized-content hash) ---------------
+  private val fingerprint = Q(
+    "q43_fingerprint",
+    (s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fingerprint"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+            FROM documents ORDER BY doc_id"""))
+
+  // ---- exact dedup by content hash, first-doc-id-wins ------------------
+  private val exactDedup = Q(
+    "q44_exact_dedup",
+    (s, dir) => {
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, source, n_chars FROM documents
+            QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+            ORDER BY doc_id"""))
+
+  // ---- MinHash signatures + LSH bands ----------------------------------
+  // 3-word shingles -> 4 min-hashes (min of seeded md5 over shingles; hex
+  // strings are uniform, so lexicographic min is a valid MinHash) -> 2
+  // bands of 2 rows each. Documents colliding on a band hash are near-dup
+  // candidates — candidate generation is an equi-join on the band value.
+  private val shingleSparkExpr =
+    s"""CASE WHEN size(toks) >= 3
+          THEN transform(sequence(1, size(toks) - 2),
+                 i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+          ELSE array(array_join(toks, ' ')) END"""
+
+  private val shingleSql =
+    s"""CASE WHEN len(toks) >= 3
+          THEN list_transform(generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+          ELSE [array_to_string(toks, ' ')] END"""
+
+  private def minhashSig(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("shingles", expr(shingleSparkExpr))
+      .select(col("doc_id"),
+        expr("array_min(transform(shingles, x -> md5(concat('0:', x))))").as("mh0"),
+        expr("array_min(transform(shingles, x -> md5(concat('1:', x))))").as("mh1"),
+        expr("array_min(transform(shingles, x -> md5(concat('2:', x))))").as("mh2"),
+        expr("array_min(transform(shingles, x -> md5(concat('3:', x))))").as("mh3"))
+      .withColumn("band0", md5(concat_ws("|", col("mh0"), col("mh1"))))
+      .withColumn("band1", md5(concat_ws("|", col("mh2"), col("mh3"))))
+
+  private val minhashSigSqlCte =
+    s"""b AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        sh AS (SELECT doc_id, $shingleSql AS shingles FROM b),
+        sig AS (SELECT doc_id,
+          list_min(list_transform(shingles, x -> md5('0:' || x))) AS mh0,
+          list_min(list_transform(shingles, x -> md5('1:' || x))) AS mh1,
+          list_min(list_transform(shingles, x -> md5('2:' || x))) AS mh2,
+          list_min(list_transform(shingles, x -> md5('3:' || x))) AS mh3
+        FROM sh),
+        sigb AS (SELECT doc_id, mh0, mh1, mh2, mh3,
+          md5(mh0 || '|' || mh1) AS band0, md5(mh2 || '|' || mh3) AS band1
+        FROM sig)"""
+
+  private val minhashSignatures = Q(
+    "q45_minhash_sig",
+    (s, dir) => minhashSig(s, dir).orderBy("doc_id"),
+    Some(s"""WITH $minhashSigSqlCte
+            SELECT doc_id, mh0, mh1, mh2, mh3, band0, band1 FROM sigb ORDER BY doc_id"""))
+
+  private val minhashPairs = Q(
+    "q46_minhash_pairs",
+    (s, dir) => {
+      val sig = minhashSig(s, dir)
+      val bands = sig.select(col("doc_id"),
+        explode(array(
+          struct(lit(0).as("band"), col("band0").as("bucket")),
+          struct(lit(1).as("band"), col("band1").as("bucket")))).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH $minhashSigSqlCte,
+            bands AS (
+              SELECT doc_id, 0 AS band, band0 AS bucket FROM sigb
+              UNION ALL
+              SELECT doc_id, 1 AS band, band1 AS bucket FROM sigb)
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            ORDER BY doc_a, doc_b"""))
+
+  // ---- n-gram Jaccard near-dup over length/lang buckets ----------------
+  private val jaccardPairs = Q(
+    "q49_jaccard_pairs",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("toks", expr(s"array_distinct($toksExpr)"))
+        .withColumn("bucket",
+          concat_ws("|", col("lang"), floor(col("n_chars") / 64).cast("long")))
+        .select("doc_id", "bucket", "toks")
+      val a = d.select(col("doc_id").as("doc_a"), col("bucket"), col("toks").as("toks_a"))
+      val b = d.select(col("doc_id").as("doc_b"), col("bucket"), col("toks").as("toks_b"))
+      a.join(b, Seq("bucket")).filter(col("doc_a") < col("doc_b"))
+        .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
+        .withColumn("uni",
+          (size(col("toks_a")) + size(col("toks_b"))).cast("double") - col("inter"))
+        .withColumn("jaccard", round(col("inter") / col("uni"), 6))
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH d AS (
+              SELECT doc_id,
+                lang || '|' || CAST(CAST(floor(n_chars / 64) AS BIGINT) AS VARCHAR) AS bucket,
+                list_distinct($toksSql) AS toks
+              FROM documents),
+            p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS inter,
+                CAST(len(a.toks) + len(b.toks) AS DOUBLE) AS tot
+              FROM d a JOIN d b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, round(inter / (tot - inter), 6) AS jaccard
+            FROM p WHERE round(inter / (tot - inter), 6) >= 0.5
+            ORDER BY doc_a, doc_b"""))
+
+  // ---- SimHash (32-bit, nibble-decomposed md5, zero UDFs) --------------
+  // Bit b of a word's hash comes from hex digit b/4 of md5(word); the
+  // per-doc simhash is the sign-aggregated bit vector. The hex-nibble
+  // decomposition keeps the whole computation in built-ins both engines
+  // evaluate identically.
+  private val hexDigits = "0123456789abcdef"
+
+  private def simhashFrame(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(expr(s"array_distinct($toksExpr)")).as("w"))
+      .withColumn("h", md5(col("w")))
+    val bitSums: Seq[Column] = (0 until 32).map { bit =>
+      val ci = 1 + bit / 4
+      val sh = bit % 4
+      expr(s"sum(CASE WHEN (shiftright(instr('$hexDigits', substring(h, $ci, 1)) - 1, $sh) & 1) = 1 THEN 1 ELSE -1 END)")
+        .as(s"s$bit")
+    }
+    val sums = words.groupBy(col("doc_id"), col("lang"))
+      .agg(bitSums.head, bitSums.tail: _*)
+    val simhashExpr = (0 until 32)
+      .map(b => s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    sums.select(col("doc_id"), col("lang"), expr(s"CAST($simhashExpr AS BIGINT)").as("simhash"))
+  }
+
+  private def simhashSqlCte: String = {
+    val bitSums = (0 until 32).map { bit =>
+      val ci = 1 + bit / 4
+      val sh = bit % 4
+      s"sum(CASE WHEN (((strpos('$hexDigits', substr(h, $ci, 1)) - 1) >> $sh) & 1) = 1 THEN 1 ELSE -1 END) AS s$bit"
+    }.mkString(", ")
+    val simhashExpr = (0 until 32)
+      .map(b => s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""w AS (SELECT doc_id, lang, unnest(list_distinct($toksSql)) AS w FROM documents),
+        h AS (SELECT doc_id, lang, md5(w) AS h FROM w),
+        sums AS (SELECT doc_id, lang, $bitSums FROM h GROUP BY doc_id, lang),
+        sim AS (SELECT doc_id, lang, CAST($simhashExpr AS BIGINT) AS simhash FROM sums)"""
+  }
+
+  private val simhash = Q(
+    "q50_simhash",
+    (s, dir) => simhashFrame(s, dir).select("doc_id", "simhash").orderBy("doc_id"),
+    Some(s"WITH $simhashSqlCte SELECT doc_id, simhash FROM sim ORDER BY doc_id"))
+
+  private val simhashPairs = Q(
+    "q51_simhash_pairs",
+    (s, dir) => {
+      val sim = simhashFrame(s, dir)
+      val a = sim.select(col("doc_id").as("doc_a"), col("lang"), col("simhash").as("sim_a"))
+      val b = sim.select(col("doc_id").as("doc_b"), col("lang"), col("simhash").as("sim_b"))
+      a.join(b, Seq("lang")).filter(col("doc_a") < col("doc_b"))
+        .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
+        .filter(col("hamming") <= 6)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH $simhashSqlCte
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM sim a JOIN sim b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+            ORDER BY doc_a, doc_b"""))
+
+  // ---- brute-force cosine top-k (ANN baseline) -------------------------
+  // Query vector broadcast (1 row); dot products fold left-to-right in
+  // double on both engines, so scores are bit-identical. At cluster scale
+  // this is one scan + TakeOrderedAndProject — no shuffle of the big side.
+  private val dotExpr = "aggregate(zip_with(%s, %s, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+
+  private val cosineTopK = Q(
+    "q47_cosine_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .withColumn("dot", expr(dotExpr.format("embedding", "qvec")))
+        .withColumn("na", sqrt(expr(dotExpr.format("embedding", "embedding"))))
+        .withColumn("nb", sqrt(expr(dotExpr.format("qvec", "qvec"))))
+        .withColumn("score", round(col("dot") / (col("na") * col("nb")), 6))
+        .select("vec_id", "score")
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some("""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+                       FROM embeddings WHERE vec_id = 0),
+            e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings WHERE vec_id <> 0)
+            SELECT vec_id,
+              round(list_dot_product(v, qvec) /
+                    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qvec, qvec))), 6) AS score
+            FROM e, q ORDER BY score DESC, vec_id LIMIT 10"""))
+
+  // ---- random-projection LSH buckets (the ANN scale path) --------------
+  // 8 data-derived hyperplanes -> 8 sign bits -> bucket id. ANN lookups
+  // then only scan the query's bucket (and neighbors), turning top-k into
+  // a bucket-equi-join instead of a full scan.
+  private val embedBuckets = Q(
+    "q48_embed_buckets",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val planes = emb.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("plane_id"), col("embedding").as("pvec"))
+      emb.crossJoin(broadcast(planes))
+        .withColumn("dot", expr(dotExpr.format("embedding", "pvec")))
+        .groupBy("vec_id")
+        .agg(sum(when(col("dot") > 0, expr("CAST(pow(2, plane_id - 1) AS BIGINT)"))
+          .otherwise(lit(0L))).cast("long").as("bucket"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH p AS (SELECT vec_id AS plane_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pvec
+                       FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+            e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings)
+            SELECT e.vec_id,
+              CAST(SUM(CASE WHEN list_dot_product(v, pvec) > 0
+                            THEN CAST(pow(2, plane_id - 1) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS bucket
+            FROM e, p GROUP BY e.vec_id ORDER BY e.vec_id"""))
+
+  // ---- multimodal: opaque binary payload + typed metadata --------------
+  // Image/audio decode itself is stubbed (no media libs in-container;
+  // see graft.llm.Multimodal for the mapPartitions plumbing) — the
+  // Spark-side schema/hash/metadata path is real and oracle-checked.
+  private val multimodalMeta = Q(
+    "q52_multimodal_meta",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .select(col("doc_id"),
+          octet_length(col("payload")).cast("long").as("byte_len"),
+          md5(col("payload")).as("content_hash"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+              md5(text) AS content_hash
+            FROM documents ORDER BY doc_id"""))
+
+  val queries: Seq[Q] = Seq(
+    docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
+    minhashSignatures, minhashPairs, jaccardPairs, simhash, simhashPairs,
+    cosineTopK, embedBuckets, multimodalMeta)
+}

@@ -1,0 +1,595 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+import graft.functions.F
+import graft.operators.{Dedup, Upsert}
+import Q.t
+
+/** The relational operator inventory (SURVEY.md §2), each entry an
+  * oracle-checked query over the driver testdata. Determinism rules:
+  * every query ends in a total ORDER BY; double aggregates go through
+  * exact DECIMAL sums then cast to double so Spark and DuckDB agree
+  * bit-for-bit; int-typed deriveds are cast to long to match DuckDB's
+  * BIGINT defaults.
+  */
+object Relational {
+
+  // ---- S4/P4/P1: incremental cursor scan -------------------------------
+  // The extract step of every reference run: predicate pushed into the
+  // scan (ref: config/hubspot/hubspotoop.py:140-163;
+  // pipeline/hubspot_2_bigquery_migration/companies_pipeline.py:55-79).
+  private val cursorScan = Q(
+    "q01_cursor_scan",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") > lit("1999-06-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+            FROM orders WHERE o_orderdate > TIMESTAMP '1999-06-01 00:00:00'
+            ORDER BY o_orderkey"""))
+
+  // ---- S3: point lookup (pushed to parquet row-group stats) ------------
+  private val pointLookup = Q(
+    "q02_point_lookup",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") === 1)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
+        .orderBy("l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+            FROM lineitem WHERE l_orderkey = 1 ORDER BY l_linenumber"""))
+
+  // ---- O1-O4: sort + limit (TakeOrderedAndProject, no full sort) -------
+  private val topN = Q(
+    "q03_topn",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""))
+
+  // ---- A2/A3: grouped aggregation (flagship bench query) ---------------
+  private val groupAgg = Q(
+    "q04_groupagg",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+              CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  // ---- J1: left enrichment join, small dim broadcast -------------------
+  // (ref: pipeline/mautic_hubspot_email_log/mautic_hubspot_email_read_activities.py:183)
+  private val joinEnrich = Q(
+    "q05_join_enrich",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .join(
+          broadcast(t(s, dir, "customer")
+            .select(col("c_custkey").as("o_custkey"), col("c_name"), col("c_mktsegment"))),
+          Seq("o_custkey"), "left")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment")
+        .orderBy("o_orderkey"),
+    Some("""SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name, c.c_mktsegment
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY o.o_orderkey"""))
+
+  // ---- P6/J4: semi-join (customers that have orders) -------------------
+  private val semiJoin = Q(
+    "q06_semi_join",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            ORDER BY c_custkey"""))
+
+  // ---- J3/U3: anti-join set difference ---------------------------------
+  // (ref: pipeline/hubspot_association_bigquery/hubspot_association_bigquery.py:81-85)
+  private val antiJoin = Q(
+    "q07_anti_join",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            ORDER BY c_custkey"""))
+
+  // ---- U1/S8: union of two scans (active + archived owners) ------------
+  // (ref: config/hubspot/hubspotoop.py:418-434)
+  private val unionScan = Q(
+    "q08_union_scan",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      c.filter(col("c_mktsegment") === "BUILDING")
+        .unionByName(c.filter(col("c_mktsegment") === "AUTOMOBILE"))
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+            ORDER BY c_custkey"""))
+
+  // ---- W1/N5/F2: change-log versioning (CDC flow) ----------------------
+  // Explode-order + row_number versioning + raw JSON audit column
+  // (ref: pipeline/hubspot_deal_logs/hubspot_deal_log_pipeline.py:48-96).
+  private val changeLog = Q(
+    "q09_changelog",
+    (s, dir) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_shipdate"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey").as("object_id"),
+          col("l_linenumber"),
+          col("l_shipdate").as("updated_at_date"),
+          row_number().over(w).cast("long").as("version"))
+        .withColumn("raw", to_json(struct(col("object_id"), col("version"))))
+        .orderBy("object_id", "version")
+    },
+    Some("""SELECT object_id, l_linenumber, updated_at_date, version,
+              to_json(struct_pack(object_id := object_id, version := version)) AS raw
+            FROM (SELECT l_orderkey AS object_id, l_linenumber,
+                    l_shipdate AS updated_at_date,
+                    row_number() OVER (PARTITION BY l_orderkey
+                      ORDER BY l_shipdate, l_linenumber) AS version
+                  FROM lineitem)
+            ORDER BY object_id, version"""))
+
+  // ---- D1: deterministic first-wins dedup ------------------------------
+  // (ref: pipeline/functions/functions.py:91-106)
+  private val dedupFirst = Q(
+    "q10_dedup_first",
+    (s, dir) =>
+      Dedup.firstWins(
+        t(s, dir, "lineitem"),
+        Seq("l_orderkey"),
+        // full tiebreak: (shipdate, linenumber) pairs repeat in the data,
+        // so the winner must be pinned down to the value level
+        Seq(col("l_shipdate"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice")))
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+        .orderBy("l_orderkey"),
+    Some("""SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity FROM lineitem
+            QUALIFY row_number() OVER (PARTITION BY l_orderkey
+              ORDER BY l_shipdate, l_linenumber, l_quantity, l_extendedprice) = 1
+            ORDER BY l_orderkey"""))
+
+  // ---- A1/W2 + D3: grouped string-agg broadcast back to rows -----------
+  // (ref: .../mautic_hubspot_email_read_activities.py:192, 112-115)
+  private val stringAgg = Q(
+    "q11_string_agg",
+    (s, dir) => {
+      // (l_orderkey, l_linenumber) is not unique in the data — order by
+      // the flag value too so tied elements collect deterministically.
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_returnflag"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          array_join(collect_list(col("l_returnflag")).over(w), ",").as("flags"))
+        .withColumn("flags_dedup", F.dedupList(col("flags")))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""WITH g AS (
+              SELECT l_orderkey, l_linenumber,
+                string_agg(l_returnflag, ',') OVER (PARTITION BY l_orderkey
+                  ORDER BY l_linenumber, l_returnflag
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS flags
+              FROM lineitem)
+            SELECT l_orderkey, l_linenumber, flags,
+              array_to_string(list_filter(string_split(flags, ','),
+                (x, i) -> list_position(string_split(flags, ','), x) = i), ',') AS flags_dedup
+            FROM g ORDER BY l_orderkey, l_linenumber"""))
+
+  // ---- N1/F8/F10: association edges with md5 surrogate keys ------------
+  // (ref: hubspot_association_bigquery.py:66-79)
+  private def edgeFrame(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_shipdate"))
+      .withColumn("type", lit("contains"))
+      .withColumn("association_id",
+        F.surrogateKey(col("l_orderkey"), col("type"), col("l_partkey")))
+
+  private val md5Edges = Q(
+    "q12_md5_edges",
+    (s, dir) =>
+      edgeFrame(s, dir)
+        .select("association_id", "l_orderkey", "type", "l_partkey")
+        .distinct()
+        .orderBy("association_id"),
+    Some("""SELECT DISTINCT
+              md5(CAST(l_orderkey AS VARCHAR) || '|contains|' || CAST(l_partkey AS VARCHAR)) AS association_id,
+              l_orderkey, 'contains' AS type, l_partkey
+            FROM lineitem ORDER BY association_id"""))
+
+  // ---- J3 composite: only-new-edges sync (anti-join vs warehouse set) --
+  // (ref: hubspot_association_bigquery.py:53-58,81-85)
+  private val edgesAnti = Q(
+    "q13_edges_anti",
+    (s, dir) => {
+      val e = edgeFrame(s, dir)
+      val newE = e.filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp"))
+        .select("association_id", "l_orderkey", "type", "l_partkey").distinct()
+      val existing = e.filter(col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .select("association_id").distinct()
+      newE.join(existing, Seq("association_id"), "left_anti")
+        .orderBy("association_id")
+    },
+    Some("""WITH e AS (
+              SELECT md5(CAST(l_orderkey AS VARCHAR) || '|contains|' || CAST(l_partkey AS VARCHAR)) AS association_id,
+                     l_orderkey, 'contains' AS type, l_partkey, l_shipdate
+              FROM lineitem),
+            newe AS (SELECT DISTINCT association_id, l_orderkey, type, l_partkey
+                     FROM e WHERE l_shipdate >= TIMESTAMP '1999-01-01'),
+            old AS (SELECT DISTINCT association_id FROM e
+                    WHERE l_shipdate < TIMESTAMP '1999-01-01')
+            SELECT n.* FROM newe n
+            WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.association_id = n.association_id)
+            ORDER BY association_id"""))
+
+  // ---- K3/J5/F15: MERGE upsert (the centerpiece) -----------------------
+  // target = snapshot to 1999; source = re-extracted 1998+ rows with a
+  // changed cursor (+100 days) and doubled totalprice. Matched rows
+  // update (cursor changed), unmatched insert; pre-1998 target survives.
+  private val upsertOrders = Q(
+    "q14_upsert_orders",
+    (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val target = orders.filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      val source = orders.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("o_orderdate", col("o_orderdate") + expr("INTERVAL 100 DAYS"))
+      Upsert(target, source, Seq("o_orderkey"), "o_orderdate")
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH target AS (
+              SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'),
+            source AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     o_totalprice * 2 AS o_totalprice,
+                     o_orderdate + INTERVAL 100 DAY AS o_orderdate,
+                     o_orderpriority
+              FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+            SELECT t.* FROM target t
+            WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+            UNION ALL
+            SELECT s.* FROM source s
+            ORDER BY o_orderkey"""))
+
+  // ---- A2: max-aggregate cursor computation ----------------------------
+  // (ref: pipeline/functions/functions.py:58-77)
+  private val maxCursor = Q(
+    "q15_max_cursor",
+    (s, dir) => t(s, dir, "orders").agg(max(col("o_orderdate")).as("cursor_date")),
+    Some("SELECT max(o_orderdate) AS cursor_date FROM orders"))
+
+  // ---- A4: duplicate-key detection DQ check ----------------------------
+  // (ref: config/bigquery/bigquery.py:227-229)
+  private val dupCheck = Q(
+    "q16_dup_check",
+    (s, dir) =>
+      Dedup.duplicateKeys(t(s, dir, "lineitem"), Seq("l_orderkey"))
+        .select(col("l_orderkey").as("pk"), col("cnt"))
+        .orderBy("pk"),
+    Some("""SELECT l_orderkey AS pk, CAST(count(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1 ORDER BY pk"""))
+
+  // ---- A3/A5/A6/A7: DQ summary aggregates ------------------------------
+  // (ref: pipeline/functions/functions.py:108-121)
+  private val dqSummary = Q(
+    "q17_dq_summary",
+    (s, dir) =>
+      t(s, dir, "orders").agg(
+        count(lit(1)).as("total_rows"),
+        count(when(col("o_custkey").isNull, 1)).as("null_custkey"),
+        countDistinct(col("o_orderstatus")).as("distinct_status")),
+    Some("""SELECT CAST(count(*) AS BIGINT) AS total_rows,
+              CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT) AS null_custkey,
+              CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS distinct_status
+            FROM orders"""))
+
+  // ---- A6: distinct values of a column ---------------------------------
+  private val distinctVals = Q(
+    "q18_distinct",
+    (s, dir) =>
+      t(s, dir, "customer").select("c_mktsegment").distinct().orderBy("c_mktsegment"),
+    Some("SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"))
+
+  // ---- P1-P3/F10/F13/F14: projection, rename, recode, casts ------------
+  // (ref: pipeline/email_read_log/email_read_log.py:30-44)
+  private val projRename = Q(
+    "q19_proj_rename",
+    (s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        col("event_id").cast("string").as("e_id"),
+        F.eventId(col("user_id"), col("event_id")).as("event_key"),
+        (col("event_type") === "click").as("is_click"),
+        floor(col("value")).cast("long").as("value_int"),
+        col("user_id").as("contact_user_id"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id, CAST(event_id AS VARCHAR) AS e_id,
+              CAST(user_id AS VARCHAR) || '_' || CAST(event_id AS VARCHAR) AS event_key,
+              event_type = 'click' AS is_click,
+              CAST(floor(value) AS BIGINT) AS value_int,
+              user_id AS contact_user_id
+            FROM events ORDER BY event_id"""))
+
+  // ---- P5/P8/P11/N7: filters + null-sentinel normalization -------------
+  private val nullSentinel = Q(
+    "q20_null_sentinel",
+    (s, dir) =>
+      t(s, dir, "events")
+        .filter(!(col("event_type") === "purchase"))
+        .select(col("event_id"),
+          F.nullSentinel(col("event_type"), "error").as("et"),
+          coalesce(F.nullSentinel(col("event_type"), "error"), lit("none")).as("et_filled"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id, nullif(event_type, 'error') AS et,
+              coalesce(nullif(event_type, 'error'), 'none') AS et_filled
+            FROM events WHERE NOT (event_type = 'purchase') ORDER BY event_id"""))
+
+  // ---- N3: JSON field extraction ---------------------------------------
+  // (ref: pipeline/hubspot_engagement/hubspot_engagement_pipeline.py:52-53)
+  private val jsonExtract = Q(
+    "q21_json_extract",
+    (s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events ORDER BY event_id"""))
+
+  // ---- N4/N5: struct -> JSON serialization -----------------------------
+  // (ref: hubspot_engagement_pipeline.py:56; hubspot_deal_log_pipeline.py:22-34)
+  private val toJsonRaw = Q(
+    "q22_to_json",
+    (s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"),
+        to_json(struct(col("o_orderkey"), col("o_orderstatus"))).as("raw"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+              to_json(struct_pack(o_orderkey := o_orderkey, o_orderstatus := o_orderstatus)) AS raw
+            FROM orders ORDER BY o_orderkey"""))
+
+  // ---- F1: multi-format timestamp parse round-trip ---------------------
+  // Three wire formats constructed deterministically, then parsed back by
+  // parseHubTs (ref: hubspot_engagement_pipeline.py:16-27).
+  private val multiformatTs = Q(
+    "q23_multiformat_ts",
+    (s, dir) => {
+      val m = pmod(col("l_orderkey") + col("l_linenumber"), lit(3))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(m === 0, date_format(col("l_shipdate"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
+            .when(m === 1, date_format(col("l_shipdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+            .otherwise(unix_millis(col("l_shipdate").cast("timestamp")).cast("string"))
+            .as("rawts"))
+        .withColumn("parsed", F.parseHubTs(col("rawts")).cast("timestamp_ntz"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""WITH b AS (
+              SELECT l_orderkey, l_linenumber,
+                (l_orderkey + l_linenumber) % 3 AS m, l_shipdate
+              FROM lineitem),
+            r AS (
+              SELECT l_orderkey, l_linenumber,
+                CASE WHEN m = 0 THEN strftime(l_shipdate, '%Y-%m-%dT%H:%M:%S.%gZ')
+                     WHEN m = 1 THEN strftime(l_shipdate, '%Y-%m-%dT%H:%M:%SZ')
+                     ELSE CAST(epoch_ms(l_shipdate) AS VARCHAR) END AS rawts
+              FROM b)
+            SELECT l_orderkey, l_linenumber, rawts,
+              COALESCE(
+                try_strptime(rawts, '%Y-%m-%dT%H:%M:%S.%gZ'),
+                try_strptime(rawts, '%Y-%m-%dT%H:%M:%SZ'),
+                CASE WHEN regexp_matches(rawts, '^\d{10,}$')
+                     THEN epoch_ms(CAST(rawts AS BIGINT)) END) AS parsed
+            FROM r ORDER BY l_orderkey, l_linenumber"""))
+
+  // ---- F3/F4/F5: timezone shift, truncation, formatting ----------------
+  private val tzShift = Q(
+    "q24_tz_shift",
+    (s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        F.toGmt7(col("o_orderdate")).as("gmt7"),
+        date_trunc("day", col("o_orderdate")).as("day_trunc"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("formatted"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, o_orderdate + INTERVAL 7 HOUR AS gmt7,
+              date_trunc('day', o_orderdate) AS day_trunc,
+              strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS formatted
+            FROM orders ORDER BY o_orderkey"""))
+
+  // ---- F7/U4: date-range window generator (sequence + explode) ---------
+  // (ref: pipeline/hubspot_engagement/download_engagements.py:134-149)
+  private val seqExplode = Q(
+    "q25_seq_explode",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey"),
+          explode(sequence(
+            col("o_orderdate"),
+            col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+            expr("INTERVAL 10 DAYS"))).as("win_start"))
+        .orderBy("o_orderkey", "win_start"),
+    Some("""SELECT o_orderkey,
+              unnest(generate_series(o_orderdate, o_orderdate + INTERVAL 30 DAY,
+                                     INTERVAL 10 DAY)) AS win_start
+            FROM orders WHERE o_orderkey < 100
+            ORDER BY o_orderkey, win_start"""))
+
+  // ---- F11/F12: regex extract + string concat enrichment ---------------
+  // (ref: pipeline/update_objects/update_note_companies.py:10-16,55)
+  private val regexExtract = Q(
+    "q26_regex",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        F.regexGroup(col("source"), "src(\\d+)").as("src_num"),
+        concat(col("lang"), lit(", source: "), col("source")).as("note"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, regexp_extract(source, 'src(\d+)', 1) AS src_num,
+              lang || ', source: ' || source AS note
+            FROM documents ORDER BY doc_id"""))
+
+  // ---- F16/F17/D3: list membership, null-safe append, list dedup -------
+  private val arrayOps = Q(
+    "q27_array_ops",
+    (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          concat_ws(",", col("event_type"), lit("click"), col("event_type")).as("lst"))
+        .withColumn("has_click", F.listContains(col("lst"), lit("click")))
+        .withColumn("appended", F.listAppend(lit("top"), col("lst")))
+        .withColumn("lst_dedup", F.dedupList(col("lst")))
+        .orderBy("event_id"),
+    Some("""WITH b AS (
+              SELECT event_id, event_type,
+                event_type || ',click,' || event_type AS lst
+              FROM events)
+            SELECT event_id, event_type, lst,
+              coalesce(list_contains(string_split(lst, ','), 'click'), false) AS has_click,
+              CASE WHEN lst IS NULL THEN 'top' ELSE 'top,' || lst END AS appended,
+              array_to_string(list_filter(string_split(lst, ','),
+                (x, i) -> list_position(string_split(lst, ','), x) = i), ',') AS lst_dedup
+            FROM b ORDER BY event_id"""))
+
+  // ---- Event-time tumbling window aggregate (idiomatic Spark extension;
+  // batch equivalent of the streaming windowed agg, SURVEY.md §2.12) -----
+  private val eventWindow = Q(
+    "q28_event_window",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("win"), col("event_type"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+        .orderBy("win", "event_type"),
+    Some("""SELECT date_trunc('hour', ts) AS win, event_type,
+              CAST(count(*) AS BIGINT) AS cnt,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY win, event_type"""))
+
+  // ---- lead/lag SCD-2-style validity intervals -------------------------
+  private val scd2 = Q(
+    "q29_scd2",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        date_trunc("millisecond", col("ts")).as("valid_from"),
+        lead(date_trunc("millisecond", col("ts")), 1).over(w).as("valid_to"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT user_id, event_id,
+              date_trunc('millisecond', ts) AS valid_from,
+              lead(date_trunc('millisecond', ts), 1) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+              lag(event_type, 1) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+            FROM events ORDER BY user_id, event_id"""))
+
+  // ---- S10: remote-SQL source (spark.sql over registered views) --------
+  // (ref: config/redash/Redash.py:46-78)
+  private val sqlSource = Q(
+    "q30_sql_source",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT n.n_name, CAST(count(*) AS BIGINT) AS cnt
+               FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+               GROUP BY n.n_name ORDER BY n.n_name""")
+    },
+    Some("""SELECT n.n_name, CAST(count(*) AS BIGINT) AS cnt
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name ORDER BY n.n_name"""))
+
+  // ---- S11-S13: date-range + OR + IN-list filtered scans ---------------
+  // (ref: config/mautic/mautic.py:47-70,260-285,291-333)
+  private val rangeOrIn = Q(
+    "q31_range_or_in",
+    (s, dir) =>
+      t(s, dir, "events")
+        .filter(col("ts").between(
+          lit("2024-01-05 00:00:00").cast("timestamp"),
+          lit("2024-01-20 00:00:00").cast("timestamp")))
+        .filter(col("event_type").isin("click", "purchase", "signup") ||
+          col("value") > 900)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id, user_id, event_type, value FROM events
+            WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+              AND (event_type IN ('click', 'purchase', 'signup') OR value > 900)
+            ORDER BY event_id"""))
+
+  // ---- Reverse-ETL composite: join + flag + filter + group transform ---
+  // The §3.3 lifecycle on testdata: log ⋈ dim, array-contains flag,
+  // negation filter, windowed string-agg, order-preserving dedup
+  // (ref: .../mautic_hubspot_email_read_activities.py:172-202).
+  private val reverseEtl = Q(
+    "q32_reverse_etl",
+    (s, dir) => {
+      val log = t(s, dir, "events")
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_name"), col("c_mktsegment"))
+      val joined = log.join(broadcast(dim), Seq("user_id"), "left")
+        .withColumn("is_logged",
+          F.listContains(col("c_mktsegment"), col("event_type")))
+        .filter(!col("is_logged"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      joined
+        .select(col("user_id"), col("event_id"), col("c_name"),
+          array_join(collect_list(col("event_type")).over(w), ",").as("campaigns"))
+        .withColumn("campaigns_dedup", F.dedupList(col("campaigns")))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH joined AS (
+              SELECT e.user_id, e.event_id, e.event_type, c.c_name, c.c_mktsegment
+              FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+              WHERE NOT coalesce(list_contains(string_split(c.c_mktsegment, ','), e.event_type), false)),
+            g AS (
+              SELECT user_id, event_id, c_name,
+                string_agg(event_type, ',') OVER (PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS campaigns
+              FROM joined)
+            SELECT user_id, event_id, c_name, campaigns,
+              array_to_string(list_filter(string_split(campaigns, ','),
+                (x, i) -> list_position(string_split(campaigns, ','), x) = i), ',') AS campaigns_dedup
+            FROM g ORDER BY user_id, event_id"""))
+
+  val queries: Seq[Q] = Seq(
+    cursorScan, pointLookup, topN, groupAgg, joinEnrich, semiJoin, antiJoin,
+    unionScan, changeLog, dedupFirst, stringAgg, md5Edges, edgesAnti,
+    upsertOrders, maxCursor, dupCheck, dqSummary, distinctVals, projRename,
+    nullSentinel, jsonExtract, toJsonRaw, multiformatTs, tzShift, seqExplode,
+    regexExtract, arrayOps, eventWindow, scd2, sqlSource, rangeOrIn,
+    reverseEtl)
+}
