@@ -79,4 +79,12 @@ object F {
     * (ref: .../mautic_hubspot_email_read_activities.py:54). */
   def nullSentinel(c: Column, sentinel: String = "null"): Column =
     nullif(c, lit(sentinel))
+
+  /** F19 — seconds to "Xh Ym Zs" pretty-print, monitoring only
+    * (ref: config/google_chat/google_chat.py:23-32). */
+  def durationPretty(seconds: Column): Column =
+    concat(
+      (seconds.cast("long") / 3600).cast("long"), lit("h "),
+      ((seconds.cast("long") % 3600) / 60).cast("long"), lit("m "),
+      (seconds.cast("long") % 60), lit("s"))
 }

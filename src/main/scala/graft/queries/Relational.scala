@@ -549,6 +549,23 @@ object Relational {
               AND (event_type IN ('click', 'purchase', 'signup') OR value > 900)
             ORDER BY event_id"""))
 
+  // ---- N6: map flatten with parent key (traverse_dict) -----------------
+  // (ref: transformation/transformation.py:5-15) — JSON object column ->
+  // one row per (key, value) pair via from_json + explode(map_entries).
+  private val mapFlatten = Q(
+    "q33_map_flatten",
+    (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          explode(map_entries(from_json(col("props"), lit("map<string,bigint>")))).as("kv"))
+        .select(col("event_id"), col("kv.key").as("key"), col("kv.value").as("value"))
+        .orderBy("event_id", "key"),
+    Some("""WITH k AS (
+              SELECT event_id, props, unnest(json_keys(props)) AS key FROM events)
+            SELECT event_id, key,
+              CAST(json_extract_string(props, '$.' || key) AS BIGINT) AS value
+            FROM k ORDER BY event_id, key"""))
+
   // ---- Reverse-ETL composite: join + flag + filter + group transform ---
   // The §3.3 lifecycle on testdata: log ⋈ dim, array-contains flag,
   // negation filter, windowed string-agg, order-preserving dedup
@@ -591,5 +608,5 @@ object Relational {
     upsertOrders, maxCursor, dupCheck, dqSummary, distinctVals, projRename,
     nullSentinel, jsonExtract, toJsonRaw, multiformatTs, tzShift, seqExplode,
     regexExtract, arrayOps, eventWindow, scd2, sqlSource, rangeOrIn,
-    reverseEtl)
+    mapFlatten, reverseEtl)
 }

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.Upsert
+import graft.sinks.Sinks
+
+/** Structured Streaming realization of the reference's incremental-sync
+  * protocol (SURVEY.md §2.12):
+  *
+  *  - I1 cursor/watermark → `withWatermark` on event time (the cursor
+  *    table becomes the streaming checkpoint dir);
+  *  - I2 exactly-once-ish delivery → `foreachBatch` + the idempotent
+  *    MERGE upsert, keyed on pk — replaying a micro-batch is a no-op;
+  *  - I4 micro-batch pacing (the reference's per-page sleeps) →
+  *    `Trigger.AvailableNow` / `Trigger.ProcessingTime`.
+  *
+  * Plus the idiomatic Spark extension the reference lacks: event-time
+  * tumbling-window aggregation with late-data handling.
+  */
+object StreamingSync {
+
+  /** File-source stream over a parquet directory (the stand-in for the
+    * reference's paginated REST feed — each new file is a "page"). */
+  def readEvents(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", "4").parquet(dir)
+
+  /** Tumbling-window count/sum per event_type with a watermark: late rows
+    * beyond the delay are dropped, state is bounded — the scale-safe shape
+    * of q28's batch aggregate. */
+  def windowedAgg(events: DataFrame, watermarkDelay: String, windowLen: String): DataFrame =
+    events
+      // watermarks require TIMESTAMP; parquet NTZ event time is wall-clock
+      // UTC here (session TZ is UTC), so the cast is value-preserving
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Incremental snapshot maintenance: every micro-batch MERGE-upserts
+    * into the parquet snapshot via the idempotent upsert + atomic swap —
+    * the streaming replay of §3.1's batch lifecycle. */
+  def syncToSnapshot(events: DataFrame, snapshotPath: String, checkpoint: String,
+                     pk: Seq[String], cursor: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val exists = {
+          val p = new org.apache.hadoop.fs.Path(snapshotPath)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+        }
+        val merged =
+          if (exists) Upsert(spark.read.parquet(snapshotPath), batch, pk, cursor)
+          else graft.operators.Dedup.latestWins(batch, pk, cursor)
+        Sinks.snapshotSwap(merged, snapshotPath)
+      }
+      .start()
+}

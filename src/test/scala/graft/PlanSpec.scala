@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Scale/plan-quality assertions (the 100 TB story, SURVEY.md §4): filters
+  * reach the parquet scan, small dims broadcast, top-k never global-sorts,
+  * LSH candidate generation never degrades to a cartesian product.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String = {
+    df.collect() // let AQE finalize the physical plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
+
+  test("q01 cursor scan pushes the predicate into the parquet scan (S4/P4)") {
+    val p = planOf(q("q01_cursor_scan"))
+    assert(p.contains("PushedFilters: ") && p.contains("GreaterThan(o_orderdate"),
+      s"cursor filter must reach the scan:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("o_orderpriority"),
+      "column pruning must drop unprojected columns")
+  }
+
+  test("q02 point lookup pushes the key equality (S3)") {
+    val p = planOf(q("q02_point_lookup"))
+    assert(p.contains("EqualTo(l_orderkey,1)"), s"point filter must push down:\n$p")
+  }
+
+  test("q05 enrichment join broadcasts the dimension side (J1)") {
+    val p = planOf(q("q05_join_enrich"))
+    assert(p.contains("BroadcastHashJoin"), s"small dim must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "no shuffle join for a broadcastable dim")
+  }
+
+  test("q03 top-n uses TakeOrderedAndProject, not a global sort (O1/O4)") {
+    val p = planOf(q("q03_topn"))
+    assert(p.contains("TakeOrderedAndProject"), s"orderBy+limit must not global-sort:\n$p")
+  }
+
+  test("q04 group agg does map-side partial aggregation (A2)") {
+    val p = planOf(q("q04_groupagg"))
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"aggregation must combine map-side before the shuffle:\n$p")
+    // whole-stage codegen renders as a "*(n)" stage prefix in plan strings
+    assert(p.contains("*(1)"), s"hot path must stay in codegen:\n$p")
+  }
+
+  test("q47 brute-force top-k broadcasts the 1-row query vector") {
+    val p = planOf(q("q47_cosine_topk"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query vector side must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  }
+
+  test("LSH candidate pairs are equi-joins, never cartesian (q46/q49/q51)") {
+    Seq("q46_minhash_pairs", "q49_jaccard_pairs", "q51_simhash_pairs").foreach { name =>
+      val p = planOf(q(name))
+      assert(!p.contains("CartesianProduct"), s"$name degraded to all-pairs:\n$p")
+    }
+  }
+
+  test("q14 upsert keeps unioned branches partitioned, no driver collect") {
+    // executes distributed: two joins on the pk + union; presence of the
+    // final sort is the query's own ORDER BY, not a collect
+    val p = planOf(q("q14_upsert_orders"))
+    assert(p.contains("Join") && p.contains("Union"), s"upsert must be join+union:\n$p")
+  }
+}

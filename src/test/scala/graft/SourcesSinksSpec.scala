@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.functions.Retry
+import graft.sinks.Sinks
+import graft.sources.Sources
+
+class SourcesSinksSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("S14: year-partitioned write + read prunes partitions on a year filter") {
+    val base = tmp("part") + "/orders_by_year"
+    Sources.writePartitionedByYear(Tables.load(spark, sf, "orders"), "o_orderdate", base)
+    val pruned = Sources.partitioned(spark, base).filter(col("year") === 1997)
+    val expected = Tables.load(spark, sf, "orders")
+      .filter(year(col("o_orderdate")) === 1997).count()
+    assert(pruned.count() === expected)
+    // the plan must show partition filters, not a post-scan filter
+    val physical = pruned.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters: [isnotnull(year"),
+      s"expected partition pruning in plan:\n$physical")
+  }
+
+  test("S15: JSON spill-file and CSV reads round-trip with explicit schema") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val jdir = tmp("json"); val cdir = tmp("csv")
+    df.write.mode("overwrite").json(jdir)
+    df.write.mode("overwrite").option("header", "true").csv(cdir)
+    assert(Sources.json(spark, jdir, schema).collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    assert(Sources.csv(spark, cdir, schema).collect().map(_.getString(1)).sorted.toSeq === Seq("a", "b"))
+  }
+
+  test("K1/K4: append accumulates; parquet honors compression codec") {
+    import spark.implicits._
+    val p = tmp("append") + "/t"
+    Sinks.append(Seq(1, 2).toDF("x"), p)
+    Sinks.append(Seq(3).toDF("x"), p)
+    assert(spark.read.parquet(p).count() === 3)
+    val gz = tmp("gz") + "/t"
+    Sinks.parquet(Seq(1).toDF("x"), gz, codec = "gzip")
+    assert(new java.io.File(gz).listFiles().exists(_.getName.endsWith(".gz.parquet")))
+  }
+
+  test("K3 sink: snapshotSwap atomically replaces the live dir") {
+    import spark.implicits._
+    val p = tmp("swap") + "/snap"
+    Sinks.snapshotSwap(Seq((1, "v1")).toDF("id", "v"), p)
+    assert(spark.read.parquet(p).collect()(0).getString(1) === "v1")
+    Sinks.snapshotSwap(Seq((1, "v2")).toDF("id", "v"), p)
+    val out = spark.read.parquet(p).collect()
+    assert(out.length === 1 && out(0).getString(1) === "v2")
+    assert(!new java.io.File(p + "__tmp").exists())
+    assert(!new java.io.File(p + "__old").exists())
+  }
+
+  test("K5: csvSample dumps at most n rows with header") {
+    import spark.implicits._
+    val p = tmp("csvs") + "/sample"
+    Sinks.csvSample((1 to 100).toDF("x"), p, n = 5)
+    assert(spark.read.option("header", "true").csv(p).count() === 5)
+  }
+
+  test("K6: foreachRowSink delivers every row exactly once via accumulator") {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("delivered")
+    val writer = new Sinks.RowWriter {
+      def write(row: Row): Unit = acc.add(row.getInt(0))
+    }
+    Sinks.foreachRowSink((1 to 10).toDF("x"), writer)
+    assert(acc.value === 55L)
+  }
+
+  test("I6: retry backs off then succeeds / exhausts") {
+    var calls = 0
+    val out = Retry.withBackoff(maxRetries = 3, baseDelayMs = 1, jitterMs = 1) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException("flaky") else "ok"
+    }
+    assert(out === "ok" && calls === 3)
+    assertThrows[RuntimeException] {
+      Retry.withBackoff(maxRetries = 1, baseDelayMs = 1, jitterMs = 1) {
+        throw new RuntimeException("always")
+      }
+    }
+  }
+}

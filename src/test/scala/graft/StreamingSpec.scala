@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.streaming.StreamingSync
+
+class StreamingSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def stageEventFiles(): String = {
+    // stream source dir: the events fixture re-written as several files
+    // (each file plays one "page" of the reference's paginated feed)
+    val dir = Files.createTempDirectory("stream-in").toString
+    Tables.load(spark, sf, "events").repartition(4).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("windowed agg over a stream matches the batch equivalent (I1/I4)") {
+    val in = stageEventFiles()
+    val schema = spark.read.parquet(in).schema
+    val streamed = StreamingSync.windowedAgg(
+      StreamingSync.readEvents(spark, in, schema), "1 hour", "1 hour")
+    val q = streamed.writeStream
+      .format("memory").queryName("win_agg").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // append mode only emits windows closed by the watermark; every emitted
+    // window must match the batch aggregate exactly
+    val streamedRows = spark.table("win_agg")
+      .select("win_start", "event_type", "cnt")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batchRows = Tables.load(spark, sf, "events")
+      .withColumn("ts", col("ts").cast("timestamp")) // match windowedAgg's event-time type
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamedRows.nonEmpty, "watermark should have closed at least one window")
+    assert(streamedRows.subsetOf(batchRows))
+  }
+
+  test("foreachBatch upsert maintains the snapshot idempotently (I2)") {
+    val in = stageEventFiles()
+    val schema = spark.read.parquet(in).schema
+    val snap = Files.createTempDirectory("snap").toString + "/events_snapshot"
+    val ckpt = Files.createTempDirectory("ckpt2").toString
+
+    val q = StreamingSync.syncToSnapshot(
+      StreamingSync.readEvents(spark, in, schema), snap, ckpt,
+      Seq("event_id"), "ts")
+    q.awaitTermination(120000)
+
+    val snapshot = spark.read.parquet(snap)
+    val expected = Tables.load(spark, sf, "events").count()
+    assert(snapshot.count() === expected)
+    assert(snapshot.select("event_id").distinct().count() === expected)
+
+    // restart on the same checkpoint: no new data -> snapshot unchanged
+    val q2 = StreamingSync.syncToSnapshot(
+      StreamingSync.readEvents(spark, in, schema), snap, ckpt,
+      Seq("event_id"), "ts")
+    q2.awaitTermination(120000)
+    assert(spark.read.parquet(snap).count() === expected)
+  }
+}
