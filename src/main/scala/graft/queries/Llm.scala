@@ -155,11 +155,14 @@ object Llm {
     "q46_minhash_pairs",
     (s, dir) => {
       val sig = minhashSig(s, dir)
+      // both sides of the self-join read the same band table — cache it so
+      // the shingle+minhash computation runs once, not twice
       val bands = sig.select(col("doc_id"),
         explode(array(
           struct(lit(0).as("band"), col("band0").as("bucket")),
           struct(lit(1).as("band"), col("band1").as("bucket")))).as("b"))
         .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+        .cache()
       bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -187,6 +190,7 @@ object Llm {
         .withColumn("bucket",
           concat_ws("|", col("lang"), floor(col("n_chars") / 64).cast("long")))
         .select("doc_id", "bucket", "toks")
+        .cache() // self-joined: tokenize once, not per side
       val a = d.select(col("doc_id").as("doc_a"), col("bucket"), col("toks").as("toks_a"))
       val b = d.select(col("doc_id").as("doc_b"), col("bucket"), col("toks").as("toks_b"))
       a.join(b, Seq("bucket")).filter(col("doc_a") < col("doc_b"))
@@ -261,7 +265,9 @@ object Llm {
   private val simhashPairs = Q(
     "q51_simhash_pairs",
     (s, dir) => {
-      val sim = simhashFrame(s, dir)
+      // the 32-bit-sum aggregation over exploded words is the expensive
+      // part — cache it so the self-join computes it once
+      val sim = simhashFrame(s, dir).cache()
       val a = sim.select(col("doc_id").as("doc_a"), col("lang"), col("simhash").as("sim_a"))
       val b = sim.select(col("doc_id").as("doc_b"), col("lang"), col("simhash").as("sim_b"))
       a.join(b, Seq("lang")).filter(col("doc_a") < col("doc_b"))
