@@ -341,6 +341,86 @@ object Llm {
                             ELSE 0 END) AS BIGINT) AS bucket
             FROM e, p GROUP BY e.vec_id ORDER BY e.vec_id"""))
 
+  // ---- ANN: bucket join + bounded top-k Aggregator (the scale path) ----
+  // 4-bit random-projection buckets; per-query candidates = same bucket
+  // only; selection via the bounded-heap TopKAgg so a bucket with millions
+  // of candidates still only shuffles k rows per group.
+  private def bucketedEmbeddings(s: SparkSession, dir: String, nPlanes: Int): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val planes = emb.filter(col("vec_id").between(1, nPlanes))
+      .select(col("vec_id").as("plane_id"), col("embedding").as("pvec"))
+    val buckets = emb.crossJoin(broadcast(planes))
+      .withColumn("dot", expr(dotExpr.format("embedding", "pvec")))
+      .groupBy("vec_id")
+      .agg(sum(when(col("dot") > 0, expr("CAST(pow(2, plane_id - 1) AS BIGINT)"))
+        .otherwise(lit(0L))).cast("long").as("bucket"))
+    emb.join(buckets, "vec_id").select("vec_id", "embedding", "bucket")
+  }
+
+  private val annSqlCte =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       p AS (SELECT vec_id AS plane_id, v AS pvec FROM e WHERE vec_id BETWEEN 1 AND 4),
+       b AS (SELECT e.vec_id,
+               CAST(SUM(CASE WHEN list_dot_product(v, pvec) > 0
+                             THEN CAST(pow(2, plane_id - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+             FROM e, p GROUP BY e.vec_id),
+       eb AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN b ON e.vec_id = b.vec_id)"""
+
+  private val annTopK = Q(
+    "q53_ann_topk",
+    (s, dir) => {
+      val e = bucketedEmbeddings(s, dir, 4).cache()
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"), col("bucket"))
+      val scored = queries.join(e, Seq("bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("score",
+          expr(dotExpr.format("embedding", "qvec")) /
+            (sqrt(expr(dotExpr.format("embedding", "embedding"))) *
+              sqrt(expr(dotExpr.format("qvec", "qvec")))))
+      val topk = graft.llm.TopK.topK(5)
+      scored.groupBy("query_id")
+        .agg(topk(col("vec_id"), col("score")).as("nn"))
+        .select(col("query_id"), explode(col("nn")).as("n"))
+        .select(col("query_id"), col("n.id").as("vec_id"),
+          round(col("n.score"), 6).as("score"))
+        .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+    },
+    Some(s"""WITH $annSqlCte,
+            q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM eb WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, c.vec_id,
+                list_dot_product(c.v, q.qv) /
+                  (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS score
+              FROM q JOIN eb c ON q.bucket = c.bucket AND c.vec_id <> q.query_id)
+            SELECT query_id, vec_id, round(score, 6) AS score FROM scored
+            QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) <= 5
+            ORDER BY query_id, score DESC, vec_id"""))
+
+  // ---- embedding-cosine near-dup pairs over LSH buckets ----------------
+  private val embedNearDup = Q(
+    "q54_embed_neardup",
+    (s, dir) => {
+      val e = bucketedEmbeddings(s, dir, 4).cache()
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"), col("bucket"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"), col("bucket"))
+      a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
+        .withColumn("score",
+          expr(dotExpr.format("va", "vb")) /
+            (sqrt(expr(dotExpr.format("va", "va"))) * sqrt(expr(dotExpr.format("vb", "vb")))))
+        .filter(col("score") >= 0.35)
+        .select(col("vec_a"), col("vec_b"), round(col("score"), 6).as("score"))
+        .orderBy("vec_a", "vec_b")
+    },
+    Some(s"""WITH $annSqlCte,
+            pr AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS score
+              FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+            SELECT vec_a, vec_b, round(score, 6) AS score FROM pr
+            WHERE score >= 0.35 ORDER BY vec_a, vec_b"""))
+
   // ---- multimodal: opaque binary payload + typed metadata --------------
   // Image/audio decode itself is stubbed (no media libs in-container;
   // see graft.llm.Multimodal for the mapPartitions plumbing) — the
@@ -361,5 +441,5 @@ object Llm {
   val queries: Seq[Q] = Seq(
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
     minhashSignatures, minhashPairs, jaccardPairs, simhash, simhashPairs,
-    cosineTopK, embedBuckets, multimodalMeta)
+    cosineTopK, embedBuckets, annTopK, embedNearDup, multimodalMeta)
 }
