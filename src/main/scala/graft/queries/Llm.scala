@@ -421,6 +421,30 @@ object Llm {
             SELECT vec_a, vec_b, round(score, 6) AS score FROM pr
             WHERE score >= 0.35 ORDER BY vec_a, vec_b"""))
 
+  // ---- native-Expression rolling-hash fingerprint ----------------------
+  // Exercises graft.plans.RollingFingerprint — the codegen'd Catalyst
+  // Expression — end to end through SQL function resolution.
+  private val rollingFp = Q(
+    "q55_rolling_fp",
+    (s, dir) => {
+      graft.plans.RollingFingerprint.register(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"), expr("rolling_fingerprint(lower(text), 8)").as("fp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, lower(text) AS s FROM documents)
+            SELECT doc_id,
+              CAST(CASE WHEN length(s) = 0 THEN 0
+                   WHEN length(s) >= 8 THEN
+                     list_min(list_transform(generate_series(1, length(s) - 7),
+                       i -> list_sum(list_transform(generate_series(0, 7),
+                         j -> ascii(substr(s, i + j, 1)) * CAST(pow(31, 7 - j) AS BIGINT)))))
+                   ELSE
+                     list_sum(list_transform(generate_series(0, length(s) - 1),
+                       j -> ascii(substr(s, 1 + j, 1)) * CAST(pow(31, length(s) - 1 - j) AS BIGINT)))
+              END AS BIGINT) AS fp
+            FROM t ORDER BY doc_id"""))
+
   // ---- multimodal: opaque binary payload + typed metadata --------------
   // Image/audio decode itself is stubbed (no media libs in-container;
   // see graft.llm.Multimodal for the mapPartitions plumbing) — the
@@ -441,5 +465,5 @@ object Llm {
   val queries: Seq[Q] = Seq(
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
     minhashSignatures, minhashPairs, jaccardPairs, simhash, simhashPairs,
-    cosineTopK, embedBuckets, annTopK, embedNearDup, multimodalMeta)
+    cosineTopK, embedBuckets, annTopK, embedNearDup, rollingFp, multimodalMeta)
 }
