@@ -549,6 +549,57 @@ object Relational {
               AND (event_type IN ('click', 'purchase', 'signup') OR value > 900)
             ORDER BY event_id"""))
 
+  // ---- set operations beyond the reference (SURVEY §2.8: "include
+  // Spark's built-in intersect anyway — free") -------------------------
+  private def custkeysOfYear(s: SparkSession, dir: String, year: Int): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select("o_custkey")
+
+  private val intersectOp = Q(
+    "q34_intersect",
+    (s, dir) =>
+      custkeysOfYear(s, dir, 1999).intersect(custkeysOfYear(s, dir, 2000))
+        .orderBy("o_custkey"),
+    Some("""SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1999-01-01' AND o_orderdate < TIMESTAMP '2000-01-01'
+            INTERSECT
+            SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '2000-01-01' AND o_orderdate < TIMESTAMP '2001-01-01'
+            ORDER BY o_custkey"""))
+
+  private val exceptOp = Q(
+    "q35_except",
+    (s, dir) =>
+      custkeysOfYear(s, dir, 1999).except(custkeysOfYear(s, dir, 2000))
+        .orderBy("o_custkey"),
+    Some("""SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1999-01-01' AND o_orderdate < TIMESTAMP '2000-01-01'
+            EXCEPT
+            SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '2000-01-01' AND o_orderdate < TIMESTAMP '2001-01-01'
+            ORDER BY o_custkey"""))
+
+  // ---- rollup aggregate (beyond-reference breadth; null group keys are
+  // sentinel-coalesced so both engines order identically) ----------------
+  private val rollupAgg = Q(
+    "q36_rollup",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("cnt"))
+        .orderBy("rf", "ls"),
+    Some("""SELECT coalesce(l_returnflag, '(all)') AS rf,
+              coalesce(l_linestatus, '(all)') AS ls,
+              CAST(count(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY rf, ls"""))
+
   // ---- N6: map flatten with parent key (traverse_dict) -----------------
   // (ref: transformation/transformation.py:5-15) — JSON object column ->
   // one row per (key, value) pair via from_json + explode(map_entries).
@@ -608,5 +659,5 @@ object Relational {
     upsertOrders, maxCursor, dupCheck, dqSummary, distinctVals, projRename,
     nullSentinel, jsonExtract, toJsonRaw, multiformatTs, tzShift, seqExplode,
     regexExtract, arrayOps, eventWindow, scd2, sqlSource, rangeOrIn,
-    mapFlatten, reverseEtl)
+    intersectOp, exceptOp, rollupAgg, mapFlatten, reverseEtl)
 }
