@@ -229,12 +229,14 @@ object Relational {
   private val edgesAnti = Q(
     "q13_edges_anti",
     (s, dir) => {
-      val e = edgeFrame(s, dir)
-      val newE = e.filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp"))
-        .select("association_id", "l_orderkey", "type", "l_partkey").distinct()
-      val existing = e.filter(col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
-        .select("association_id").distinct()
-      newE.join(existing, Seq("association_id"), "left_anti")
+      // "id first seen at-or-after the cutoff" == min(shipdate) >= cutoff,
+      // which folds the two-scan anti-join into one scan + one aggregation
+      // (same result as the NOT EXISTS oracle, half the I/O)
+      edgeFrame(s, dir)
+        .groupBy("association_id", "l_orderkey", "type", "l_partkey")
+        .agg(min(col("l_shipdate")).as("__first_seen"))
+        .filter(col("__first_seen") >= lit("1999-01-01").cast("timestamp"))
+        .drop("__first_seen")
         .orderBy("association_id")
     },
     Some("""WITH e AS (
@@ -497,6 +499,56 @@ object Relational {
               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY win, event_type"""))
 
+  // ---- sliding event-time window (2h window, 1h slide) -----------------
+  // SURVEY §2.12: the reference has no real windows; tumbling (q28),
+  // sliding (here) and session (q38) are the idiomatic Spark extensions.
+  private val slidingWindow = Q(
+    "q37_sliding_window",
+    (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").cast("timestamp_ntz").as("win_start"),
+          col("event_type"), col("cnt"))
+        .orderBy("win_start", "event_type"),
+    Some("""WITH w AS (
+              SELECT event_type,
+                unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start
+              FROM events)
+            SELECT CAST(win_start AS TIMESTAMP) AS win_start, event_type,
+              CAST(count(*) AS BIGINT) AS cnt
+            FROM w GROUP BY 1, 2 ORDER BY win_start, event_type"""))
+
+  // ---- session window (5-minute inactivity gap) ------------------------
+  private val sessionWindow = Q(
+    "q38_session_window",
+    (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"),
+          date_trunc("millisecond", col("session_window.start"))
+            .cast("timestamp_ntz").as("session_start"),
+          col("cnt"))
+        .orderBy("user_id", "session_start"),
+    Some("""WITH l AS (
+              SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 5 MINUTE
+                     THEN 1 ELSE 0 END AS brk
+              FROM events),
+            g AS (
+              SELECT user_id, ts,
+                sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM l)
+            SELECT user_id,
+              date_trunc('millisecond', min(ts)) AS session_start,
+              CAST(count(*) AS BIGINT) AS cnt
+            FROM g GROUP BY user_id, sid ORDER BY user_id, session_start"""))
+
   // ---- lead/lag SCD-2-style validity intervals -------------------------
   private val scd2 = Q(
     "q29_scd2",
@@ -658,6 +710,7 @@ object Relational {
     unionScan, changeLog, dedupFirst, stringAgg, md5Edges, edgesAnti,
     upsertOrders, maxCursor, dupCheck, dqSummary, distinctVals, projRename,
     nullSentinel, jsonExtract, toJsonRaw, multiformatTs, tzShift, seqExplode,
-    regexExtract, arrayOps, eventWindow, scd2, sqlSource, rangeOrIn,
+    regexExtract, arrayOps, eventWindow, slidingWindow, sessionWindow,
+    scd2, sqlSource, rangeOrIn,
     intersectOp, exceptOp, rollupAgg, mapFlatten, reverseEtl)
 }
