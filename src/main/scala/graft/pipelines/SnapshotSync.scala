@@ -48,7 +48,29 @@ object SnapshotSync {
       .transform(Lineage.stamp(runId, batchTs))
 
     val merged = Upsert(target, changed, Seq("o_orderkey"), "o_orderdate")
+
+    // Materialize the post-MERGE snapshot before the second pass — the
+    // reference also goes through a staging table between load and MERGE
+    // (bigquery.py:206-271); this also keeps the second upsert's plan
+    // independent of the first (deeply self-referencing join/union trees
+    // trip Spark's zipped-partition reuse).
+    graft.sinks.Sinks.snapshotSwap(merged, s"$tmp/orders_snapshot")
+    val liveSnapshot = spark.read.parquet(s"$tmp/orders_snapshot")
+
+    // Second upsert pass for soft-deleted objects, mirroring the
+    // reference's archived re-scan + upsert with `archived` as the change
+    // detector (ref: companies_pipeline.py:113-124): finished orders play
+    // the archived partition; their tombstone lands as a flag update.
+    val withFlag = liveSnapshot.withColumn("archived", lit(false))
+    val archived = orders
+      .filter(col("o_orderstatus") === "F")
+      .transform(Lineage.stamp(runId, batchTs))
+      .withColumn("archived", lit(true))
+      // cursor bump so the MERGE cursor-change guard applies the tombstone
+      .withColumn("o_orderdate", col("o_orderdate") + expr("INTERVAL 1 SECOND"))
+    val finalSnapshot = Upsert(withFlag, archived, Seq("o_orderkey"), "o_orderdate")
+
     cursorStore.advance("orders", batchTs, runId, batchTs)
-    merged
+    finalSnapshot
   }
 }
