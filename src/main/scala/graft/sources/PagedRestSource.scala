@@ -1,0 +1,155 @@
+package graft.sources
+
+import java.util
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{Filter, GreaterThan}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 realization of the reference's paginated REST scan with
+  * server-side predicate pushdown (S1/S4 — ref:
+  * config/hubspot/hubspotoop.py:50-83 cursor-token pagination;
+  * :140-163 POST filterGroups `hs_lastmodifieddate GT cursor`).
+  *
+  * The mapping, made concrete:
+  *  - one REST page  -> one `InputPartition` (pages fetch in parallel
+  *    across executors instead of the reference's serial 2 s-per-page loop);
+  *  - the search API's GT-cursor filter group -> `SupportsPushDownFilters`:
+  *    a `updated_at > cursor` predicate is claimed at planning time and
+  *    pages wholly below the cursor are never fetched;
+  *  - the HTTP GET itself is stubbed with a deterministic generator (no
+  *    egress in this environment) — `PagedPartitionReader.fetchPage` is
+  *    the single seam where a real client would go.
+  *
+  * Usage: `spark.read.format("graft.sources.PagedRestSource")
+  *   .option("pages", 10).option("pageSize", 100).load()`.
+  */
+class PagedRestSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PagedRestSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new PagedTable(
+      properties.getOrDefault("pages", "10").toInt,
+      properties.getOrDefault("pagesize", "100").toInt)
+}
+
+object PagedRestSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("updated_at", TimestampType, nullable = false),
+    StructField("payload", StringType, nullable = false)))
+
+  /** Epoch-micros of the first record; each record advances one minute, so
+    * page p covers [p*pageSize, (p+1)*pageSize) minutes after T0. */
+  val T0Micros: Long = 1704067200L * 1000000L // 2024-01-01T00:00:00Z
+  val StepMicros: Long = 60L * 1000000L
+
+  /** Pages actually planned by the last scan — observable pushdown proof. */
+  val lastPlannedPages = new AtomicInteger(0)
+}
+
+private class PagedTable(pages: Int, pageSize: Int) extends Table with SupportsRead {
+  override def name(): String = s"paged_rest(pages=$pages, pageSize=$pageSize)"
+  override def schema(): StructType = PagedRestSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PagedScanBuilder(pages, pageSize)
+}
+
+private class PagedScanBuilder(pages: Int, pageSize: Int)
+    extends ScanBuilder with SupportsPushDownFilters {
+
+  private var cursorMicros: Long = Long.MinValue
+
+  // Claim `updated_at > ts` — the exact shape of the reference's search
+  // filter group — and leave everything else for Spark to re-apply.
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (pushed, rest) = filters.partition {
+      case GreaterThan("updated_at", _) => true
+      case _ => false
+    }
+    pushed.foreach { case GreaterThan(_, v) =>
+      val micros = v match {
+        case t: java.sql.Timestamp => t.getTime * 1000L
+        case i: java.time.Instant =>
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
+        case _ => Long.MinValue
+      }
+      cursorMicros = math.max(cursorMicros, micros)
+    }
+    rest
+  }
+
+  override def pushedFilters(): Array[Filter] =
+    if (cursorMicros == Long.MinValue) Array.empty
+    else Array(GreaterThan("updated_at",
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        cursorMicros / 1000000L, (cursorMicros % 1000000L) * 1000L))))
+
+  override def build(): Scan = new PagedScan(pages, pageSize, cursorMicros)
+}
+
+private class PagedScan(pages: Int, pageSize: Int, cursorMicros: Long)
+    extends Scan with Batch {
+  override def readSchema(): StructType = PagedRestSource.schema
+  override def toBatch: Batch = this
+
+  // surface the pushed cursor in plan output (.explain shows it)
+  override def description(): String =
+    if (cursorMicros == Long.MinValue) "paged_rest"
+    else s"paged_rest PushedCursorFilter: [updated_at > $cursorMicros us]"
+
+  // "Server-side" pruning: a page whose newest record is at or below the
+  // cursor is never requested — the DSv2 analog of the search API only
+  // returning records past the watermark.
+  override def planInputPartitions(): Array[InputPartition] = {
+    val planned = (0 until pages).filter { p =>
+      val pageMax = PagedRestSource.T0Micros +
+        ((p + 1L) * pageSize - 1) * PagedRestSource.StepMicros
+      pageMax > cursorMicros
+    }.map(p => PagePartition(p, pageSize, cursorMicros): InputPartition).toArray
+    PagedRestSource.lastPlannedPages.set(planned.length)
+    planned
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new PagedPartitionReader(partition.asInstanceOf[PagePartition])
+    }
+}
+
+private case class PagePartition(page: Int, pageSize: Int, cursorMicros: Long)
+    extends InputPartition
+
+/** One "HTTP fetch" per partition; deterministic stub records. */
+private class PagedPartitionReader(p: PagePartition)
+    extends PartitionReader[InternalRow] {
+
+  // fetchPage: a real implementation would GET
+  // `/crm/v3/objects/...?after=<pageToken>` here (hubspotoop.py:58-64).
+  private val rows: Iterator[InternalRow] =
+    (0 until p.pageSize).iterator.flatMap { i =>
+      val id = p.page.toLong * p.pageSize + i
+      val ts = PagedRestSource.T0Micros + id * PagedRestSource.StepMicros
+      if (ts > p.cursorMicros)
+        Some(InternalRow(id, ts, UTF8String.fromString(s"""{"seq": $id}""")))
+      else None
+    }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
