@@ -1,0 +1,39 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session factory for every engine-owned entrypoint (Bench,
+  * Verify, Smoke, tests). Session-level configuration lives HERE, once,
+  * instead of being mutated from per-query code paths:
+  *
+  *  - `spark.sql.legacy.parquet.nanosAsLong`: the driver's `events` table
+  *    is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 otherwise rejects
+  *    (PARQUET_TYPE_ILLEGAL). Reading nanos as long and flooring to
+  *    micros in [[Tables.load]] matches Spark's own ns→µs truncation.
+  *  - UTC session timezone: the reference pins all timestamps to UTC and
+  *    shifts to GMT+7 only at the reporting edge (SURVEY.md §1.2).
+  *  - shuffle partitions sized to the core count — local[32] stands in
+  *    for a multi-executor cluster; at 100 TB this knob (or AQE coalesce)
+  *    is sized to executors × cores instead.
+  *
+  * Externally-owned sessions (the driver's smoke harness calls
+  * `SparkEntry.entry(spark)` with its own session) are documented there;
+  * [[Tables.load]] keeps a guarded fallback for the nanos conf so an
+  * external session can still read `events`.
+  */
+object GraftSession {
+
+  def builder(cores: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: Int): SparkSession = {
+    val s = builder(cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

