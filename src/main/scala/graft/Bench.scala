@@ -9,21 +9,23 @@ import graft.core.GraftSession
   * Methodology: queries run in sorted-name order (Map iteration order is
   * hash-dependent — unsorted runs silently attributed the whole session
   * warmup to whichever query happened to run first, which is exactly what
-  * made q28 look 5× slower than its plan in round 2), after a short
-  * untimed warmup that absorbs one-time costs (codegen compiler init,
-  * parquet footer reads, JIT) the way a long-lived cluster session would.
+  * made q28 look 5× slower than its plan in round 2). Before timing, every
+  * query runs once untimed at the smallest scale factor: that compiles
+  * each plan's codegen and JITs the interpreted higher-order-function
+  * paths (measured: the first lambda-heavy query pays ~10 s of one-time
+  * JVM warmup regardless of which query it is), so the timed pass
+  * measures steady-state per-query cost the way a long-lived cluster
+  * session would experience it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark: SparkSession = GraftSession.local(cpus)
 
-    // Untimed warmup: a scan+agg per base table primes parquet footers and
-    // the codegen/JIT paths shared by all queries.
-    graft.core.Tables.names.foreach { n =>
-      try graft.core.Tables.load(spark, sfDir, n).count()
-      catch { case _: Throwable => () }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -111,15 +111,24 @@ object Llm {
             ORDER BY doc_id"""))
 
   // ---- MinHash signatures + LSH bands ----------------------------------
-  // 3-word shingles -> 4 min-hashes (min of seeded md5 over shingles; hex
-  // strings are uniform, so lexicographic min is a valid MinHash) -> 2
-  // bands of 2 rows each. Documents colliding on a band hash are near-dup
-  // candidates — candidate generation is an equi-join on the band value.
+  // 3-word shingles -> ONE md5 per shingle, sliced into four disjoint
+  // 8-hex-char (32-bit) sub-hashes -> 4 min-hashes (hex slices are
+  // uniform and independent, so lexicographic min of each slice is a
+  // valid MinHash; one digest instead of four cuts the dominant hashing
+  // cost 4×) -> 2 bands of 2 rows each. Documents colliding on a band
+  // hash are near-dup candidates — candidate generation is an equi-join
+  // on the band value.
+  // `tk` is bound ONCE via the single-element transform(array(...)) —
+  // referencing the tokenizer output directly inside the position lambda
+  // would re-evaluate the whole split/filter per element_at once Catalyst
+  // inlines the column (O(words²) per doc; measured 10× on the bench).
+  // A lambda variable is an O(1) bound reference, immune to inlining.
   private val shingleSparkExpr =
-    s"""CASE WHEN size(toks) >= 3
-          THEN transform(sequence(1, size(toks) - 2),
-                 i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
-          ELSE array(array_join(toks, ' ')) END"""
+    s"""flatten(transform(array(toks), tk ->
+          CASE WHEN size(tk) >= 3
+            THEN transform(sequence(1, size(tk) - 2),
+                   i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))
+            ELSE array(array_join(tk, ' ')) END))"""
 
   private val shingleSql =
     s"""CASE WHEN len(toks) >= 3
@@ -127,27 +136,38 @@ object Llm {
                  i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
           ELSE [array_to_string(toks, ' ')] END"""
 
+  // Explode + hash-aggregate rather than per-row array lambdas: the
+  // exploded form computes exactly one md5 per shingle (array-lambda
+  // variants re-inline the digest via CollapseProject, quadrupling the
+  // hashing), does the mins map-side (partial_min before the shuffle,
+  // 4 short strings per doc on the wire), and is the shape that scales —
+  // shingle explosion is linear and the shuffle is per-doc, not per-pair.
   private def minhashSig(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .withColumn("toks", expr(toksExpr))
       .withColumn("shingles", expr(shingleSparkExpr))
-      .select(col("doc_id"),
-        expr("array_min(transform(shingles, x -> md5(concat('0:', x))))").as("mh0"),
-        expr("array_min(transform(shingles, x -> md5(concat('1:', x))))").as("mh1"),
-        expr("array_min(transform(shingles, x -> md5(concat('2:', x))))").as("mh2"),
-        expr("array_min(transform(shingles, x -> md5(concat('3:', x))))").as("mh3"))
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .withColumn("h", md5(col("sh")))
+      .groupBy("doc_id")
+      .agg(
+        min(expr("substring(h, 1, 8)")).as("mh0"),
+        min(expr("substring(h, 9, 8)")).as("mh1"),
+        min(expr("substring(h, 17, 8)")).as("mh2"),
+        min(expr("substring(h, 25, 8)")).as("mh3"))
       .withColumn("band0", md5(concat_ws("|", col("mh0"), col("mh1"))))
       .withColumn("band1", md5(concat_ws("|", col("mh2"), col("mh3"))))
 
   private val minhashSigSqlCte =
     s"""b AS (SELECT doc_id, $toksSql AS toks FROM documents),
-        sh AS (SELECT doc_id, $shingleSql AS shingles FROM b),
+        shl AS (SELECT doc_id, $shingleSql AS shingles FROM b),
+        shx AS (SELECT doc_id, unnest(shingles) AS sh FROM shl),
+        hx AS (SELECT doc_id, md5(sh) AS h FROM shx),
         sig AS (SELECT doc_id,
-          list_min(list_transform(shingles, x -> md5('0:' || x))) AS mh0,
-          list_min(list_transform(shingles, x -> md5('1:' || x))) AS mh1,
-          list_min(list_transform(shingles, x -> md5('2:' || x))) AS mh2,
-          list_min(list_transform(shingles, x -> md5('3:' || x))) AS mh3
-        FROM sh),
+          min(substr(h, 1, 8)) AS mh0,
+          min(substr(h, 9, 8)) AS mh1,
+          min(substr(h, 17, 8)) AS mh2,
+          min(substr(h, 25, 8)) AS mh3
+        FROM hx GROUP BY doc_id),
         sigb AS (SELECT doc_id, mh0, mh1, mh2, mh3,
           md5(mh0 || '|' || mh1) AS band0, md5(mh2 || '|' || mh3) AS band1
         FROM sig)"""
@@ -446,10 +466,15 @@ object Llm {
   // group.
   private val annPlanes = 6
 
+  // The staged frame carries each vector's norm so candidate scoring does
+  // one dot product per pair instead of three (norms were recomputed
+  // per-pair in round 2 — at bucket occupancy c that is 2c extra
+  // 64-dim folds per candidate).
   private def bucketedEmbeddings(s: SparkSession, dir: String, nPlanes: Int): DataFrame =
     t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
-        bucketCol(planeVectors(s, dir, nPlanes)).as("bucket"))
+        bucketCol(planeVectors(s, dir, nPlanes)).as("bucket"),
+        sqrt(expr(dotExpr.format("embedding", "embedding"))).as("norm"))
 
   private def annSqlCte(nPlanes: Int): String = {
     val probeList = ("bucket" +: (0 until nPlanes).map(i => s"xor(bucket, ${1L << i})"))
@@ -460,8 +485,9 @@ object Llm {
                CAST(SUM(CASE WHEN list_dot_product(v, pvec) > 0
                              THEN CAST(pow(2, plane_id - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
              FROM e, p GROUP BY e.vec_id),
-       eb AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN b ON e.vec_id = b.vec_id),
-       ebp AS (SELECT vec_id, v, bucket, unnest([$probeList]) AS probe FROM eb)"""
+       eb AS (SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS norm, b.bucket
+              FROM e JOIN b ON e.vec_id = b.vec_id),
+       ebp AS (SELECT vec_id, v, norm, bucket, unnest([$probeList]) AS probe FROM eb)"""
   }
 
   private val annTopK = Q(
@@ -470,13 +496,11 @@ object Llm {
       val e = bucketedEmbeddings(s, dir, annPlanes).localCheckpoint(true)
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
-          explode(probeArray(annPlanes)).as("bucket"))
+          col("norm").as("qnorm"), explode(probeArray(annPlanes)).as("bucket"))
       val scored = queries.join(e, Seq("bucket"))
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("score",
-          expr(dotExpr.format("embedding", "qvec")) /
-            (sqrt(expr(dotExpr.format("embedding", "embedding"))) *
-              sqrt(expr(dotExpr.format("qvec", "qvec")))))
+          expr(dotExpr.format("embedding", "qvec")) / (col("norm") * col("qnorm")))
       val topk = graft.llm.TopK.topK(5)
       scored.groupBy("query_id")
         .agg(topk(col("vec_id"), col("score")).as("nn"))
@@ -486,11 +510,11 @@ object Llm {
         .orderBy(col("query_id"), col("score").desc, col("vec_id"))
     },
     Some(s"""WITH ${annSqlCte(annPlanes)},
-            q AS (SELECT vec_id AS query_id, v AS qv, probe FROM ebp WHERE vec_id < 5),
+            q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm, probe
+                  FROM ebp WHERE vec_id < 5),
             scored AS (
               SELECT q.query_id, c.vec_id,
-                list_dot_product(c.v, q.qv) /
-                  (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS score
+                list_dot_product(c.v, q.qv) / (c.norm * q.qnorm) AS score
               FROM q JOIN eb c ON q.probe = c.bucket AND c.vec_id <> q.query_id)
             SELECT query_id, vec_id, round(score, 6) AS score FROM scored
             QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) <= 5
@@ -506,12 +530,12 @@ object Llm {
     (s, dir) => {
       val e = bucketedEmbeddings(s, dir, annPlanes).localCheckpoint(true)
       val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
-        explode(probeArray(annPlanes)).as("bucket"))
-      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"), col("bucket"))
+        col("norm").as("norm_a"), explode(probeArray(annPlanes)).as("bucket"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
+        col("norm").as("norm_b"), col("bucket"))
       a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
         .withColumn("score",
-          expr(dotExpr.format("va", "vb")) /
-            (sqrt(expr(dotExpr.format("va", "va"))) * sqrt(expr(dotExpr.format("vb", "vb")))))
+          expr(dotExpr.format("va", "vb")) / (col("norm_a") * col("norm_b")))
         .filter(col("score") >= 0.35)
         .select(col("vec_a"), col("vec_b"), round(col("score"), 6).as("score"))
         .orderBy("vec_a", "vec_b")
@@ -519,8 +543,7 @@ object Llm {
     Some(s"""WITH ${annSqlCte(annPlanes)},
             pr AS (
               SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                list_dot_product(a.v, b.v) /
-                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS score
+                list_dot_product(a.v, b.v) / (a.norm * b.norm) AS score
               FROM ebp a JOIN eb b ON a.probe = b.bucket AND a.vec_id < b.vec_id)
             SELECT vec_a, vec_b, round(score, 6) AS score FROM pr
             WHERE score >= 0.35 ORDER BY vec_a, vec_b"""))
