@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.cursor.CursorStore
-import graft.lineage.Lineage
+import graft.lineage.{Lineage, RunTelemetry}
 import graft.operators.{Dedup, Upsert}
 
 /** The reference's canonical snapshot-sync lifecycle (SURVEY.md §3.1,
@@ -28,6 +28,10 @@ object SnapshotSync {
     val tmp = Files.createTempDirectory("graft-sync").toString
     val runId = Lineage.newRunId()
     val batchTs = Timestamp.valueOf("2002-01-01 00:00:00")
+    // run telemetry, mirroring the reference's workflow_monitoring
+    // (functions.py:26-40): every materializing action below is captured
+    // with rows + elapsed and reported at end of run
+    val telemetry = RunTelemetry.attach(spark, runId)
 
     val cursorStore = new CursorStore(spark, s"$tmp/cursor")
     val orders = Tables.load(spark, dir, "orders")
@@ -71,6 +75,13 @@ object SnapshotSync {
     val finalSnapshot = Upsert(withFlag, archived, Seq("o_orderkey"), "o_orderdate")
 
     cursorStore.advance("orders", batchTs, runId, batchTs)
+
+    // end-of-run report (the reference posts this to chat; here it goes
+    // to the run log — delivery to an external channel is the
+    // reverse-ETL sink seam)
+    telemetry.awaitQuiesce()
+    telemetry.summaryLines.foreach(l => println(s"[run-report] $l"))
+    telemetry.detach()
     finalSnapshot
   }
 }

@@ -13,6 +13,27 @@ object Sinks {
   def append(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
 
+  /** K1 variant — schema-enforced append. The reference's append load
+    * takes a declared schema and marks every field REQUIRED
+    * (ref: config/bigquery/bigquery.py:279-283); this is the Spark
+    * equivalent plus SURVEY §1.2's cast-at-the-edge staging mode:
+    * every declared column is cast to its declared type, a null in a
+    * non-nullable field fails the write via a distributed `raise_error`
+    * (no extra validation pass over the data), and undeclared columns
+    * are dropped — the declared schema is the contract.
+    */
+  def appendWithSchema(df: DataFrame, schema: org.apache.spark.sql.types.StructType,
+                       path: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val projected = schema.fields.toIndexedSeq.map { f =>
+      val c = col(f.name).cast(f.dataType)
+      if (f.nullable) c.as(f.name)
+      else when(c.isNull, raise_error(lit(s"NULL in REQUIRED field '${f.name}'")))
+        .otherwise(c).as(f.name)
+    }
+    df.select(projected: _*).write.mode("append").parquet(path)
+  }
+
   /** K4 — parquet write with explicit compression
     * (ref: config/gcs/gcs.py:204-229). */
   def parquet(df: DataFrame, path: String, codec: String = "snappy"): Unit =

@@ -35,10 +35,11 @@ class PagedRestSource extends TableProvider {
     PagedRestSource.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new PagedTable(
-      properties.getOrDefault("pages", "10").toInt,
-      properties.getOrDefault("pagesize", "100").toInt)
+                        properties: util.Map[String, String]): Table = {
+    // user-facing reader options arrive with original casing here
+    val opts = new CaseInsensitiveStringMap(properties)
+    new PagedTable(opts.getInt("pages", 10), opts.getInt("pageSize", 100))
+  }
 }
 
 object PagedRestSource {

@@ -11,6 +11,12 @@ import graft.functions.Retry
 import graft.sinks.Sinks
 import graft.sources.Sources
 
+/** Cross-JVM-visible state for the retry test: local-mode executors share
+  * the JVM, so a static counter observes executor-side attempts. */
+object ReverseEtlFixture {
+  val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 class SourcesSinksSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
@@ -79,6 +85,81 @@ class SourcesSinksSpec extends SparkSpec {
     }
     Sinks.foreachRowSink((1 to 10).toDF("x"), writer)
     assert(acc.value === 55L)
+  }
+
+  test("K1 schema-enforced append: accept, cast-at-edge, drop undeclared") {
+    import spark.implicits._
+    val declared = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("amount", DoubleType, nullable = true)))
+    val p = tmp("schemaappend") + "/t"
+    // id arrives as string, amount as int, plus an undeclared column
+    val df = Seq(("1", 10, "junk"), ("2", 20, "junk"))
+      .toDF("id", "amount", "undeclared")
+    Sinks.appendWithSchema(df, declared, p)
+    val back = spark.read.parquet(p)
+    assert(back.schema.fieldNames.toSeq === Seq("id", "amount"))
+    assert(back.schema("id").dataType === LongType)
+    assert(back.schema("amount").dataType === DoubleType)
+    assert(back.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("K1 schema-enforced append: null in REQUIRED field fails the write") {
+    import spark.implicits._
+    val declared = StructType(Seq(StructField("id", LongType, nullable = false)))
+    val p = tmp("schemareject") + "/t"
+    val df = Seq(Some(1L), None).toDF("id")
+    val e = intercept[Exception] {
+      Sinks.appendWithSchema(df, declared, p)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("REQUIRED field 'id'")))
+  }
+
+  test("K6 typed reverse-ETL: create/update/delete batches route and count") {
+    import spark.implicits._
+    val created = spark.sparkContext.longAccumulator("created")
+    val updated = spark.sparkContext.longAccumulator("updated")
+    val deleted = spark.sparkContext.longAccumulator("deleted")
+    val batches = spark.sparkContext.longAccumulator("batches")
+    val writer = new graft.sinks.ReverseEtl.OpWriter {
+      def create(b: Seq[Row]): Unit = { created.add(b.size); batches.add(1) }
+      def update(b: Seq[Row]): Unit = { updated.add(b.size); batches.add(1) }
+      def delete(b: Seq[Row]): Unit = { deleted.add(b.size); batches.add(1) }
+    }
+    val df = (1 to 90).map { i =>
+      (i, if (i % 3 == 0) "create" else if (i % 3 == 1) "update" else "delete")
+    }.toDF("id", "op").repartition(2)
+    graft.sinks.ReverseEtl.sync(df, "op", writer, batchSize = 10,
+      baseDelayMs = 1, jitterMs = 1)
+    assert(created.value === 30L)
+    assert(updated.value === 30L)
+    assert(deleted.value === 30L)
+    // bounded batches: 90 rows, batchSize 10, 2 partitions -> >= 9 batches
+    assert(batches.value >= 9L)
+  }
+
+  test("K6 typed reverse-ETL: a failing batch is retried with backoff") {
+    import spark.implicits._
+    val delivered = spark.sparkContext.longAccumulator("delivered")
+    ReverseEtlFixture.attempts.set(0)
+    val writer = new graft.sinks.ReverseEtl.OpWriter {
+      def create(b: Seq[Row]): Unit = {
+        // first delivery attempt fails; the retry must redeliver the batch
+        if (ReverseEtlFixture.attempts.incrementAndGet() == 1)
+          throw new RuntimeException("transient remote failure")
+        delivered.add(b.size)
+      }
+      def update(b: Seq[Row]): Unit = ()
+      def delete(b: Seq[Row]): Unit = ()
+    }
+    val df = (1 to 5).map(i => (i, "create")).toDF("id", "op").coalesce(1)
+    graft.sinks.ReverseEtl.sync(df, "op", writer, batchSize = 100,
+      maxRetries = 3, baseDelayMs = 1, jitterMs = 1)
+    assert(delivered.value === 5L)
+    assert(ReverseEtlFixture.attempts.get() === 2)
   }
 
   test("I6: retry backs off then succeeds / exhausts") {

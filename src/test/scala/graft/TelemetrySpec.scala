@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.F
+import graft.lineage.RunTelemetry
+
+/** I5 run telemetry + F19 duration formatting. */
+class TelemetrySpec extends SparkSpec {
+
+  private def await(cond: => Boolean, ms: Long = 10000): Boolean = {
+    val deadline = System.currentTimeMillis() + ms
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    cond
+  }
+
+  test("I5: listener captures rows + elapsed for a write action") {
+    import spark.implicits._
+    val t = RunTelemetry.attach(spark, "run-1")
+    try {
+      val p = Files.createTempDirectory("telemetry").toString + "/t"
+      (1 to 42).toDF("x").write.parquet(p)
+      assert(await(t.reports.exists(r => r.rows == 42L && r.elapsedMs >= 0)),
+        s"expected a captured write of 42 rows, got: ${t.reports}")
+      val r = t.reports.find(_.rows == 42L).get
+      assert(r.runId === "run-1")
+    } finally t.detach()
+  }
+
+  test("I5: reportFrame carries pretty elapsed; summaryLines formatted") {
+    import spark.implicits._
+    val t = RunTelemetry.attach(spark, "run-2")
+    try {
+      (1 to 3).toDF("x").count()
+      assert(await(t.reports.nonEmpty))
+      val row = t.reportFrame.select("runId", "elapsed_pretty").collect().head
+      assert(row.getString(0) === "run-2")
+      assert(row.getString(1).matches("\\d+h \\d+m \\d+s"))
+      assert(t.summaryLines.head.startsWith("run=run-2 action="))
+    } finally t.detach()
+  }
+
+  test("F19: durationPretty formats h/m/s") {
+    import spark.implicits._
+    val out = Seq(3725L, 59L, 3600L).toDF("s")
+      .select(F.durationPretty(col("s")).as("p"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out === Seq("1h 2m 5s", "0h 0m 59s", "1h 0m 0s"))
+  }
+
+  test("flagship SnapshotSync emits a run report per materializing action") {
+    // run() prints [run-report] lines; assert the telemetry hook captured
+    // at least the snapshot-swap write with real rows
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      SparkEntry.entry(spark).count()
+    }
+    val lines = out.toString.linesIterator.filter(_.startsWith("[run-report]")).toSeq
+    assert(lines.nonEmpty, "expected [run-report] lines from the flagship run")
+    assert(lines.exists(_.matches(".*rows=\\d+.*elapsed=\\d+ms.*")))
+  }
+}
