@@ -376,11 +376,15 @@ object Llm {
   // Query vector broadcast (1 row); dot products fold left-to-right in
   // double on both engines, so scores are bit-identical. At cluster scale
   // this is one scan + TakeOrderedAndProject — no shuffle of the big side.
-  private val dotExpr = "aggregate(zip_with(%s, %s, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+  // The dot product is the native codegen'd graft.plans.VectorDot — one
+  // primitive loop per pair instead of interpreted zip_with/aggregate
+  // lambdas (same fold order, bit-identical result).
+  private val dotExpr = "vector_dot(%s, %s)"
 
   private val cosineTopK = Q(
     "q47_cosine_topk",
     (s, dir) => {
+      graft.plans.VectorDot.register(s)
       val emb = t(s, dir, "embeddings")
       val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
       emb.filter(col("vec_id") =!= 0)
@@ -422,13 +426,13 @@ object Llm {
 
   /** Sign-bit bucket of `embedding` against literal planes; plane i (row
     * vec_id = i+1) contributes bit 2^i, matching the oracle's
-    * pow(2, plane_id - 1) weighting. Dot products fold left-to-right in
-    * double, bit-identical to DuckDB's list_dot_product. */
+    * pow(2, plane_id - 1) weighting. Dot products go through the native
+    * vector_dot expression — fold left-to-right in double, bit-identical
+    * to DuckDB's list_dot_product. */
   private def bucketCol(planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val pl = array(p.map(lit): _*)
-      val dot = aggregate(zip_with(col("embedding"), pl, (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, v) => acc + v)
+      val dot = call_function("vector_dot", col("embedding"), pl)
       when(dot > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _).cast("long")
 
@@ -443,10 +447,12 @@ object Llm {
 
   private val embedBuckets = Q(
     "q48_embed_buckets",
-    (s, dir) =>
+    (s, dir) => {
+      graft.plans.VectorDot.register(s)
       t(s, dir, "embeddings")
         .select(col("vec_id"), bucketCol(planeVectors(s, dir, 8)).as("bucket"))
-        .orderBy("vec_id"),
+        .orderBy("vec_id")
+    },
     Some("""WITH p AS (SELECT vec_id AS plane_id,
                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pvec
                        FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
@@ -470,11 +476,13 @@ object Llm {
   // one dot product per pair instead of three (norms were recomputed
   // per-pair in round 2 — at bucket occupancy c that is 2c extra
   // 64-dim folds per candidate).
-  private def bucketedEmbeddings(s: SparkSession, dir: String, nPlanes: Int): DataFrame =
+  private def bucketedEmbeddings(s: SparkSession, dir: String, nPlanes: Int): DataFrame = {
+    graft.plans.VectorDot.register(s)
     t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         bucketCol(planeVectors(s, dir, nPlanes)).as("bucket"),
         sqrt(expr(dotExpr.format("embedding", "embedding"))).as("norm"))
+  }
 
   private def annSqlCte(nPlanes: Int): String = {
     val probeList = ("bucket" +: (0 until nPlanes).map(i => s"xor(bucket, ${1L << i})"))
