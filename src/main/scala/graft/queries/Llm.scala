@@ -556,6 +556,70 @@ object Llm {
             SELECT vec_a, vec_b, round(score, 6) AS score FROM pr
             WHERE score >= 0.35 ORDER BY vec_a, vec_b"""))
 
+  // ---- IVF-style ANN: centroid cells + nprobe=2 ------------------------
+  // The inverted-file layout: every vector assigns to its nearest
+  // centroid (sampled centroids here — production would refine them with
+  // Lloyd iterations, the assignment/probe machinery is identical), a
+  // query probes its 2 nearest cells, and scoring touches only those
+  // cells' vectors. Complements the random-projection path (q53): IVF
+  // cells adapt to the data distribution where hyperplane buckets are
+  // oblivious to it. Assignment is a broadcast of the tiny centroid set
+  // against one scan; the probe join is a cell equi-join; selection is
+  // the bounded-heap TopK — the same k-rows-per-group shuffle bound.
+  private val ivfTopK = Q(
+    "q57_ivf_topk",
+    (s, dir) => {
+      graft.plans.VectorDot.register(s)
+      val emb = t(s, dir, "embeddings")
+        .withColumn("norm", sqrt(expr(dotExpr.format("embedding", "embedding"))))
+      val cents = emb.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+          col("norm").as("cnorm"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cent_id"))
+      val ranked = emb.crossJoin(broadcast(cents))
+        .withColumn("sim",
+          expr(dotExpr.format("embedding", "cvec")) / (col("norm") * col("cnorm")))
+        .select(col("vec_id"), col("embedding"), col("norm"), col("cent_id"),
+          row_number().over(w).as("rk"))
+        .localCheckpoint(true)
+      val cells = ranked.filter(col("rk") === 1)
+        .select(col("vec_id"), col("embedding"), col("norm"), col("cent_id").as("cell"))
+      val probes = ranked.filter(col("rk") <= 2 && col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+          col("norm").as("qnorm"), col("cent_id").as("cell"))
+      val scored = probes.join(cells, Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("score",
+          expr(dotExpr.format("embedding", "qvec")) / (col("norm") * col("qnorm")))
+      val topk = graft.llm.TopK.topK(5)
+      scored.groupBy("query_id")
+        .agg(topk(col("vec_id"), col("score")).as("nn"))
+        .select(col("query_id"), explode(col("nn")).as("n"))
+        .select(col("query_id"), col("n.id").as("vec_id"),
+          round(col("n.score"), 6).as("score"))
+        .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+    },
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+            c AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
+                  FROM en WHERE vec_id BETWEEN 1 AND 8),
+            r AS (SELECT en.vec_id, en.v, en.norm, c.cent_id,
+                    row_number() OVER (PARTITION BY en.vec_id
+                      ORDER BY list_dot_product(en.v, c.cv) / (en.norm * c.cnorm) DESC,
+                               c.cent_id) AS rk
+                  FROM en, c),
+            cells AS (SELECT vec_id, v, norm, cent_id AS cell FROM r WHERE rk = 1),
+            q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm, cent_id AS cell
+                  FROM r WHERE rk <= 2 AND vec_id < 5),
+            scored AS (
+              SELECT q.query_id, cand.vec_id,
+                list_dot_product(cand.v, q.qv) / (cand.norm * q.qnorm) AS score
+              FROM q JOIN cells cand ON q.cell = cand.cell AND cand.vec_id <> q.query_id)
+            SELECT query_id, vec_id, round(score, 6) AS score FROM scored
+            QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) <= 5
+            ORDER BY query_id, score DESC, vec_id"""))
+
   // ---- native-Expression rolling-hash fingerprint ----------------------
   // Exercises graft.plans.RollingFingerprint — the codegen'd Catalyst
   // Expression — end to end through SQL function resolution.
@@ -601,5 +665,5 @@ object Llm {
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
     minhashSignatures, minhashPairs, jaccardPairs, simhash, simhashPairs,
     simhashWidePairs, cosineTopK, embedBuckets, annTopK, embedNearDup,
-    rollingFp, multimodalMeta)
+    ivfTopK, rollingFp, multimodalMeta)
 }
