@@ -320,6 +320,11 @@ object Llm {
     * it that way). At production scale the signature widens (more bits →
     * wider segments → finer buckets) with the same code path — see
     * q56_simhash_wide_pairs for the 56-bit/7-bit-segment parameterization.
+    * (Measured alternative: banding on segment PAIRS (≥2 intact segments
+    * by the same pigeonhole) cuts FALSE candidates ~4× but multiplies the
+    * per-TRUE-pair band collisions 8→28; on corpora with dense near-dup
+    * clusters — like this testdata — the distinct stage dominates and
+    * pair banding is a net loss, so single-segment stays.)
     */
   private def simhashBandPairs(sim: DataFrame, numSegs: Int, segBits: Int,
                                maxHamming: Int): DataFrame = {
