@@ -29,6 +29,13 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // native expressions (rolling_fingerprint, vector_dot) available in
+      // every session without per-query registration
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // managed tables (bucketed writes) go to a per-JVM scratch dir, not
+      // ./spark-warehouse in the repo
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int): SparkSession = {

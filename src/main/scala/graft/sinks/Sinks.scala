@@ -57,6 +57,22 @@ object Sinks {
     fs.delete(old, true)
   }
 
+  /** Bucketed table write (SURVEY §4 / build brief: "bucketing for
+    * co-located joins"). Two tables bucketed (and sorted) on the same
+    * join key with the same bucket count join WITHOUT a shuffle — at
+    * 100 TB, pre-bucketing the fact tables on their pk turns every
+    * snapshot/MERGE/edge join into a local zip per bucket instead of a
+    * full exchange of both sides. Bucketing metadata lives in the
+    * catalog, hence `saveAsTable` rather than a path write.
+    */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.drop(1): _*)
+      .sortBy(keys.head, keys.drop(1): _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** K5 — sample dump (ref: mautic_hubspot_email_read_activities.py:198
     * `head(5).to_csv`). */
   def csvSample(df: DataFrame, path: String, n: Int = 5): Unit =

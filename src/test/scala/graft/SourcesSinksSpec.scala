@@ -162,6 +162,28 @@ class SourcesSinksSpec extends SparkSpec {
     assert(ReverseEtlFixture.attempts.get() === 2)
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    val li = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    val ord = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    Sinks.writeBucketed(li, "li_bucketed", Seq("l_orderkey"), buckets = 8)
+    Sinks.writeBucketed(ord, "ord_bucketed", Seq("l_orderkey"), buckets = 8)
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("ord_bucketed"), Seq("l_orderkey"))
+    // disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not exchange either side:\n$plan")
+      assert(joined.count() ===
+        li.join(ord, Seq("l_orderkey")).count())
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("I6: retry backs off then succeeds / exhausts") {
     var calls = 0
     val out = Retry.withBackoff(maxRetries = 3, baseDelayMs = 1, jitterMs = 1) {

@@ -43,6 +43,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamedRows.subsetOf(batchRows))
   }
 
+  test("flatMapGroupsWithState sessionization matches session_window semantics") {
+    // per-user file partitioning keeps each key's events inside one
+    // micro-batch, so streamed sessions are directly comparable to the
+    // batch session_window aggregate
+    val dir = Files.createTempDirectory("sess-in").toString
+    Tables.load(spark, sf, "events")
+      .repartition(4, col("user_id")).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+
+    val q = graft.streaming.Sessionize
+      .sessions(stream, gapMs = 5 * 60 * 1000, watermarkDelay = "1 minute")
+      .writeStream
+      .format("memory").queryName("sessions").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt-sess").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("sessions")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2))).toSet
+    val batch = Tables.load(spark, sf, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("session_window.start").as("session_start"), col("cnt"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2))).toSet
+    assert(streamed.nonEmpty, "watermark/gap should have closed sessions")
+    val missing = streamed -- batch
+    assert(missing.isEmpty, s"streamed sessions must match batch session_window; extra: ${missing.take(5)}")
+  }
+
   test("foreachBatch upsert maintains the snapshot idempotently (I2)") {
     val in = stageEventFiles()
     val schema = spark.read.parquet(in).schema
