@@ -705,6 +705,42 @@ object Relational {
                 (x, i) -> list_position(string_split(campaigns, ','), x) = i), ',') AS campaigns_dedup
             FROM g ORDER BY user_id, event_id"""))
 
+  // ---- as-of join: events enriched with the latest order as of ts ------
+  // The temporal-join operator Spark lacks natively (AsOf operator doc);
+  // oracle = DuckDB's native ASOF LEFT JOIN — an independent
+  // implementation of the same semantics, not a mirrored construction.
+  private val asofEnrich = Q(
+    "q58_asof_enrich",
+    (s, dir) => {
+      // right side must be unique per (key, ts): deterministic arg-max
+      val wDedup = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey").desc)
+      val ord = t(s, dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+        .withColumn("__rn", row_number().over(wDedup))
+        .filter(col("__rn") === 1).drop("__rn")
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.AsOf.join(ev, ord,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate",
+        payload = Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"),
+          date_trunc("millisecond", col("ts")).as("ts_ms"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy("event_id")
+    },
+    Some("""WITH o AS (
+              SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM orders
+              QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                         ORDER BY o_orderkey DESC) = 1),
+            e AS (SELECT event_id, user_id, ts FROM events)
+            SELECT e.event_id, e.user_id,
+              date_trunc('millisecond', e.ts) AS ts_ms,
+              o.o_orderkey, o.o_totalprice
+            FROM e ASOF LEFT JOIN o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+            ORDER BY e.event_id"""))
+
   val queries: Seq[Q] = Seq(
     cursorScan, pointLookup, topN, groupAgg, joinEnrich, semiJoin, antiJoin,
     unionScan, changeLog, dedupFirst, stringAgg, md5Edges, edgesAnti,
@@ -712,5 +748,5 @@ object Relational {
     nullSentinel, jsonExtract, toJsonRaw, multiformatTs, tzShift, seqExplode,
     regexExtract, arrayOps, eventWindow, slidingWindow, sessionWindow,
     scd2, sqlSource, rangeOrIn,
-    intersectOp, exceptOp, rollupAgg, mapFlatten, reverseEtl)
+    intersectOp, exceptOp, rollupAgg, mapFlatten, reverseEtl, asofEnrich)
 }
