@@ -649,6 +649,56 @@ object Llm {
               END AS BIGINT) AS fp
             FROM t ORDER BY doc_id"""))
 
+  // ---- composite quality score (length/punct/stopword, brief §text) ----
+  // The filter stage of a training-data pipeline: per-doc quality in
+  // [0, 1] from punctuation density, stopword ratio, and mean word
+  // length. Pure single-pass column arithmetic — at 100 TB this is a
+  // map-only stage that fuses into the scan.
+  private val qualityScore = Q(
+    "q60_quality_score",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("tok_cnt", size(col("toks")).cast("double"))
+        .withColumn("punct_ratio",
+          length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("double") /
+            greatest(length(col("text")).cast("double"), lit(1.0)))
+        .withColumn("stop_ratio",
+          when(col("tok_cnt") > 0,
+            expr("CAST(size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)")
+              / col("tok_cnt")).otherwise(lit(0.0)))
+        .withColumn("mean_word_len",
+          when(col("tok_cnt") > 0,
+            length(array_join(col("toks"), "")).cast("double") / col("tok_cnt"))
+            .otherwise(lit(0.0)))
+        .select(col("doc_id"),
+          round(col("punct_ratio"), 6).as("punct_ratio"),
+          round(col("stop_ratio"), 6).as("stop_ratio"),
+          round(col("mean_word_len"), 6).as("mean_word_len"),
+          round(lit(0.4) * (lit(1.0) - col("punct_ratio")) +
+            lit(0.3) * least(col("stop_ratio") * 4, lit(1.0)) +
+            lit(0.3) * least(col("mean_word_len") / 8, lit(1.0)), 6).as("quality"))
+        .orderBy("doc_id"),
+    Some(s"""WITH b AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+            m AS (SELECT doc_id,
+              CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) /
+                greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+              CASE WHEN len(toks) > 0
+                THEN CAST(len(list_filter(toks, x -> list_contains(['the', 'a', 'of', 'and', 'to'], x))) AS DOUBLE)
+                  / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stop_ratio,
+              CASE WHEN len(toks) > 0
+                THEN CAST(length(array_to_string(toks, '')) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                ELSE 0.0 END AS mean_word_len
+            FROM b)
+            SELECT doc_id,
+              round(punct_ratio, 6) AS punct_ratio,
+              round(stop_ratio, 6) AS stop_ratio,
+              round(mean_word_len, 6) AS mean_word_len,
+              round(0.4 * (1.0 - punct_ratio) +
+                    0.3 * least(stop_ratio * 4, 1.0) +
+                    0.3 * least(mean_word_len / 8, 1.0), 6) AS quality
+            FROM m ORDER BY doc_id"""))
+
   // ---- multimodal: opaque binary payload + typed metadata --------------
   // Image/audio decode itself is stubbed (no media libs in-container;
   // see graft.llm.Multimodal for the mapPartitions plumbing) — the
@@ -670,5 +720,5 @@ object Llm {
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
     minhashSignatures, minhashPairs, jaccardPairs, simhash, simhashPairs,
     simhashWidePairs, cosineTopK, embedBuckets, annTopK, embedNearDup,
-    ivfTopK, rollingFp, multimodalMeta)
+    ivfTopK, rollingFp, multimodalMeta, qualityScore)
 }

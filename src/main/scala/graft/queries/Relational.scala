@@ -741,6 +741,27 @@ object Relational {
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
             ORDER BY e.event_id"""))
 
+  // ---- exact percentiles + distinct counts (DQ / profiling) ------------
+  // Exact `percentile` is the oracle-checkable baseline; the approximate
+  // scale path (approx_count_distinct HLL, percentile_approx KLL) is
+  // covered by ApproxSpec with error-bound assertions — sketches are not
+  // bit-comparable across engines, so they verify by tolerance, not hash.
+  private val percentiles = Q(
+    "q59_percentiles",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.95)"), 6).as("p95"),
+          countDistinct(col("l_partkey")).as("distinct_parts"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+              round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+              round(quantile_cont(l_quantity, 0.95), 6) AS p95,
+              CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val queries: Seq[Q] = Seq(
     cursorScan, pointLookup, topN, groupAgg, joinEnrich, semiJoin, antiJoin,
     unionScan, changeLog, dedupFirst, stringAgg, md5Edges, edgesAnti,
@@ -748,5 +769,6 @@ object Relational {
     nullSentinel, jsonExtract, toJsonRaw, multiformatTs, tzShift, seqExplode,
     regexExtract, arrayOps, eventWindow, slidingWindow, sessionWindow,
     scd2, sqlSource, rangeOrIn,
-    intersectOp, exceptOp, rollupAgg, mapFlatten, reverseEtl, asofEnrich)
+    intersectOp, exceptOp, rollupAgg, mapFlatten, reverseEtl, asofEnrich,
+    percentiles)
 }
