@@ -42,6 +42,20 @@ object StreamingSync {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** Streaming exact dedup (the reference's dedup-before-write posture,
+    * ref: config/bigquery/bigquery.py:227-229, applied to a stream):
+    * duplicates of a key arriving within the watermark delay are
+    * dropped, and dedup state for keys older than the watermark is
+    * evicted — state stays bounded by arrival rate × delay, never by
+    * stream history. That eviction bound is what makes exact dedup
+    * feasible on an unbounded 100 TB stream.
+    */
+  def dedupStream(events: DataFrame, pk: Seq[String], watermarkDelay: String): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(pk)
+
   /** Incremental snapshot maintenance: every micro-batch MERGE-upserts
     * into the parquet snapshot via the idempotent upsert + atomic swap —
     * the streaming replay of §3.1's batch lifecycle. */

@@ -76,6 +76,29 @@ class StreamingSpec extends SparkSpec {
     assert(missing.isEmpty, s"streamed sessions must match batch session_window; extra: ${missing.take(5)}")
   }
 
+  test("dropDuplicatesWithinWatermark dedups a stream with bounded state") {
+    // stage the events twice: every event_id arrives as a duplicate
+    val dir = Files.createTempDirectory("dedup-in").toString
+    val ev = Tables.load(spark, sf, "events")
+    ev.unionByName(ev).repartition(4).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(dir)
+
+    val q = graft.streaming.StreamingSync
+      .dedupStream(stream, Seq("event_id"), watermarkDelay = "10 days")
+      .writeStream
+      .format("memory").queryName("dedup_stream").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt-dd").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val total = ev.count()
+    assert(spark.table("dedup_stream").count() === total,
+      "each duplicated event_id must survive exactly once")
+  }
+
   test("foreachBatch upsert maintains the snapshot idempotently (I2)") {
     val in = stageEventFiles()
     val schema = spark.read.parquet(in).schema
