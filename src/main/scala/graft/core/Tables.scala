@@ -24,8 +24,10 @@ object Tables {
       // microseconds — the same truncation Spark applies to ns elsewhere.
       // The conf is set once at session build by GraftSession (all
       // engine-owned sessions); this guarded set is only a fallback for
-      // externally-owned sessions and never overrides an explicit value.
-      if (!spark.conf.getOption(NanosConf).contains("true"))
+      // externally-owned sessions and never overrides an explicit value
+      // (an explicit "false" means the caller wants Spark's hard failure
+      // on nanos parquet — respect it and let the read fail loudly).
+      if (spark.conf.getOption(NanosConf).isEmpty)
         spark.conf.set(NanosConf, "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts",

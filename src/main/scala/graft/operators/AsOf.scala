@@ -37,14 +37,19 @@ object AsOf {
     val r2 = right
       .select((payload.map(col) :+ col(rightKey).as("__k") :+ col(rightTs).as("__ts")): _*)
       .withColumn("__tag", lit(0))
-    // null-fill each side's missing columns, then carry the latest
-    // non-null payload forward in event-time order
+    // null-fill each side's missing columns, then carry the latest right
+    // ROW forward as one struct: right rows contribute a non-null struct
+    // even when individual payload fields are null, so a null field in
+    // the matching row is preserved instead of falling through to an
+    // older row's value (per-column fill would stitch together a row
+    // that never existed)
     val u = l2.unionByName(r2, allowMissingColumns = true)
     val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(u) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__tag") === 1).drop("__k", "__ts", "__tag")
+    val filled = u.withColumn("__p",
+      last(when(col("__tag") === 0, struct(payload.map(col): _*)), ignoreNulls = true).over(w))
+    val leftCols = left.columns.toIndexedSeq.map(col)
+    filled.filter(col("__tag") === 1)
+      .select(leftCols ++ payload.map(p => col("__p").getField(p).as(p)): _*)
   }
 }

@@ -29,7 +29,14 @@ object DQ {
   /** Violation count per rule (0 = pass; for MinRows, the shortfall). */
   private def violations(r: Rule): Column = r match {
     case NotNull(c) => count(when(col(c).isNull, 1))
-    case Unique(cs) => count(lit(1)) - countDistinct(cs.head, cs.drop(1): _*)
+    case Unique(cs) =>
+      // distinct over a STRUCT of the keys, not the bare columns:
+      // countDistinct(cols…) silently drops any row with a null key,
+      // which would count every null-keyed row as a duplicate. A struct
+      // with null fields is itself non-null, and struct equality treats
+      // null fields as equal — the same GROUP BY pk HAVING count(*) > 1
+      // semantics as the reference's pre-MERGE dup check.
+      count(lit(1)) - countDistinct(struct(cs.map(col): _*))
     case MinRows(n) => greatest(lit(n) - count(lit(1)), lit(0L))
   }
 

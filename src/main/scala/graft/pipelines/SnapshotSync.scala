@@ -30,8 +30,11 @@ object SnapshotSync {
     val batchTs = Timestamp.valueOf("2002-01-01 00:00:00")
     // run telemetry, mirroring the reference's workflow_monitoring
     // (functions.py:26-40): every materializing action below is captured
-    // with rows + elapsed and reported at end of run
+    // with rows + elapsed and reported at end of run; detached in the
+    // finally so a failed run can't leak the listener onto the
+    // long-lived session
     val telemetry = RunTelemetry.attach(spark, runId)
+    try {
 
     val cursorStore = new CursorStore(spark, s"$tmp/cursor")
     val orders = Tables.load(spark, dir, "orders")
@@ -81,7 +84,7 @@ object SnapshotSync {
     // reverse-ETL sink seam)
     telemetry.awaitQuiesce()
     telemetry.summaryLines.foreach(l => println(s"[run-report] $l"))
-    telemetry.detach()
     finalSnapshot
+    } finally telemetry.detach()
   }
 }

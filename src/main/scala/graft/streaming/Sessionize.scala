@@ -4,13 +4,15 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
-/** One event of a keyed session stream. */
-case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
-
-/** Open-session state held per user between micro-batches. */
+/** Open-session bounds held per user between micro-batches. */
 case class OpenSession(startMs: Long, lastMs: Long, count: Long)
 
-/** A session closed either by a gap in the stream or by event-time timeout. */
+/** Per-key session state: every session not yet finalized by the
+  * watermark, sorted by start. Bounded: sessions span at most the
+  * watermark delay + gap of event time, regardless of stream history. */
+case class SessionState(sessions: Seq[OpenSession])
+
+/** A session finalized by the event-time watermark or a key timeout. */
 case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp, cnt: Long)
 
 /** Custom stateful sessionization via `flatMapGroupsWithState`
@@ -18,25 +20,35 @@ case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp, cnt: 
   * .mapGroupsWithState/flatMapGroupsWithState for custom state").
   *
   * `session_window` (q38) covers gap sessions declaratively; this is the
-  * escape hatch for session logic the built-in can't express (per-session
-  * derived fields, conditional resets, custom merge rules), shown here
-  * with the same inactivity-gap semantics so results are comparable to
-  * the built-in:
+  * escape hatch for session logic the built-in can't express, with the
+  * same inactivity-gap semantics so results are comparable:
   *
-  *  - state per user = the open session (start, last-seen, count) —
-  *    bounded: one small record per active key, independent of history;
-  *  - a batch's events sort in-function and extend/rotate the session;
-  *    sessions closed by a gap emit immediately (Append mode);
-  *  - the trailing open session closes when the event-time watermark
-  *    passes its gap horizon, or via `EventTimeTimeout` if the key goes
-  *    quiet — state is removed either way, so the store cannot grow
-  *    unboundedly (the 100 TB requirement for stateful streaming).
+  *  - state per key = ALL sessions still inside the watermark horizon,
+  *    not just the newest — so an out-of-order event arriving in a later
+  *    micro-batch (but within the watermark) merges into, extends
+  *    backwards, bridges, or starts exactly the session it belongs to,
+  *    matching what batch `session_window` computes over the same rows;
+  *  - a session is emitted (Append mode) only once the watermark passes
+  *    its gap horizon — it can never be extended again — or when the key
+  *    times out via `EventTimeTimeout`;
+  *  - emitted sessions leave state, so the store stays bounded by
+  *    arrival rate × (watermark delay + gap), never by history (the
+  *    100 TB requirement for stateful streaming).
   */
 object Sessionize {
 
-  /** Gap-sessionize `events` (needs `user_id`, event-time `ts`).
-    * Merge rule matches `session_window`: an event extends the session
-    * iff it arrives strictly within `gapMs` of the last event. */
+  /** Coalesce session fragments: sort by start, merge any two whose gap
+    * is strictly less than `gapMs` (the `session_window` rule). Events
+    * enter as 1-count fragments; existing state sessions merge with any
+    * fragment that lands inside or bridges them. */
+  private[graft] def mergeSessions(units: Seq[OpenSession], gapMs: Long): Seq[OpenSession] =
+    units.sortBy(s => (s.startMs, s.lastMs)).foldLeft(List.empty[OpenSession]) {
+      case (head :: tail, s) if s.startMs - head.lastMs < gapMs =>
+        OpenSession(head.startMs, math.max(head.lastMs, s.lastMs), head.count + s.count) :: tail
+      case (acc, s) => s :: acc
+    }.reverse
+
+  /** Gap-sessionize `events` (needs `user_id`, event-time `ts`). */
   def sessions(events: DataFrame, gapMs: Long, watermarkDelay: String): Dataset[ClosedSession] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -45,49 +57,33 @@ object Sessionize {
       .withColumn("ts", col("ts").cast("timestamp"))
       .select(col("user_id").cast("long").as("user_id"), col("ts"))
       .withWatermark("ts", watermarkDelay)
-      .as[SessionEvent]
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, ClosedSession](
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (uid, it, state) =>
           def close(s: OpenSession): ClosedSession =
             ClosedSession(uid, new java.sql.Timestamp(s.startMs), s.count)
-          if (state.hasTimedOut) {
-            // key went quiet past the gap horizon: flush the open session
-            val out = state.getOption.map(close).iterator
-            state.remove()
-            out
-          } else {
-            val evs = it.toSeq.sortBy(_.ts.getTime)
-            val closed = scala.collection.mutable.ListBuffer[ClosedSession]()
-            var cur = state.getOption
-            evs.foreach { e =>
-              val t = e.ts.getTime
-              cur = cur match {
-                case Some(s) if t - s.lastMs < gapMs =>
-                  Some(OpenSession(s.startMs, math.max(s.lastMs, t), s.count + 1))
-                case Some(s) =>
-                  closed += close(s)
-                  Some(OpenSession(t, t, 1))
-                case None => Some(OpenSession(t, t, 1))
-              }
-            }
-            val wm = state.getCurrentWatermarkMs()
-            cur match {
-              case Some(s) if wm > 0 && s.lastMs + gapMs < wm =>
-                // can never be extended again — close it now
-                closed += close(s)
-                if (state.exists) state.remove()
-              case Some(s) =>
-                state.update(s)
-                // fire once the watermark passes the gap horizon; the
-                // timestamp must stay ahead of the current watermark
-                state.setTimeoutTimestamp(math.max(s.lastMs + gapMs, wm + 1))
-              case None =>
-                if (state.exists) state.remove()
-            }
-            closed.iterator
+          val held = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+          val units = held ++ it.map { case (_, ts) =>
+            val t = ts.getTime; OpenSession(t, t, 1)
           }
+          val merged = mergeSessions(units, gapMs)
+          val wm = state.getCurrentWatermarkMs()
+          // finalized = the watermark has passed the session's gap
+          // horizon (or the key timed out), so no event that Spark will
+          // still accept can extend it
+          val (done, open) =
+            if (state.hasTimedOut && units.size == held.size) (merged, Seq.empty[OpenSession])
+            else if (wm > 0) merged.partition(_.lastMs + gapMs < wm)
+            else (Seq.empty[OpenSession], merged)
+          if (open.nonEmpty) {
+            state.update(SessionState(open))
+            state.setTimeoutTimestamp(math.max(open.map(_.lastMs + gapMs).min, wm + 1))
+          } else if (state.exists) {
+            state.remove()
+          }
+          done.sortBy(_.startMs).map(close).iterator
       }
   }
 }

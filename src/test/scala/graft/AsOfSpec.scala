@@ -29,6 +29,21 @@ class AsOfSpec extends SparkSpec {
     assert(out("e3") === "v_tie") // equal timestamps match (>=)
   }
 
+  test("a null payload field in the matching right row stays null") {
+    // the latest right row has o_val = null; an older row has a value —
+    // the match must return the latest ROW's null, never stitch columns
+    // from different right rows
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "e")).toDF("k", "t", "ev")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), Some("old_val"), "old_tag"),
+      (1L, ts("2024-01-01 11:00:00"), None: Option[String], "new_tag")
+    ).toDF("rk", "rt", "v", "tag")
+    val out = AsOf.join(left, right, "k", "rk", "t", "rt", Seq("v", "tag")).collect().head
+    assert(out.getAs[String]("tag") === "new_tag")
+    assert(out.getAs[String]("v") === null,
+      "null field of the matching row must not fall through to an older row")
+  }
+
   test("left rows with no prior right row carry null payload") {
     val left = Seq((5L, ts("2024-01-01 08:00:00"), "early")).toDF("k", "t", "ev")
     val right = Seq((5L, ts("2024-01-01 09:00:00"), "later")).toDF("rk", "rt", "v")

@@ -32,6 +32,18 @@ class DQSpec extends SparkSpec {
     assert(e.getMessage.contains("unique(o_custkey)"))
   }
 
+  test("Unique treats null keys as values, not as violations") {
+    import spark.implicits._
+    // [1, null] has no duplicates — a null key is one distinct group
+    val noDup = Seq(Some(1L), None).toDF("k")
+    assert(DQ.check(noDup, Seq(DQ.Unique(Seq("k")))).head.passed)
+    // [null, null] IS a duplicate group (GROUP BY treats nulls equal,
+    // matching the reference's pre-MERGE dup check)
+    val nullDup = Seq(None: Option[Long], None).toDF("k")
+    val r = DQ.check(nullDup, Seq(DQ.Unique(Seq("k")))).head
+    assert(!r.passed && r.observed === 1L)
+  }
+
   test("MinRows reports the shortfall on an empty frame") {
     import spark.implicits._
     val empty = Seq.empty[Int].toDF("x")
