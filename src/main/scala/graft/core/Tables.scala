@@ -23,11 +23,14 @@ object Tables {
       // outright (PARQUET_TYPE_ILLEGAL). Read nanos as long, then floor to
       // microseconds — the same truncation Spark applies to ns elsewhere.
       // The conf is set once at session build by GraftSession (all
-      // engine-owned sessions); this guarded set is only a fallback for
-      // externally-owned sessions and never overrides an explicit value
-      // (an explicit "false" means the caller wants Spark's hard failure
-      // on nanos parquet — respect it and let the read fail loudly).
-      if (spark.conf.getOption(NanosConf).isEmpty)
+      // engine-owned sessions); this guarded set is the fallback for
+      // externally-owned sessions. It deliberately flips a false to
+      // true: `events` is UNREADABLE without the conf (hard
+      // PARQUET_TYPE_ILLEGAL), so any session that reaches this loader
+      // has opted into the nanos handling — and "was it explicitly set?"
+      // is unknowable here anyway (getOption surfaces the registered
+      // default, not absence).
+      if (!spark.conf.getOption(NanosConf).contains("true"))
         spark.conf.set(NanosConf, "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts",

@@ -19,6 +19,7 @@ object DQ {
   final case class NotNull(col: String) extends Rule { def name = s"not_null($col)" }
   /** Key columns must be unique across the frame. */
   final case class Unique(cols: Seq[String]) extends Rule {
+    require(cols.nonEmpty, "Unique needs at least one key column")
     def name = s"unique(${cols.mkString(",")})"
   }
   /** Frame must have at least `n` rows. */

@@ -71,11 +71,14 @@ object Sessionize {
           val merged = mergeSessions(units, gapMs)
           val wm = state.getCurrentWatermarkMs()
           // finalized = the watermark has passed the session's gap
-          // horizon (or the key timed out), so no event that Spark will
-          // still accept can extend it
+          // horizon, so no event Spark will still accept can extend it.
+          // The same rule applies on timeout invocations: the timeout is
+          // armed at the EARLIEST horizon, so when it fires only the due
+          // sessions emit — later ones stay open and the timeout re-arms
+          // below (flushing everything on timeout would emit a session
+          // the watermark hasn't sealed yet and undercount it).
           val (done, open) =
-            if (state.hasTimedOut && units.size == held.size) (merged, Seq.empty[OpenSession])
-            else if (wm > 0) merged.partition(_.lastMs + gapMs < wm)
+            if (wm > 0) merged.partition(_.lastMs + gapMs < wm)
             else (Seq.empty[OpenSession], merged)
           if (open.nonEmpty) {
             state.update(SessionState(open))

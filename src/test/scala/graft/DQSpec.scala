@@ -44,6 +44,10 @@ class DQSpec extends SparkSpec {
     assert(!r.passed && r.observed === 1L)
   }
 
+  test("Unique with no key columns fails fast at construction") {
+    intercept[IllegalArgumentException] { DQ.Unique(Seq.empty) }
+  }
+
   test("MinRows reports the shortfall on an empty frame") {
     import spark.implicits._
     val empty = Seq.empty[Int].toDF("x")
