@@ -57,6 +57,21 @@ object Sinks {
     fs.delete(old, true)
   }
 
+  /** Dynamic partition overwrite — the incremental variant of the
+    * reference's year-partitioned rewrite (ref: config/gcs/gcs.py:143-187
+    * rewrites `{object}/{taxcode}/{year}` files per run): only the
+    * partitions PRESENT in `df` are replaced; all other partitions are
+    * untouched. At 100 TB this is the difference between rewriting one
+    * day's partition and rewriting the table; combined with the upsert
+    * it gives partition-granular idempotent reloads.
+    */
+  def overwritePartitions(df: DataFrame, path: String, partCols: Seq[String]): Unit =
+    df.write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*)
+      .mode("overwrite")
+      .parquet(path)
+
   /** Bucketed table write (SURVEY §4 / build brief: "bucketing for
     * co-located joins"). Two tables bucketed (and sorted) on the same
     * join key with the same bucket count join WITHOUT a shuffle — at

@@ -162,6 +162,20 @@ class SourcesSinksSpec extends SparkSpec {
     assert(ReverseEtlFixture.attempts.get() === 2)
   }
 
+  test("dynamic partition overwrite replaces only the partitions in the batch") {
+    import spark.implicits._
+    val p = tmp("dynpart") + "/t"
+    Sinks.overwritePartitions(
+      Seq((1, 1997, "a"), (2, 1998, "b")).toDF("id", "year", "v"), p, Seq("year"))
+    // incremental batch touches only 1998
+    Sinks.overwritePartitions(
+      Seq((3, 1998, "b2")).toDF("id", "year", "v"), p, Seq("year"))
+    val out = spark.read.parquet(p).collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[Int]("year"), r.getAs[String]("v"))).toSet
+    assert(out === Set((1, 1997, "a"), (3, 1998, "b2")),
+      "1997 must survive; 1998 must be fully replaced by the new batch")
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     val li = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
     val ord = Tables.load(spark, sf, "orders")
