@@ -16,6 +16,13 @@ import graft.core.GraftSession
   * JVM warmup regardless of which query it is), so the timed pass
   * measures steady-state per-query cost the way a long-lived cluster
   * session would experience it.
+  *
+  * Each query is then timed over three passes and the MEDIAN is recorded:
+  * a single timed pass puts any co-tenant load spike into some query's
+  * official number (round 3 recorded 69 s on a contended box for a run
+  * that measures 30 s idle — e.g. q33 7.88 s recorded vs 0.51 s real).
+  * The median of three absorbs a one-pass spike while staying honest
+  * about persistent slowness.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -32,9 +39,15 @@ object Bench {
     }
 
     val results = sorted.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failing pass records -1.0, not its time-to-fail: sorted, a single
+      // flake doesn't poison the median, while a consistently broken query
+      // surfaces as a negative number in the JSON instead of a fake win
+      val times = Seq.fill(3) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      }.sorted
+      name -> times(1)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

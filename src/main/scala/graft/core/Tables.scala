@@ -43,7 +43,24 @@ object Tables {
     * remote-SQL (Redash) source, S10 (ref: config/redash/Redash.py:46-78):
     * SQL text evaluated against warehouse tables becomes `spark.sql` over
     * registered views, planned and optimized by Catalyst.
+    *
+    * Memoized per (session, dir): registration reads ten parquet footers
+    * driver-side, and the remote-SQL queries call this per invocation — at
+    * cluster scale a session runs thousands of statements, so the catalog
+    * must be populated once, not per query. A session re-pointed at a
+    * different dir re-registers (views are replaced); sessions are tracked
+    * weakly so a stopped session doesn't pin its entry.
     */
+  private val registeredDir =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    // record the dir only AFTER every view registered: a failure halfway
+    // (corrupt file, transient FS error) must not poison the memo and turn
+    // every later call into a silent no-op over missing views
+    if (registeredDir.get(spark) != dir) {
+      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      registeredDir.put(spark, dir)
+    }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
 import graft.functions.F
-import graft.operators.{Dedup, Upsert}
+import graft.operators.{Dedup, Skew, Upsert}
 import Q.t
 
 /** The relational operator inventory (SURVEY.md §2), each entry an
@@ -762,6 +762,35 @@ object Relational {
               CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  // ---- skew-salted join surfaced as an oracle-checked query ------------
+  // events.user_id is the hot-key column (a handful of users dominate the
+  // stream); Skew.saltedJoin scatters each key across 8 reducers — probe
+  // side salted deterministically by event_id, build side replicated 8× —
+  // so one hot user lands on 8 reducers instead of one straggler. The
+  // result is IDENTICAL to the plain equi-join, which is exactly what the
+  // DuckDB oracle states. (Locally AQE may still broadcast the small
+  // replicated build side; at scale, with a build side past the broadcast
+  // threshold, the salted keys are what spread the sort-merge join.)
+  private val saltedJoinAgg = Q(
+    "q61_salted_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      Skew.saltedJoin(ev, cust, Seq("user_id"), 8, col("event_id"))
+        .groupBy("c_mktsegment")
+        .agg(
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"),
+          count(lit(1)).as("cnt"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c.c_mktsegment,
+              CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+              CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"""))
+
   val queries: Seq[Q] = Seq(
     cursorScan, pointLookup, topN, groupAgg, joinEnrich, semiJoin, antiJoin,
     unionScan, changeLog, dedupFirst, stringAgg, md5Edges, edgesAnti,
@@ -770,5 +799,5 @@ object Relational {
     regexExtract, arrayOps, eventWindow, slidingWindow, sessionWindow,
     scd2, sqlSource, rangeOrIn,
     intersectOp, exceptOp, rollupAgg, mapFlatten, reverseEtl, asofEnrich,
-    percentiles)
+    percentiles, saltedJoinAgg)
 }

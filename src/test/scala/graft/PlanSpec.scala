@@ -66,6 +66,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("LSH pair generation is exactly-once — no dedup shuffle (q46/q49/q51/q56)") {
+    // Pairs are emitted only from their lowest agreeing band/segment, so
+    // the plans must contain no distinct aggregation (a HashAggregate
+    // with an empty function list is how `.distinct()` plans); the dedup
+    // shuffle it would add dominated the pair queries on dense near-dup
+    // corpora (round-3 verdict). The legitimate aggregations (minhash
+    // mins, simhash bit sums, the q49 Jaccard arithmetic) all carry
+    // non-empty function lists.
+    Seq("q46_minhash_pairs", "q49_jaccard_pairs", "q51_simhash_pairs",
+      "q56_simhash_wide_pairs").foreach { name =>
+      val p = planOf(q(name))
+      assert(!p.contains("functions=[]"),
+        s"$name pair generation must not need a distinct:\n$p")
+    }
+  }
+
   test("q51 candidate join keys include the simhash segment, not lang alone") {
     // The round-2 scale-killer was a.join(b, Seq("lang")) — quadratic per
     // language. The banded join must key on the segment value; a revert to
@@ -85,6 +101,13 @@ class PlanSpec extends SparkSpec {
     val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
       .findAllIn(p).size
     assert(joins == 1, s"q53 should have exactly the probe join, found $joins:\n$p")
+  }
+
+  test("q61 salted join keys include the salt sub-key") {
+    // the scatter only works if __salt participates in the join; a revert
+    // to a plain key join drops the column from the plan entirely
+    val p = planOf(q("q61_salted_join"))
+    assert(p.contains("__salt"), s"q61 must join on (user_id, __salt):\n$p")
   }
 
   test("q14 upsert keeps unioned branches partitioned, no driver collect") {

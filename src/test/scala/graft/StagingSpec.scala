@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.LogicalRDD
+import graft.core.Staging
+
+/** graft.core.Staging — the two staging modes must produce identical
+  * results, and the reliable mode must cut the plan at a re-readable
+  * parquet source (the executor-loss recovery path).
+  */
+class StagingSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def withStagingMode[A](mode: String)(body: => A): A = {
+    val prev = spark.conf.getOption("spark.graft.staging")
+    spark.conf.set("spark.graft.staging", mode)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.staging", v)
+      case None => spark.conf.unset("spark.graft.staging")
+    }
+  }
+
+  test("local mode stages via localCheckpoint (LogicalRDD plan cut)") {
+    val staged = withStagingMode("local") {
+      Staging.stage(spark.range(100).toDF("id"))
+    }
+    assert(staged.queryExecution.analyzed.isInstanceOf[LogicalRDD],
+      "local staging must truncate lineage into checkpointed blocks")
+    assert(staged.count() == 100)
+  }
+
+  test("reliable mode stages through a parquet round-trip") {
+    val dir = Files.createTempDirectory("graft-staging-spec").toString
+    spark.conf.set("spark.graft.staging.dir", dir)
+    val staged = withStagingMode("reliable") {
+      Staging.stage(spark.range(100).toDF("id"))
+    }
+    try {
+      // the staged frame is a fresh file source — any executor can re-read
+      // it after a loss, unlike executor-local checkpoint blocks
+      val p = staged.queryExecution.executedPlan.toString
+      assert(p.contains("FileScan parquet") && p.contains("graft-staging-spec"),
+        s"reliable staging must read back from the staging dir:\n$p")
+      assert(staged.count() == 100)
+    } finally spark.conf.unset("spark.graft.staging.dir")
+  }
+
+  test("LSH pair queries are identical through both staging paths") {
+    val dir = Files.createTempDirectory("graft-staging-spec2").toString
+    spark.conf.set("spark.graft.staging.dir", dir)
+    try {
+      Seq("q46_minhash_pairs", "q51_simhash_pairs", "q53_ann_topk").foreach { name =>
+        val local = withStagingMode("local") {
+          SparkEntry.queries(name)(spark, sf).collect().toSeq
+        }
+        val reliable = withStagingMode("reliable") {
+          SparkEntry.queries(name)(spark, sf).collect().toSeq
+        }
+        assert(local == reliable, s"$name diverged between staging modes")
+        assert(local.nonEmpty, s"$name returned no rows")
+      }
+    } finally spark.conf.unset("spark.graft.staging.dir")
+  }
+}

@@ -73,4 +73,79 @@ class UpsertSpec extends SparkSpec {
     val out = Upsert(t, src, Seq("id"), "updated_at").collect()
     assert(out.length === 1 && out(0).getBoolean(2) === true)
   }
+
+  // ---- partition-scoped incremental MERGE ------------------------------
+
+  /** md5 per data file under the partition dirs of `root`, keyed by path
+    * relative to root. Root-level bookkeeping files (_SUCCESS) excluded —
+    * the assertion is about partition DATA bytes. */
+  private def partFileHashes(root: String): Map[String, String] = {
+    val base = new java.io.File(root)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(base)
+      .filter(f => f.getName.startsWith("part-"))
+      .map { f =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(java.nio.file.Files.readAllBytes(f.toPath))
+        base.toPath.relativize(f.toPath).toString -> digest.map("%02x".format(_)).mkString
+      }.toMap
+  }
+
+  test("partitioned upsert rewrites only touched partitions, byte-identical elsewhere") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-partup").toString
+    val snap = s"$tmp/snap"
+    val partOf = org.apache.spark.sql.functions.year($"updated_at")
+
+    // bootstrap: 3 rows across years 2022/2023/2024
+    val seed = Seq(
+      ("a", ts("2022-06-01 00:00:00"), 1.0),
+      ("b", ts("2023-06-01 00:00:00"), 2.0),
+      ("c", ts("2024-06-01 00:00:00"), 3.0)
+    ).toDF("id", "updated_at", "v")
+    Upsert.partitioned(snap, seed, Seq("id"), "updated_at", "y", partOf)
+    val before = partFileHashes(snap)
+    assert(Seq("y=2022", "y=2023", "y=2024").forall(p => before.keys.exists(_.startsWith(p))),
+      s"bootstrap must write all three year partitions, got ${before.keys}")
+
+    // incremental batch touches 2024 only: update c, insert d
+    val batch = Seq(
+      ("c", ts("2024-07-01 00:00:00"), 30.0),
+      ("d", ts("2024-08-01 00:00:00"), 4.0)
+    ).toDF("id", "updated_at", "v")
+    val out = Upsert.partitioned(snap, batch, Seq("id"), "updated_at", "y", partOf)
+
+    // merged content matches the full-table MERGE semantics
+    val got = out.select("id", "updated_at", "v").collect()
+      .map(r => r.getString(0) -> (r.getTimestamp(1), r.getDouble(2))).toMap
+    assert(got === Map(
+      "a" -> (ts("2022-06-01 00:00:00"), 1.0),
+      "b" -> (ts("2023-06-01 00:00:00"), 2.0),
+      "c" -> (ts("2024-07-01 00:00:00"), 30.0),
+      "d" -> (ts("2024-08-01 00:00:00"), 4.0)))
+
+    // untouched partitions' files are byte-identical; 2024 was rewritten
+    val after = partFileHashes(snap)
+    val untouchedBefore = before.filter { case (p, _) => !p.startsWith("y=2024") }
+    val untouchedAfter = after.filter { case (p, _) => !p.startsWith("y=2024") }
+    assert(untouchedBefore === untouchedAfter,
+      "untouched year partitions must not be rewritten")
+    assert(before.keys.filter(_.startsWith("y=2024")).toSet !=
+      after.keys.filter(_.startsWith("y=2024")).toSet,
+      "the touched partition must have new files")
+  }
+
+  test("partitioned upsert is idempotent per batch") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-partup2").toString
+    val snap = s"$tmp/snap"
+    val partOf = org.apache.spark.sql.functions.year($"updated_at")
+    val seed = Seq(("a", ts("2024-01-01 00:00:00"), 1.0)).toDF("id", "updated_at", "v")
+    Upsert.partitioned(snap, seed, Seq("id"), "updated_at", "y", partOf)
+    val batch = Seq(("a", ts("2024-02-01 00:00:00"), 10.0)).toDF("id", "updated_at", "v")
+    val once = Upsert.partitioned(snap, batch, Seq("id"), "updated_at", "y", partOf)
+      .collect().toSet
+    val twice = Upsert.partitioned(snap, batch, Seq("id"), "updated_at", "y", partOf)
+      .collect().toSet
+    assert(once === twice)
+  }
 }
