@@ -58,22 +58,29 @@ object StreamingSync {
 
   /** Incremental snapshot maintenance: every micro-batch MERGE-upserts
     * into the parquet snapshot via the idempotent upsert + atomic swap —
-    * the streaming replay of §3.1's batch lifecycle. */
+    * the streaming replay of §3.1's batch lifecycle. The per-batch body
+    * is DRIVER-side work (snapshot read + swap) outside Spark's
+    * task-retry umbrella, so it is retried with backoff; that is safe
+    * because the MERGE is idempotent and the swap is write-then-rename
+    * (a retried half-failure re-merges and re-swaps, it never doubles
+    * rows). */
   def syncToSnapshot(events: DataFrame, snapshotPath: String, checkpoint: String,
                      pk: Seq[String], cursor: String): StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val exists = {
-          val p = new org.apache.hadoop.fs.Path(snapshotPath)
-          p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+        graft.functions.Retry.withBackoff(maxRetries = 3, baseDelayMs = 200) {
+          val spark = batch.sparkSession
+          val exists = {
+            val p = new org.apache.hadoop.fs.Path(snapshotPath)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+          }
+          val merged =
+            if (exists) Upsert(spark.read.parquet(snapshotPath), batch, pk, cursor)
+            else graft.operators.Dedup.latestWins(batch, pk, cursor)
+          Sinks.snapshotSwap(merged, snapshotPath)
         }
-        val merged =
-          if (exists) Upsert(spark.read.parquet(snapshotPath), batch, pk, cursor)
-          else graft.operators.Dedup.latestWins(batch, pk, cursor)
-        Sinks.snapshotSwap(merged, snapshotPath)
       }
       .start()
 }
