@@ -39,6 +39,11 @@ object Sinks {
   def parquet(df: DataFrame, path: String, codec: String = "snappy"): Unit =
     df.write.mode("overwrite").option("compression", codec).parquet(path)
 
+  /** ORC write — columnar interchange with Hive-side consumers; same
+    * compression option surface as the parquet sink. */
+  def orc(df: DataFrame, path: String, codec: String = "zlib"): Unit =
+    df.write.mode("overwrite").option("compression", codec).orc(path)
+
   /** Atomic snapshot swap for the upsert sink: write `<path>__tmp`, then
     * rename over the live dir. The staging-table + MERGE + TRUNCATE dance
     * (bigquery.py:206-271) becomes write-then-rename; readers see either

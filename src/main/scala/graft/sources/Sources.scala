@@ -38,4 +38,11 @@ object Sources {
   /** S15: CSV with header, explicit schema. */
   def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** ORC read — the second columnar format (interchange with Hive-side
+    * producers). Same pushdown/pruning machinery as parquet: predicates
+    * and column pruning reach the ORC reader, partition discovery is
+    * identical. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

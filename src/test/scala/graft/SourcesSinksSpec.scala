@@ -47,6 +47,21 @@ class SourcesSinksSpec extends SparkSpec {
     assert(Sources.csv(spark, cdir, schema).collect().map(_.getString(1)).sorted.toSeq === Seq("a", "b"))
   }
 
+  test("ORC round-trips with predicate pushdown into the reader") {
+    val dir = tmp("orc") + "/orders"
+    Sinks.orc(Tables.load(spark, sf, "orders"), dir)
+    val scanned = Sources.orc(spark, dir).filter(col("o_orderkey") === 1)
+      .select("o_orderkey", "o_totalprice")
+    assert(scanned.count() >= 1)
+    val physical = scanned.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: ") &&
+      physical.contains("EqualTo(o_orderkey,1)"),
+      s"ORC scan must push the key predicate:\n$physical")
+    // full-fidelity round trip
+    assert(Sources.orc(spark, dir).count() ===
+      Tables.load(spark, sf, "orders").count())
+  }
+
   test("K1/K4: append accumulates; parquet honors compression codec") {
     import spark.implicits._
     val p = tmp("append") + "/t"
