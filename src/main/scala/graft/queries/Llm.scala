@@ -743,6 +743,68 @@ object Llm {
                     0.3 * least(mean_word_len / 8, 1.0), 6) AS quality
             FROM m ORDER BY doc_id"""))
 
+  // ---- PII scrubbing (map-only redaction pass) -------------------------
+  // The redaction stage of a training-data pipeline: emails and long
+  // digit runs are replaced with typed placeholder tokens. Regexes are
+  // kept to the syntax subset Java regex and RE2 interpret identically.
+  // Output carries the redaction counts and a fingerprint of the scrubbed
+  // text (not the text itself — the compare stays small and the md5
+  // proves byte-identical scrubbing). Map-only: fuses into the scan at
+  // any scale.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val numRe = "[0-9]{6,}"
+
+  private val piiScrub = Q(
+    "q62_pii_scrub",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr(s"CAST(size(regexp_extract_all(text, '$emailRe', 0)) AS BIGINT)")
+            .as("n_emails"),
+          expr(s"CAST(size(regexp_extract_all(text, '$numRe', 0)) AS BIGINT)")
+            .as("n_long_nums"),
+          md5(regexp_replace(
+            regexp_replace(col("text"), emailRe, "<EMAIL>"),
+            numRe, "<NUM>")).as("clean_fp"))
+        .orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(text, '$numRe')) AS BIGINT) AS n_long_nums,
+              md5(regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+                  '$numRe', '<NUM>', 'g')) AS clean_fp
+            FROM documents ORDER BY doc_id"""))
+
+  // ---- composed corpus-cleaning chain ----------------------------------
+  // The canonical training-data filter pipeline as ONE declarative plan:
+  // exact dedup (first-doc-wins on content hash) -> length band ->
+  // stopword-based language gate. Each stage is an operator proven
+  // elsewhere (q44, q40, q42); composing them shows the stages fuse —
+  // the dedup window is the only shuffle, the filters ride the same scan.
+  private val corpusFilter = Q(
+    "q63_corpus_filter",
+    (s, dir) => {
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("stop_cnt",
+          expr("size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to')))"))
+        .filter(col("n_chars").between(150, 450) &&
+          col("stop_cnt") * 16 > size(col("toks")))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH d AS (
+              SELECT doc_id, lang, n_chars, text FROM documents
+              QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+            b AS (SELECT doc_id, lang, n_chars, $toksSql AS toks FROM d)
+            SELECT doc_id, lang, n_chars FROM b
+            WHERE n_chars BETWEEN 150 AND 450
+              AND len(list_filter(toks, x -> list_contains(['the', 'a', 'of', 'and', 'to'], x))) * 16
+                  > len(toks)
+            ORDER BY doc_id"""))
+
   // ---- multimodal: opaque binary payload + typed metadata --------------
   // Image/audio decode itself is stubbed (no media libs in-container;
   // see graft.llm.Multimodal for the mapPartitions plumbing) — the
@@ -764,5 +826,5 @@ object Llm {
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
     minhashSignatures, minhashPairs, jaccardPairs, simhash, simhashPairs,
     simhashWidePairs, cosineTopK, embedBuckets, annTopK, embedNearDup,
-    ivfTopK, rollingFp, multimodalMeta, qualityScore)
+    ivfTopK, rollingFp, multimodalMeta, qualityScore, piiScrub, corpusFilter)
 }
