@@ -87,4 +87,21 @@ object F {
       (seconds.cast("long") / 3600).cast("long"), lit("h "),
       ((seconds.cast("long") % 3600) / 60).cast("long"), lit("m "),
       (seconds.cast("long") % 60), lit("s"))
+
+  // ---- PII scrubbing (q62; the redaction stage of a corpus pipeline) ----
+  // Regexes stay within the syntax subset Java regex and RE2 interpret
+  // identically. Column-API only — an `expr()` SQL string literal would
+  // UNESCAPE `\\.` to `.` and silently change the pattern (the SQL parser
+  // processes backslashes before the regex engine sees them).
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val longNumRe = "[0-9]{6,}"
+
+  /** Replace emails then long digit runs with typed placeholder tokens. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, lit(emailRe), lit("<EMAIL>")),
+      lit(longNumRe), lit("<NUM>"))
+
+  /** Count of non-overlapping matches of `re` in `text`. */
+  def matchCount(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
 }

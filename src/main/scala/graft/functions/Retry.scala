@@ -16,7 +16,11 @@ object Retry {
     while (attempt <= maxRetries) {
       try return f
       catch {
-        case e: Throwable =>
+        // fatal errors (OOM, ThreadDeath) and interrupts rethrow
+        // immediately — retrying them wastes the backoff budget and, for
+        // an interrupt, fights whoever is trying to stop us
+        case e: InterruptedException => throw e
+        case scala.util.control.NonFatal(e) =>
           lastErr = e
           attempt += 1
           if (attempt <= maxRetries)

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Staging
+import graft.functions.F
 import Q.t
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
@@ -745,33 +746,28 @@ object Llm {
 
   // ---- PII scrubbing (map-only redaction pass) -------------------------
   // The redaction stage of a training-data pipeline: emails and long
-  // digit runs are replaced with typed placeholder tokens. Regexes are
-  // kept to the syntax subset Java regex and RE2 interpret identically.
-  // Output carries the redaction counts and a fingerprint of the scrubbed
-  // text (not the text itself — the compare stays small and the md5
-  // proves byte-identical scrubbing). Map-only: fuses into the scan at
-  // any scale.
-  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val numRe = "[0-9]{6,}"
-
+  // digit runs are replaced with typed placeholder tokens (graft.
+  // functions.F.redactPii — Column API only; `expr()` string literals
+  // would unescape the regex). Output carries the redaction counts and a
+  // fingerprint of the scrubbed text (not the text itself — the compare
+  // stays small and the md5 proves byte-identical scrubbing). Map-only:
+  // fuses into the scan at any scale. This fixture contains no PII-shaped
+  // strings (the oracle pins the no-op path); the redaction semantics
+  // themselves are pinned on synthetic text in FunctionsSpec.
   private val piiScrub = Q(
     "q62_pii_scrub",
     (s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
-          expr(s"CAST(size(regexp_extract_all(text, '$emailRe', 0)) AS BIGINT)")
-            .as("n_emails"),
-          expr(s"CAST(size(regexp_extract_all(text, '$numRe', 0)) AS BIGINT)")
-            .as("n_long_nums"),
-          md5(regexp_replace(
-            regexp_replace(col("text"), emailRe, "<EMAIL>"),
-            numRe, "<NUM>")).as("clean_fp"))
+          F.matchCount(col("text"), F.emailRe).as("n_emails"),
+          F.matchCount(col("text"), F.longNumRe).as("n_long_nums"),
+          md5(F.redactPii(col("text"))).as("clean_fp"))
         .orderBy("doc_id"),
     Some(s"""SELECT doc_id,
-              CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
-              CAST(len(regexp_extract_all(text, '$numRe')) AS BIGINT) AS n_long_nums,
-              md5(regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
-                  '$numRe', '<NUM>', 'g')) AS clean_fp
+              CAST(len(regexp_extract_all(text, '${F.emailRe}')) AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(text, '${F.longNumRe}')) AS BIGINT) AS n_long_nums,
+              md5(regexp_replace(regexp_replace(text, '${F.emailRe}', '<EMAIL>', 'g'),
+                  '${F.longNumRe}', '<NUM>', 'g')) AS clean_fp
             FROM documents ORDER BY doc_id"""))
 
   // ---- composed corpus-cleaning chain ----------------------------------

@@ -58,29 +58,31 @@ object StreamingSync {
 
   /** Incremental snapshot maintenance: every micro-batch MERGE-upserts
     * into the parquet snapshot via the idempotent upsert + atomic swap —
-    * the streaming replay of §3.1's batch lifecycle. The per-batch body
-    * is DRIVER-side work (snapshot read + swap) outside Spark's
-    * task-retry umbrella, so it is retried with backoff; that is safe
-    * because the MERGE is idempotent and the swap is write-then-rename
-    * (a retried half-failure re-merges and re-swaps, it never doubles
-    * rows). */
+    * the streaming replay of §3.1's batch lifecycle.
+    *
+    * The per-batch body is deliberately NOT wrapped in a blind driver
+    * retry: the body's exists-check + swap sequence is not safely
+    * re-enterable mid-swap (a retry that lands between snapshotSwap's
+    * two renames would see `live` missing, take the first-batch branch,
+    * and discard the accumulated snapshot). A failed batch instead
+    * propagates and Structured Streaming's checkpoint replays it on
+    * restart — the MERGE's idempotence is what makes THAT replay safe —
+    * while the swap's `__old` directory stays on disk for recovery. */
   def syncToSnapshot(events: DataFrame, snapshotPath: String, checkpoint: String,
                      pk: Seq[String], cursor: String): StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.functions.Retry.withBackoff(maxRetries = 3, baseDelayMs = 200) {
-          val spark = batch.sparkSession
-          val exists = {
-            val p = new org.apache.hadoop.fs.Path(snapshotPath)
-            p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-          }
-          val merged =
-            if (exists) Upsert(spark.read.parquet(snapshotPath), batch, pk, cursor)
-            else graft.operators.Dedup.latestWins(batch, pk, cursor)
-          Sinks.snapshotSwap(merged, snapshotPath)
+        val spark = batch.sparkSession
+        val exists = {
+          val p = new org.apache.hadoop.fs.Path(snapshotPath)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
         }
+        val merged =
+          if (exists) Upsert(spark.read.parquet(snapshotPath), batch, pk, cursor)
+          else graft.operators.Dedup.latestWins(batch, pk, cursor)
+        Sinks.snapshotSwap(merged, snapshotPath)
       }
       .start()
 }

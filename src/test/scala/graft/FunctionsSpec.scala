@@ -58,4 +58,27 @@ class FunctionsSpec extends SparkSpec {
       .select(F.surrogateKey($"f", $"t", $"p")).as[String].head()
     assert(out === org.apache.commons.codec.digest.DigestUtils.md5Hex("1|contains|2"))
   }
+
+  test("redactPii replaces emails and long digit runs; matchCount agrees (q62)") {
+    // the documents fixture contains no PII-shaped strings, so the
+    // redaction semantics are pinned here on synthetic text — including
+    // the non-email '@' case and the 5-digit (too short) run
+    val rows = Seq(
+      ("mail a@b.com and c@d.org please", 2L, 0L, "mail <EMAIL> and <EMAIL> please"),
+      ("x@y_zz is not an email", 0L, 0L, "x@y_zz is not an email"),
+      ("card 1234567890 pin 12345", 0L, 1L, "card <NUM> pin 12345"),
+      ("a@b.co 999999", 1L, 1L, "<EMAIL> <NUM>"),
+      ("clean text", 0L, 0L, "clean text"))
+    val out = rows.map(_._1).toDF("text")
+      .select(
+        F.matchCount($"text", F.emailRe).as("e"),
+        F.matchCount($"text", F.longNumRe).as("n"),
+        F.redactPii($"text").as("clean"))
+      .collect()
+    rows.zip(out).foreach { case ((txt, e, n, clean), r) =>
+      assert(r.getLong(0) === e, s"email count for '$txt'")
+      assert(r.getLong(1) === n, s"num count for '$txt'")
+      assert(r.getString(2) === clean, s"redaction for '$txt'")
+    }
+  }
 }
