@@ -93,18 +93,19 @@ object Upsert {
     * (bounded by the number of touched partitions — partition metadata,
     * same category as a cursor read, never row data). The SOURCE is staged
     * once (graft.core.Staging) so the touched-partition read and the merge
-    * don't each re-execute the upstream extract, and staging the merged
-    * slice breaks the read-then-overwrite cycle on the snapshot path.
+    * don't each re-execute the upstream extract.
     *
-    * Crash-consistency caveat (disclosed, not solved here): the dynamic
-    * partition overwrite deletes and repopulates the touched partition
-    * directories through Spark's file commit protocol — a driver crash in
-    * the commit window can leave a touched partition partial, unlike
-    * `Sinks.snapshotSwap`'s whole-table rename. That is the standard
-    * trade of partition-granular MERGE on non-transactional storage; at
-    * production scale the overwrite would sit on a transactional table
-    * format (or be wrapped in a per-partition swap), and the failed run's
-    * un-advanced cursor makes the batch replayable either way.
+    * Crash consistency: the merged slice is written to a private staging
+    * directory beside the snapshot (which also keeps the write plan's
+    * input set disjoint from the snapshot path it reads), then published
+    * partition-by-partition through `Sinks.swapPartitions` — per-dir
+    * atomic renames, so every touched partition is always either its
+    * complete old or complete new version, never a partial mix. A crash
+    * mid-publish is repaired by `Sinks.recoverPartitionSwaps` on the next
+    * call, and the un-advanced cursor replays the batch; the MERGE's
+    * idempotence makes the replay a no-op on partitions that already
+    * swapped. (The reference gets the same guarantee from BigQuery's
+    * transactional MERGE, config/bigquery/bigquery.py:259-262.)
     *
     * @return the post-merge snapshot re-read from `snapshotPath`
     */
@@ -124,12 +125,19 @@ object Upsert {
       Sinks.overwritePartitions(dedupLatest(src, pk, cursor), snapshotPath,
         Seq(partCol))
     } else {
+      Sinks.recoverPartitionSwaps(spark, snapshotPath)
+      // staged dirs orphaned by a crashed publish are superseded by this
+      // replay — reclaim them before writing a fresh one
+      fs.globStatus(new Path(s"${snapshotPath}__stage-*"))
+        .foreach(st => fs.delete(st.getPath, true))
       val touched = src.select(partCol).distinct().collect()
         .map(_.get(0)).toIndexedSeq
       val target = spark.read.parquet(snapshotPath)
         .filter(col(partCol).isin(touched: _*))
-      val merged = Staging.stage(apply(target, src, pk, cursor))
-      Sinks.overwritePartitions(merged, snapshotPath, Seq(partCol))
+      val stagedPath = s"${snapshotPath}__stage-${java.util.UUID.randomUUID()}"
+      apply(target, src, pk, cursor)
+        .write.partitionBy(partCol).mode("error").parquet(stagedPath)
+      Sinks.swapPartitions(spark, stagedPath, snapshotPath)
     }
     spark.read.parquet(snapshotPath)
   }

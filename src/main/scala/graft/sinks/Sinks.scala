@@ -62,6 +62,75 @@ object Sinks {
     fs.delete(old, true)
   }
 
+  /** Hidden-dir prefix for a partition's superseded version during a swap.
+    * Dot-prefixed names are invisible to Spark's file listing, so readers
+    * never see a retired partition as data. */
+  private val OldPartPrefix = ".graft-old-"
+
+  /** Crash-consistent publish of staged partition directories into a live
+    * partitioned snapshot — the commit protocol of the partition-scoped
+    * MERGE (ref: the atomic warehouse MERGE at
+    * config/bigquery/bigquery.py:259-262, which BigQuery commits
+    * transactionally; plain parquet gets the same guarantee from per-dir
+    * renames).
+    *
+    * For each `col=value` directory under `stagedPath`, in sorted order:
+    * retire the live partition dir to a hidden `.graft-old-` name
+    * (atomic rename), promote the staged dir into its place (atomic
+    * rename), then drop the retired copy. Each partition is therefore
+    * always either its complete old version or its complete new version —
+    * a crash can never leave a partition with a mix of old and new files,
+    * which is the failure mode of dynamic partition overwrite's
+    * delete-then-commit window. A crash between the two renames leaves
+    * that one partition retired-but-not-promoted; `recoverPartitionSwaps`
+    * restores it from the hidden dir on the next run, and the staged data
+    * (never deleted on failure) plus the un-advanced cursor make the batch
+    * replayable.
+    *
+    * `beforeEach` is a test seam: invoked with the partition dir name
+    * before its swap starts (used by the crash-simulation specs).
+    */
+  def swapPartitions(spark: SparkSession, stagedPath: String, livePath: String,
+                     beforeEach: String => Unit = _ => ()): Unit = {
+    val live = new Path(livePath)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(live)
+    val parts = fs.listStatus(new Path(stagedPath))
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .map(_.getPath).sortBy(_.getName)
+    parts.foreach { staged =>
+      val name = staged.getName
+      beforeEach(name)
+      val target = new Path(live, name)
+      val old = new Path(live, OldPartPrefix + name)
+      if (fs.exists(old)) fs.delete(old, true) // stale retiree from a crash-after-promote
+      if (fs.exists(target)) fs.rename(target, old)
+      fs.rename(staged, target)
+      fs.delete(old, true)
+    }
+    fs.delete(new Path(stagedPath), true)
+  }
+
+  /** Repair pass for `swapPartitions` interrupted mid-swap: a hidden
+    * `.graft-old-` dir with no live counterpart means the crash hit
+    * between retire and promote — restore the old version (the new data
+    * is still in the staged dir and the batch replays); with a live
+    * counterpart the swap completed and the retiree is garbage.
+    * @return the partition names restored from their hidden old version */
+  def recoverPartitionSwaps(spark: SparkSession, livePath: String): Seq[String] = {
+    val live = new Path(livePath)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live)) Seq.empty
+    else fs.listStatus(live)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(OldPartPrefix))
+      .toSeq.flatMap { st =>
+        val name = st.getPath.getName.stripPrefix(OldPartPrefix)
+        val target = new Path(live, name)
+        if (fs.exists(target)) { fs.delete(st.getPath, true); Seq.empty }
+        else { fs.rename(st.getPath, target); Seq(name) }
+      }
+  }
+
   /** Dynamic partition overwrite — the incremental variant of the
     * reference's year-partitioned rewrite (ref: config/gcs/gcs.py:143-187
     * rewrites `{object}/{taxcode}/{year}` files per run): only the

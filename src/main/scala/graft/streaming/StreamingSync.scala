@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -83,6 +83,35 @@ object StreamingSync {
           if (exists) Upsert(spark.read.parquet(snapshotPath), batch, pk, cursor)
           else graft.operators.Dedup.latestWins(batch, pk, cursor)
         Sinks.snapshotSwap(merged, snapshotPath)
+      }
+      .start()
+
+  /** Partition-scoped incremental snapshot maintenance — the 100 TB shape
+    * of `syncToSnapshot`. The unpartitioned variant reads and rewrites the
+    * WHOLE snapshot every micro-batch (rewrite amplification ∝ table size
+    * × batch frequency); this one routes each micro-batch through
+    * `Upsert.partitioned`, so a batch touching one partition of a 100 TB
+    * snapshot reads and rewrites that one partition — the streaming replay
+    * of the warehouse MERGE that touches matched rows only
+    * (ref: config/bigquery/bigquery.py:206-271).
+    *
+    * `partOf` must be stable per pk and non-null (the partitioned-MERGE
+    * contract; a null partition value fails the batch). Checkpoint replay
+    * is safe end-to-end: the MERGE is idempotent per batch, and the
+    * per-partition swap commit is crash-consistent —
+    * `Upsert.partitioned` repairs an interrupted publish before merging
+    * (Sinks.recoverPartitionSwaps), so a batch that died mid-commit
+    * replays onto an intact snapshot.
+    */
+  def syncToSnapshot(events: DataFrame, snapshotPath: String, checkpoint: String,
+                     pk: Seq[String], cursor: String,
+                     partCol: String, partOf: Column): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Upsert.partitioned(snapshotPath, batch, pk, cursor, partCol, partOf)
+        ()
       }
       .start()
 }

@@ -99,6 +99,41 @@ class StreamingSpec extends SparkSpec {
       "each duplicated event_id must survive exactly once")
   }
 
+  test("partitioned streaming sync rewrites only touched partitions per micro-batch") {
+    val in = Files.createTempDirectory("stream-part-in").toString
+    val ev = Tables.load(spark, sf, "events")
+    val snap = Files.createTempDirectory("snap-part").toString + "/events_snapshot"
+    val ckpt = Files.createTempDirectory("ckpt-part").toString
+
+    // phase 1: every event type except clicks arrives
+    ev.filter(col("event_type") =!= "click").coalesce(1)
+      .write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val q1 = StreamingSync.syncToSnapshot(
+      StreamingSync.readEvents(spark, in, schema), snap, ckpt,
+      Seq("event_id"), "ts", "etype", col("event_type"))
+    q1.awaitTermination(120000)
+    val before = TestFiles.partFileHashes(snap)
+    assert(before.keys.exists(_.startsWith("etype=purchase")))
+
+    // phase 2: a micro-batch of ONLY clicks — the other type partitions
+    // must not be rewritten (the unpartitioned sync rewrote the whole
+    // snapshot here)
+    ev.filter(col("event_type") === "click").coalesce(1)
+      .write.mode("append").parquet(in)
+    val q2 = StreamingSync.syncToSnapshot(
+      StreamingSync.readEvents(spark, in, schema), snap, ckpt,
+      Seq("event_id"), "ts", "etype", col("event_type"))
+    q2.awaitTermination(120000)
+
+    val after = TestFiles.partFileHashes(snap)
+    assert(after.filter(!_._1.startsWith("etype=click")) === before,
+      "partitions untouched by the micro-batch must be byte-identical")
+    assert(after.keys.exists(_.startsWith("etype=click")))
+    assert(spark.read.parquet(snap).count() === ev.count())
+    assert(spark.read.parquet(snap).select("event_id").distinct().count() === ev.count())
+  }
+
   test("foreachBatch upsert maintains the snapshot idempotently (I2)") {
     val in = stageEventFiles()
     val schema = spark.read.parquet(in).schema

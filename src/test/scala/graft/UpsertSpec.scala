@@ -76,21 +76,8 @@ class UpsertSpec extends SparkSpec {
 
   // ---- partition-scoped incremental MERGE ------------------------------
 
-  /** md5 per data file under the partition dirs of `root`, keyed by path
-    * relative to root. Root-level bookkeeping files (_SUCCESS) excluded —
-    * the assertion is about partition DATA bytes. */
-  private def partFileHashes(root: String): Map[String, String] = {
-    val base = new java.io.File(root)
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-    walk(base)
-      .filter(f => f.getName.startsWith("part-"))
-      .map { f =>
-        val digest = java.security.MessageDigest.getInstance("MD5")
-          .digest(java.nio.file.Files.readAllBytes(f.toPath))
-        base.toPath.relativize(f.toPath).toString -> digest.map("%02x".format(_)).mkString
-      }.toMap
-  }
+  private def partFileHashes(root: String): Map[String, String] =
+    TestFiles.partFileHashes(root)
 
   test("partitioned upsert rewrites only touched partitions, byte-identical elsewhere") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-partup").toString
@@ -133,6 +120,86 @@ class UpsertSpec extends SparkSpec {
     assert(before.keys.filter(_.startsWith("y=2024")).toSet !=
       after.keys.filter(_.startsWith("y=2024")).toSet,
       "the touched partition must have new files")
+  }
+
+  test("interrupted partition publish: partitions are complete-old or complete-new, replay converges") {
+    import org.apache.spark.sql.functions.{col, year}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-crash").toString
+    val snap = s"$tmp/snap"
+    val partOf = year($"updated_at")
+    val seed = Seq(
+      ("a", ts("2022-06-01 00:00:00"), 1.0),
+      ("b", ts("2023-06-01 00:00:00"), 2.0)
+    ).toDF("id", "updated_at", "v")
+    Upsert.partitioned(snap, seed, Seq("id"), "updated_at", "y", partOf)
+    val before = partFileHashes(snap)
+
+    // a batch touching BOTH years, published through the same staged-write
+    // + swap path as Upsert.partitioned, with the publish crashing right
+    // before the second partition's swap
+    val batch = Seq(
+      ("a", ts("2022-07-01 00:00:00"), 10.0),
+      ("b", ts("2023-07-01 00:00:00"), 20.0)
+    ).toDF("id", "updated_at", "v")
+    val merged = Upsert(spark.read.parquet(snap), batch.withColumn("y", partOf),
+      Seq("id"), "updated_at")
+    val staged = s"${snap}__stage-crashtest"
+    merged.write.partitionBy("y").mode("error").parquet(staged)
+    var seen = 0
+    intercept[RuntimeException] {
+      graft.sinks.Sinks.swapPartitions(spark, staged, snap,
+        beforeEach = _ => { seen += 1; if (seen == 2) throw new RuntimeException("simulated crash") })
+    }
+
+    // partitions swap in sorted order: y=2022 promoted (complete new),
+    // y=2023 untouched (byte-identical old) — never a partial mix
+    val mid = partFileHashes(snap)
+    assert(mid.filter(_._1.startsWith("y=2023")) === before.filter(_._1.startsWith("y=2023")),
+      "the unswapped partition must be byte-identical to its old version")
+    val mid2022 = mid.keys.filter(_.startsWith("y=2022")).toSet
+    assert(mid2022.nonEmpty && mid2022.intersect(before.keys.filter(_.startsWith("y=2022")).toSet).isEmpty,
+      "the swapped partition must be entirely the new files")
+    // readers see complete partitions only (old b, new a)
+    val midRows = spark.read.parquet(snap).select("id", "v").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(midRows === Map("a" -> 10.0, "b" -> 2.0))
+
+    // replaying the whole batch (the un-advanced cursor's behavior)
+    // converges: already-swapped partition is a no-op, the rest applies
+    val out = Upsert.partitioned(snap, batch, Seq("id"), "updated_at", "y", partOf)
+      .select("id", "v").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out === Map("a" -> 10.0, "b" -> 20.0))
+  }
+
+  test("crash between retire and promote: recovery restores the old partition") {
+    import org.apache.spark.sql.functions.year
+    val tmp = java.nio.file.Files.createTempDirectory("graft-crash2").toString
+    val snap = s"$tmp/snap"
+    val partOf = year($"updated_at")
+    val seed = Seq(
+      ("a", ts("2022-06-01 00:00:00"), 1.0),
+      ("b", ts("2023-06-01 00:00:00"), 2.0)
+    ).toDF("id", "updated_at", "v")
+    Upsert.partitioned(snap, seed, Seq("id"), "updated_at", "y", partOf)
+    val before = partFileHashes(snap)
+
+    // simulate a crash in the one non-atomic window: live dir retired to
+    // its hidden name, promote never ran
+    val fs = new org.apache.hadoop.fs.Path(snap)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$snap/y=2022"),
+      new org.apache.hadoop.fs.Path(s"$snap/.graft-old-y=2022"))
+    // the hidden dir is invisible to readers (no half state observable)
+    assert(spark.read.parquet(snap).filter("y = 2022").count() === 0)
+
+    val restored = graft.sinks.Sinks.recoverPartitionSwaps(spark, snap)
+    assert(restored === Seq("y=2022"))
+    assert(partFileHashes(snap) === before, "recovery must restore the old bytes exactly")
+
+    // a stale retiree WITH a live counterpart (crash after promote) is garbage
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$snap/.graft-old-y=2022"))
+    assert(graft.sinks.Sinks.recoverPartitionSwaps(spark, snap) === Seq.empty)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$snap/.graft-old-y=2022")))
   }
 
   test("partitioned upsert is idempotent per batch") {
