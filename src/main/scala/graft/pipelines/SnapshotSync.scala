@@ -126,6 +126,12 @@ object SnapshotSync {
     telemetry.awaitQuiesce()
     telemetry.summaryLines.foreach(l => println(s"[run-report] $l"))
     finalSnapshot
-    } finally telemetry.detach()
+    } finally {
+      telemetry.detach()
+      // run-end scratch reclamation: every reliable-mode staging dir this
+      // run wrote is deleted (finalSnapshot reads the snapshot path, not a
+      // staged path, so the returned frame stays valid)
+      graft.core.Staging.reclaim(spark)
+    }
   }
 }

@@ -48,6 +48,45 @@ class StagingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.staging.dir")
   }
 
+  test("reliable staging dirs are reclaimed at run end") {
+    val dir = Files.createTempDirectory("graft-staging-reclaim").toString
+    spark.conf.set("spark.graft.staging.dir", dir)
+    try {
+      val staged = withStagingMode("reliable") {
+        Staging.stage(spark.range(50).toDF("id"))
+      }
+      assert(staged.count() == 50)
+      assert(new java.io.File(dir).listFiles().nonEmpty)
+      // reclaim may also sweep dirs staged by earlier tests on this shared
+      // session — at least this test's dir must go
+      assert(Staging.reclaim(spark) >= 1)
+      assert(new java.io.File(dir).listFiles().isEmpty,
+        "run-end reclaim must empty the staging dir")
+      assert(Staging.reclaim(spark) == 0, "second reclaim has nothing tracked")
+    } finally spark.conf.unset("spark.graft.staging.dir")
+  }
+
+  test("orchestrator-owned staging is left untouched by reclaim") {
+    val dir = Files.createTempDirectory("graft-staging-orch").toString
+    spark.conf.set("spark.graft.staging.dir", dir)
+    spark.conf.set("spark.graft.staging.owner", "orchestrator")
+    try {
+      withStagingMode("reliable") {
+        Staging.stage(spark.range(10).toDF("id")).count()
+      }
+      assert(Staging.reclaim(spark) == 0, "orchestrator-owned scratch is not the engine's to delete")
+      assert(new java.io.File(dir).listFiles().nonEmpty,
+        "staged dirs must survive reclaim under the orchestrator override")
+    } finally {
+      spark.conf.unset("spark.graft.staging.owner")
+      spark.conf.unset("spark.graft.staging.dir")
+    }
+    // tracking persists through the no-op: once the engine owns the
+    // lifecycle again, the same dirs are reclaimable
+    assert(Staging.reclaim(spark) >= 1)
+    assert(new java.io.File(dir).listFiles().isEmpty)
+  }
+
   test("LSH pair queries are identical through both staging paths") {
     val dir = Files.createTempDirectory("graft-staging-spec2").toString
     spark.conf.set("spark.graft.staging.dir", dir)
