@@ -484,14 +484,24 @@ object Llm {
     * 0.6): probe count grows O(planes²) while candidate scoring stays
     * bounded by bucket occupancy × probes.
     */
-  // masks generated directly — 1 + n + n(n-1)/2 of them — so the probe
-  // set really is O(planes²) as the plane count grows, never a 2^planes
-  // enumeration
-  private def probeMasks(nPlanes: Int): Seq[Long] =
-    0L +:
-      ((0 until nPlanes).map(i => 1L << i) ++
-        (for { i <- 0 until nPlanes; j <- (i + 1) until nPlanes }
-          yield (1L << i) | (1L << j)))
+  // masks generated directly — Σ_{d≤depth} C(planes, d) of them — so the
+  // probe set grows polynomially in the plane count (which is log N),
+  // never a 2^planes enumeration. Probe depth itself scales with the
+  // plane count: finer buckets put more true neighbors one extra sign
+  // flip away, and a fixed depth measurably loses them (recall@5 at
+  // 7 planes: 0.68 with depth 2, ≥ 0.8 with depth 3 — AnnRecallSpec).
+  // This is the standard multi-probe LSH trade: probe-sequence length
+  // grows with signature bits while candidate count stays ≈ probes ×
+  // target occupancy.
+  private def probeDepth(nPlanes: Int): Int = if (nPlanes <= 5) 2 else 3
+
+  private def probeMasks(nPlanes: Int): Seq[Long] = {
+    def subsets(from: Int, size: Int): Seq[Long] =
+      if (size == 0) Seq(0L)
+      else (from until nPlanes).flatMap(i =>
+        subsets(i + 1, size - 1).map(m => m | (1L << i)))
+    (0 to probeDepth(nPlanes)).flatMap(d => subsets(0, d))
+  }
 
   private def probeArray(nPlanes: Int): Column =
     array(probeMasks(nPlanes).map(m => col("bucket").bitwiseXOR(lit(m))): _*)
@@ -516,15 +526,33 @@ object Llm {
             FROM e, p GROUP BY e.vec_id ORDER BY e.vec_id"""))
 
   // ---- ANN: bucket join + bounded top-k Aggregator (the scale path) ----
-  // Plane count is the scale knob: 4 planes → 16 buckets here; at corpus
-  // scale grow it so bucket occupancy stays bounded, with multi-probe
-  // keeping recall. The knob is set against MEASURED recall
-  // (AnnRecallSpec: recall@5 vs exact brute force must hold ≥ 0.8 —
-  // 6 planes over this 500-vector fixture left buckets too sparse,
-  // recall 0.36): occupancy ≈ N / 2^planes must stay comfortably above k
-  // for the probed buckets to contain the true neighborhood. Selection
-  // goes through the bounded-heap TopKAgg so a bucket with millions of
-  // candidates still only shuffles k rows per group.
+  // Plane count is the scale knob, derived from corpus size so bucket
+  // occupancy ≈ N / 2^planes holds near a fixed target as the corpus
+  // grows (multi-probe keeps recall as buckets get finer). The target is
+  // set against MEASURED recall (AnnRecallSpec: recall@5 vs exact brute
+  // force ≥ 0.8 at BOTH sf0.01 and sf0.1 — a fixed plane count can't do
+  // that: 6 planes over 500 vectors left buckets too sparse, recall
+  // 0.36, while 4 planes over 50 M vectors would mean 3 M-row buckets).
+  // Selection still goes through the bounded-heap TopKAgg so a bucket
+  // with millions of candidates only shuffles k rows per group.
+  private val annOccupancyTarget = 32.0
+
+  // one count per scale-factor dir, memoized: the plane knob must not
+  // cost a scan per query invocation
+  private val annPlaneCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Planes for this corpus: occupancy N/2^planes ≈ annOccupancyTarget,
+    * floored at 2. At the oracle scale factor (sf0.01, N=500) this
+    * resolves to 4 — the constant the oracle SQL (`annSqlCte(4)`) is
+    * written against; AnnRecallSpec pins that agreement. */
+  private[graft] def annPlanesFor(s: SparkSession, dir: String): Int =
+    annPlaneCache.computeIfAbsent(dir, _ => {
+      val n = t(s, dir, "embeddings").count()
+      math.max(2, math.round(math.log(n / annOccupancyTarget) / math.log(2)).toInt)
+    }).intValue()
+
+  // the plane count the oracle SQL is written against (= annPlanesFor at
+  // the sf0.01 oracle scale)
   private val annPlanes = 4
 
   // The staged frame carries each vector's norm so candidate scoring does
@@ -556,10 +584,11 @@ object Llm {
   private val annTopK = Q(
     "q53_ann_topk",
     (s, dir) => {
-      val e = Staging.stage(bucketedEmbeddings(s, dir, annPlanes))
+      val planes = annPlanesFor(s, dir)
+      val e = Staging.stage(bucketedEmbeddings(s, dir, planes))
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
-          col("norm").as("qnorm"), explode(probeArray(annPlanes)).as("bucket"))
+          col("norm").as("qnorm"), explode(probeArray(planes)).as("bucket"))
       val scored = queries.join(e, Seq("bucket"))
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("score",
@@ -591,9 +620,10 @@ object Llm {
   private val embedNearDup = Q(
     "q54_embed_neardup",
     (s, dir) => {
-      val e = Staging.stage(bucketedEmbeddings(s, dir, annPlanes))
+      val planes = annPlanesFor(s, dir)
+      val e = Staging.stage(bucketedEmbeddings(s, dir, planes))
       val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
-        col("norm").as("norm_a"), explode(probeArray(annPlanes)).as("bucket"))
+        col("norm").as("norm_a"), explode(probeArray(planes)).as("bucket"))
       val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
         col("norm").as("norm_b"), col("bucket"))
       a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
