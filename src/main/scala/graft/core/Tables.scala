@@ -17,7 +17,40 @@ object Tables {
 
   private val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
 
+  /** Declared-contract enforcement on the READ side: a registry-covered
+    * table's loaded schema must carry every declared column at the
+    * declared type, or the load fails naming the drifted column. Without
+    * this, schema drift in the stored files (a producer changing a type,
+    * a bad backfill) surfaces as silently-wrong query results or a
+    * mid-query cast error far from the cause; with it, the registry is
+    * the contract in both directions (writes already enforce it via
+    * `Sinks.appendWithSchema`). Comparison is via the DDL rendering,
+    * which deliberately ignores nullability — parquet footers don't
+    * carry the registry's NOT NULL, that's the write path's job — and
+    * undeclared extra columns pass (additive evolution is not drift).
+    * Cost: a driver-side footer comparison, no job. */
+  private def validateAgainstRegistry(name: String, df: DataFrame): DataFrame = {
+    SchemaRegistry.default.get(name).foreach { spec =>
+      val actual = df.schema.map(f => f.name -> f.dataType).toMap
+      spec.schema.fields.foreach { f =>
+        actual.get(f.name) match {
+          case None => throw new IllegalStateException(
+            s"table '$name': declared column '${f.name}' missing from loaded schema " +
+              s"(loaded: ${df.schema.map(_.name).mkString(", ")})")
+          case Some(dt) if dt.sql != f.dataType.sql => throw new IllegalStateException(
+            s"table '$name': column '${f.name}' declared ${f.dataType.sql} " +
+              s"but loaded ${dt.sql} — schema drift, fix the data or the registry")
+          case _ => ()
+        }
+      }
+    }
+    df
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    validateAgainstRegistry(name, loadRaw(spark, dir, name))
+
+  private def loadRaw(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 rejects
       // outright (PARQUET_TYPE_ILLEGAL). Read nanos as long, then floor to
