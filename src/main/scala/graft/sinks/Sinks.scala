@@ -62,6 +62,85 @@ object Sinks {
     fs.delete(old, true)
   }
 
+  /** Snapshot publish dispatch: `spark.graft.swap=marker` selects the
+    * object-store-safe marker protocol; the default `rename` keeps the
+    * directory-rename swap (correct on HDFS/local where dir rename is
+    * atomic O(1); on object stores dir "rename" is a non-atomic O(n)
+    * copy, which is exactly the half-write window the marker closes). */
+  def snapshotPublish(df: DataFrame, path: String): Unit =
+    if (df.sparkSession.conf.get("spark.graft.swap", "rename") == "marker")
+      snapshotSwapMarker(df, path)
+    else snapshotSwap(df, path)
+
+  /** Object-store-safe snapshot publish: data goes to an immutable
+    * `<path>__versions/<uuid>` directory, then a single small pointer
+    * file `<path>__current` is atomically replaced to name it. The only
+    * visibility point is the pointer write — one-object replacement,
+    * which is atomic on object stores (single PUT) and done here through
+    * `FileContext.rename(OVERWRITE)` (atomic on HDFS/local too). However
+    * long and non-atomic the multi-file data copy is, a reader resolving
+    * the pointer sees either the complete old version or the complete
+    * new one — never a half write.
+    *
+    * The version being replaced survives one publish (readers that
+    * resolved the old pointer mid-publish are still reading it); only
+    * older generations are reclaimed. Readers resolve through
+    * `readSnapshot`; `snapshotExists` answers the bootstrap question in
+    * marker mode.
+    */
+  def snapshotSwapMarker(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val version = java.util.UUID.randomUUID().toString
+    df.write.mode("error").parquet(s"${path}__versions/$version")
+    val keep = currentVersion(spark, path).toSet + version
+    writeMarkerAtomic(spark, path, version)
+    // reclaim generations older than (new, just-replaced)
+    val versionsRoot = new Path(s"${path}__versions")
+    fs.listStatus(versionsRoot)
+      .filter(st => st.isDirectory && !keep.contains(st.getPath.getName))
+      .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** Pointer-aware snapshot read: marker present → the named immutable
+    * version; otherwise the plain path (rename-mode layout). */
+  def readSnapshot(spark: SparkSession, path: String): DataFrame =
+    currentVersion(spark, path) match {
+      case Some(v) => spark.read.parquet(s"${path}__versions/$v")
+      case None => spark.read.parquet(path)
+    }
+
+  /** Does a published snapshot exist under either protocol? */
+  def snapshotExists(spark: SparkSession, path: String): Boolean = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    currentVersion(spark, path).isDefined || fs.exists(new Path(path))
+  }
+
+  private def currentVersion(spark: SparkSession, path: String): Option[String] = {
+    val marker = new Path(s"${path}__current")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+  }
+
+  private def writeMarkerAtomic(spark: SparkSession, path: String, version: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val marker = new Path(s"${path}__current")
+    val tmp = new Path(s"${path}__current.tmp-$version")
+    val fs = marker.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write(version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // single-file atomic replace; the object-store implementation of this
+    // seam is one PUT of the marker object
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(marker.toUri, conf)
+    fc.rename(tmp, marker, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   /** Hidden-dir prefix for a partition's superseded version during a swap.
     * Dot-prefixed names are invisible to Spark's file listing, so readers
     * never see a retired partition as data. */

@@ -75,14 +75,14 @@ object StreamingSync {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val exists = {
-          val p = new org.apache.hadoop.fs.Path(snapshotPath)
-          p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-        }
+        // protocol-aware existence/read/publish: rename swap by default,
+        // the marker protocol under spark.graft.swap=marker (object-store
+        // targets, where dir rename is a non-atomic copy)
         val merged =
-          if (exists) Upsert(spark.read.parquet(snapshotPath), batch, pk, cursor)
+          if (Sinks.snapshotExists(spark, snapshotPath))
+            Upsert(Sinks.readSnapshot(spark, snapshotPath), batch, pk, cursor)
           else graft.operators.Dedup.latestWins(batch, pk, cursor)
-        Sinks.snapshotSwap(merged, snapshotPath)
+        Sinks.snapshotPublish(merged, snapshotPath)
       }
       .start()
 
