@@ -852,9 +852,108 @@ object Llm {
               md5(text) AS content_hash
             FROM documents ORDER BY doc_id"""))
 
+  // ---- vocabulary building: document frequency, top-N ------------------
+  // The vocab/BPE-prep stage of a training-data pipeline: distinct tokens
+  // per doc, document frequency across the corpus, top-N. The classic
+  // map-reduce: explode is linear, the count aggregates map-side
+  // (partial_count before the shuffle — one row per distinct token per
+  // partition on the wire), and selection is TakeOrderedAndProject. At
+  // 100 TB the shuffle is bounded by vocabulary size, not corpus size.
+  private val vocabDf = Q(
+    "q64_vocab_df",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(expr(s"array_distinct($toksExpr)")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token"))
+        .limit(200),
+    Some(s"""WITH b AS (SELECT doc_id, list_distinct($toksSql) AS toks FROM documents),
+            x AS (SELECT doc_id, unnest(toks) AS token FROM b)
+            SELECT token, count(*) AS df FROM x GROUP BY token
+            ORDER BY df DESC, token LIMIT 200"""))
+
+  // ---- train/test decontamination: shingle overlap vs a benchmark set --
+  // The contamination check every training corpus needs: documents
+  // sharing >= 2 distinct 3-word shingles with any benchmark document
+  // (here: doc_id < 10 plays the held-out benchmark). The benchmark
+  // shingle set is tiny relative to the corpus and broadcasts; the
+  // corpus side is one linear shingle explode and a broadcast hash
+  // equi-join on the shingle md5 (fixed-width key, not the string) —
+  // no shuffle of the 100 TB side, and the per-doc count aggregates
+  // map-side. Overlap is counted on DISTINCT shingles per doc, so a
+  // repeated phrase can't inflate past the threshold.
+  private val decontaminate = Q(
+    "q65_decontaminate",
+    (s, dir) => {
+      val sh = t(s, dir, "documents")
+        .withColumn("toks", expr(toksExpr))
+        .select(col("doc_id"),
+          explode(expr(s"array_distinct($shingleSparkExpr)")).as("sh"))
+        .select(col("doc_id"), md5(col("sh")).as("h"))
+      val bench = sh.filter(col("doc_id") < 10).select("h").distinct()
+      sh.filter(col("doc_id") >= 10)
+        .join(broadcast(bench), Seq("h"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH b AS (SELECT doc_id, $toksSql AS toks FROM documents),
+            shl AS (SELECT doc_id, list_distinct($shingleSql) AS shingles FROM b),
+            shx AS (SELECT doc_id, md5(unnest(shingles)) AS h FROM shl),
+            bench AS (SELECT DISTINCT h FROM shx WHERE doc_id < 10)
+            SELECT s.doc_id, count(*) AS n_shared
+            FROM shx s JOIN bench USING (h)
+            WHERE s.doc_id >= 10
+            GROUP BY s.doc_id HAVING count(*) >= 2
+            ORDER BY doc_id"""))
+
+  // ---- deterministic stratified sampling --------------------------------
+  // Per-stratum downsampling at reproducible rates: keep a doc when the
+  // first hex digit of md5(text) falls under the stratum's digit budget
+  // (hex digits are uniform; ASCII order '0'-'9' < 'a'-'f' matches hex
+  // value order, so a string compare IS the rate threshold). Here 'en'
+  // keeps 8/16, everything else 4/16. Map-only — fuses into the scan,
+  // no RNG state, and re-running selects the SAME rows: the property
+  // that makes a 100 TB sample reproducible and joinable against
+  // downstream artifacts built from it.
+  private val stratifiedSample = Q(
+    "q66_stratified_sample",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .filter(substring(md5(col("text")), 1, 1) <
+          when(col("lang") === "en", lit("8")).otherwise(lit("4")))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE substr(md5(text), 1, 1) <
+              (CASE WHEN lang = 'en' THEN '8' ELSE '4' END)
+            ORDER BY doc_id"""))
+
+  // ---- source-mix balancing: rates to hit a target distribution --------
+  // The mixing stage: per-source doc counts and the per-source sampling
+  // rate that equalizes the mix (rate = min_count / count). The aggregate
+  // collapses 100 TB to one row per source BEFORE the whole-frame window,
+  // so the window runs over a handful of rows; the emitted rates feed the
+  // deterministic sampler (q66's predicate, parameterized per source).
+  private val sourceMix = Q(
+    "q67_source_mix",
+    (s, dir) => {
+      val counts = t(s, dir, "documents")
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      counts
+        .withColumn("rate", round(
+          min(col("n_docs")).over(Window.partitionBy()).cast("double") / col("n_docs"), 6))
+        .orderBy("source")
+    },
+    Some("""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+            SELECT source, n_docs,
+              round(CAST(min(n_docs) OVER () AS DOUBLE) / n_docs, 6) AS rate
+            FROM c ORDER BY source"""))
+
   val queries: Seq[Q] = Seq(
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
     minhashSignatures, minhashPairs, jaccardPairs, simhash, simhashPairs,
     simhashWidePairs, cosineTopK, embedBuckets, annTopK, embedNearDup,
-    ivfTopK, rollingFp, multimodalMeta, qualityScore, piiScrub, corpusFilter)
+    ivfTopK, rollingFp, multimodalMeta, qualityScore, piiScrub, corpusFilter,
+    vocabDf, decontaminate, stratifiedSample, sourceMix)
 }

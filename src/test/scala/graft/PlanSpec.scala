@@ -110,6 +110,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("__salt"), s"q61 must join on (user_id, __salt):\n$p")
   }
 
+  test("q64 vocab top-N takes ordered, counts partial-aggregate map-side") {
+    val p = planOf(q("q64_vocab_df"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N vocabulary must not global-sort:\n$p")
+    assert(p.contains("partial_count"),
+      s"document-frequency counts must combine before the shuffle:\n$p")
+  }
+
+  test("q65 decontamination broadcasts the benchmark shingle set") {
+    // the corpus side must never shuffle for this join: the benchmark
+    // set is the small side by construction
+    val p = planOf(q("q65_decontaminate"))
+    assert(p.contains("BroadcastHashJoin"), s"benchmark side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"contamination check must not shuffle the corpus side:\n$p")
+  }
+
+  test("q66 stratified sample is map-only — no shuffle before the output sort") {
+    // deterministic hash sampling must fuse into the scan; the only
+    // exchange allowed is the query's own presentation ORDER BY
+    val p = planOf(q("q66_stratified_sample")).split("== Initial Plan ==")(0)
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"sampling must not shuffle (found $exchanges exchanges):\n$p")
+  }
+
   test("q14 upsert keeps unioned branches partitioned, no driver collect") {
     // executes distributed: two joins on the pk + union; presence of the
     // final sort is the query's own ORDER BY, not a collect
