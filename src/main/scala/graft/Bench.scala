@@ -58,7 +58,9 @@ object Bench {
       name -> times
     }
     val loadEnd = os.getSystemLoadAverage
-    def f(v: Double) = "%.3f".format(v)
+    // Locale.ROOT: default-locale format renders a comma decimal
+    // separator on comma-locale JVMs, which breaks the JSON line
+    def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, t) => s"\"" + k + "\":" + t(1) }
       .mkString("{", ",", "}")
     val stats = results.map { case (k, t) =>

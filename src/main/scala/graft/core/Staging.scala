@@ -59,28 +59,48 @@ object Staging {
     } else df.localCheckpoint(eager = true)
   }
 
-  /** Delete every staging directory this session wrote, at run end — the
-    * missing half of the `reliable` mode's lifecycle (staged dirs are
-    * scratch; a long-lived session that never reclaims them leaks one
-    * parquet copy per staged frame). Only call once the run's actions are
-    * complete: a staged frame still awaiting consumption reads from its
-    * staged path. No-op (returns 0, keeps the dirs) when
+  /** Position marker for scoped reclamation: a run on a SHARED session
+    * records the mark at its start and reclaims only the dirs staged
+    * after it, so it never deletes scratch staged by other work on the
+    * same session (a caller's still-unconsumed staged frame, a sibling
+    * pipeline's in-flight staging). */
+  def mark(spark: SparkSession): Int = {
+    val tracked = stagedPaths.get(spark)
+    if (tracked == null) 0 else tracked.size
+  }
+
+  /** Delete the staging directories this session wrote at or after
+    * `from` (default: all of them) — the missing half of the `reliable`
+    * mode's lifecycle (staged dirs are scratch; a long-lived session that
+    * never reclaims them leaks one parquet copy per staged frame). Only
+    * call once the scope's actions are complete: a staged frame still
+    * awaiting consumption reads from its staged path. A dir whose delete
+    * throws stays tracked for a later attempt — reclaim never throws
+    * (it runs in `finally` blocks and must not mask a primary failure).
+    * No-op (returns 0, keeps the dirs) when
     * `spark.graft.staging.owner=orchestrator` — the documented mode where
     * the orchestrator points `spark.graft.staging.dir` at a per-run
     * location and clears it itself.
     * @return number of staging directories deleted */
-  def reclaim(spark: SparkSession): Int = {
+  def reclaim(spark: SparkSession, from: Int = 0): Int = {
     if (spark.conf.get("spark.graft.staging.owner", "run") == "orchestrator") 0
     else {
-      val tracked = stagedPaths.remove(spark)
+      val tracked = stagedPaths.get(spark)
       if (tracked == null) 0
-      else {
+      else tracked.synchronized {
         var n = 0
-        tracked.forEach { p =>
-          val hp = new Path(p)
-          val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.delete(hp, true)) n += 1
+        val failed = new java.util.ArrayList[String]()
+        var i = tracked.size - 1 // back-to-front: removals don't shift [from, i)
+        while (i >= from) {
+          val p = tracked.remove(i)
+          try {
+            val hp = new Path(p)
+            if (hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true))
+              n += 1
+          } catch { case _: java.io.IOException => failed.add(p) }
+          i -= 1
         }
+        tracked.addAll(failed)
         n
       }
     }

@@ -120,6 +120,13 @@ object Upsert {
     val src = Staging.stage(source.withColumn(partCol, checkedPart))
     val fs = new Path(snapshotPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the partitioned MERGE manages the partition-dir layout; a snapshot
+    // published under the marker protocol (data in __versions + pointer)
+    // would be invisible to the plain-path reads here, and the bootstrap
+    // branch would silently fork it — fail loudly instead
+    if (fs.exists(new Path(s"${snapshotPath}__current")))
+      throw new IllegalStateException(s"'$snapshotPath' uses the marker snapshot " +
+        "layout (snapshotSwapMarker); the partitioned MERGE requires the partition-dir layout")
     if (!fs.exists(new Path(snapshotPath))) {
       // bootstrap: no target yet — the deduped source IS the snapshot
       Sinks.overwritePartitions(dedupLatest(src, pk, cursor), snapshotPath,

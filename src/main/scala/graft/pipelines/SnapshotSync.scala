@@ -35,6 +35,9 @@ object SnapshotSync {
     // finally so a failed run can't leak the listener onto the
     // long-lived session
     val telemetry = RunTelemetry.attach(spark, runId)
+    // reclamation scope: only staging THIS run creates is reclaimed at the
+    // end — scratch staged by other work on a shared session is not ours
+    val stagingMark = graft.core.Staging.mark(spark)
     try {
 
     val cursorStore = new CursorStore(spark, s"$tmp/cursor")
@@ -131,7 +134,7 @@ object SnapshotSync {
       // run-end scratch reclamation: every reliable-mode staging dir this
       // run wrote is deleted (finalSnapshot reads the snapshot path, not a
       // staged path, so the returned frame stays valid)
-      graft.core.Staging.reclaim(spark)
+      graft.core.Staging.reclaim(spark, stagingMark)
     }
   }
 }

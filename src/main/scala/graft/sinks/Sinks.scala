@@ -57,8 +57,8 @@ object Sinks {
     val old = new Path(path + "__old")
     df.write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(live)) fs.rename(live, old)
-    fs.rename(tmp, live)
+    if (fs.exists(live)) renameOrFail(fs, live, old)
+    renameOrFail(fs, tmp, live)
     fs.delete(old, true)
   }
 
@@ -132,6 +132,10 @@ object Sinks {
     val marker = new Path(s"${path}__current")
     val tmp = new Path(s"${path}__current.tmp-$version")
     val fs = marker.getFileSystem(conf)
+    // sweep tmp markers orphaned by publishes that died between create
+    // and rename (ours doesn't exist yet — unique version suffix)
+    fs.globStatus(new Path(s"${path}__current.tmp-*"))
+      .foreach(st => fs.delete(st.getPath, false))
     val out = fs.create(tmp, true)
     try out.write(version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -146,6 +150,16 @@ object Sinks {
     * never see a retired partition as data. */
   private val OldPartPrefix = ".graft-old-"
 
+  /** Hadoop `FileSystem.rename` reports most failures by RETURNING FALSE
+    * (src vanished, dst exists, local renameTo failure), not throwing —
+    * a swap step that ignores the boolean would keep going and delete
+    * the only surviving copy. Every rename in the swap/recovery protocol
+    * goes through this. */
+  private def renameOrFail(fs: org.apache.hadoop.fs.FileSystem,
+                           src: Path, dst: Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
+
   /** Crash-consistent publish of staged partition directories into a live
     * partitioned snapshot — the commit protocol of the partition-scoped
     * MERGE (ref: the atomic warehouse MERGE at
@@ -156,15 +170,22 @@ object Sinks {
     * For each `col=value` directory under `stagedPath`, in sorted order:
     * retire the live partition dir to a hidden `.graft-old-` name
     * (atomic rename), promote the staged dir into its place (atomic
-    * rename), then drop the retired copy. Each partition is therefore
-    * always either its complete old version or its complete new version —
-    * a crash can never leave a partition with a mix of old and new files,
-    * which is the failure mode of dynamic partition overwrite's
-    * delete-then-commit window. A crash between the two renames leaves
-    * that one partition retired-but-not-promoted; `recoverPartitionSwaps`
-    * restores it from the hidden dir on the next run, and the staged data
-    * (never deleted on failure) plus the un-advanced cursor make the batch
-    * replayable.
+    * rename), then drop the retired copy. A partition is therefore never
+    * a PARTIAL mix of old and new files — the failure mode of dynamic
+    * partition overwrite's delete-then-commit window. A crash between the
+    * two renames leaves that one partition retired-but-not-promoted;
+    * `recoverPartitionSwaps` restores it from the hidden dir on the next
+    * run, and the staged data (never deleted on failure) plus the
+    * un-advanced cursor make the batch replayable.
+    *
+    * Visibility caveat (disclosed): a reader whose directory listing
+    * lands inside one partition's retire→promote rename pair sees that
+    * partition ABSENT (complete-old-or-complete-new is the crash
+    * guarantee, not a point-in-time isolation guarantee). Single-flip
+    * point-in-time isolation across the whole snapshot is what
+    * `snapshotSwap` (rename) and `snapshotSwapMarker` (pointer) provide;
+    * this protocol trades that tiny window for partition-granular
+    * rewrites under a single writer.
     *
     * `beforeEach` is a test seam: invoked with the partition dir name
     * before its swap starts (used by the crash-simulation specs).
@@ -183,8 +204,8 @@ object Sinks {
       val target = new Path(live, name)
       val old = new Path(live, OldPartPrefix + name)
       if (fs.exists(old)) fs.delete(old, true) // stale retiree from a crash-after-promote
-      if (fs.exists(target)) fs.rename(target, old)
-      fs.rename(staged, target)
+      if (fs.exists(target)) renameOrFail(fs, target, old)
+      renameOrFail(fs, staged, target)
       fs.delete(old, true)
     }
     fs.delete(new Path(stagedPath), true)
@@ -206,7 +227,7 @@ object Sinks {
         val name = st.getPath.getName.stripPrefix(OldPartPrefix)
         val target = new Path(live, name)
         if (fs.exists(target)) { fs.delete(st.getPath, true); Seq.empty }
-        else { fs.rename(st.getPath, target); Seq(name) }
+        else { renameOrFail(fs, st.getPath, target); Seq(name) }
       }
   }
 

@@ -102,6 +102,11 @@ object StreamingSync {
     * `Upsert.partitioned` repairs an interrupted publish before merging
     * (Sinks.recoverPartitionSwaps), so a batch that died mid-commit
     * replays onto an intact snapshot.
+    *
+    * Partition-dir layout ONLY: a snapshot published under
+    * `spark.graft.swap=marker` is rejected by `Upsert.partitioned` with a
+    * hard error (its plain-path reads cannot see the marker layout, and
+    * proceeding would silently fork the table).
     */
   def syncToSnapshot(events: DataFrame, snapshotPath: String, checkpoint: String,
                      pk: Seq[String], cursor: String,

@@ -66,6 +66,26 @@ class StagingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.staging.dir")
   }
 
+  test("scoped reclaim leaves dirs staged before the mark untouched") {
+    val dir = Files.createTempDirectory("graft-staging-scope").toString
+    spark.conf.set("spark.graft.staging.dir", dir)
+    try {
+      withStagingMode("reliable") {
+        // a caller's staged frame, created BEFORE the run's scope opens
+        val callers = Staging.stage(spark.range(5).toDF("id"))
+        val mark = Staging.mark(spark)
+        Staging.stage(spark.range(7).toDF("id")).count() // the run's own scratch
+        assert(Staging.reclaim(spark, mark) === 1,
+          "scoped reclaim must delete only the run's own staging")
+        // the caller's staged frame is still readable after the run ends
+        assert(callers.count() === 5)
+      }
+    } finally {
+      Staging.reclaim(spark)
+      spark.conf.unset("spark.graft.staging.dir")
+    }
+  }
+
   test("orchestrator-owned staging is left untouched by reclaim") {
     val dir = Files.createTempDirectory("graft-staging-orch").toString
     spark.conf.set("spark.graft.staging.dir", dir)

@@ -58,6 +58,18 @@ class SwapSpec extends SparkSpec {
     assert(new java.io.File(s"${path}__versions").listFiles().length === 2)
   }
 
+  test("partitioned MERGE rejects a marker-layout snapshot instead of forking it") {
+    val path = Files.createTempDirectory("graft-marker-guard").toString + "/snap"
+    Sinks.snapshotSwapMarker(Seq(1 -> "a").toDF("id", "v"), path)
+    val batch = Seq(("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("id", "updated_at", "v")
+    val e = intercept[IllegalStateException] {
+      graft.operators.Upsert.partitioned(path, batch, Seq("id"), "updated_at",
+        "y", org.apache.spark.sql.functions.year(batch("updated_at")))
+    }
+    assert(e.getMessage.contains("marker"), e.getMessage)
+  }
+
   test("streaming sync maintains the snapshot under the marker protocol") {
     val in = Files.createTempDirectory("marker-stream-in").toString
     val ev = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
