@@ -950,10 +950,102 @@ object Llm {
               round(CAST(min(n_docs) OVER () AS DOUBLE) / n_docs, 6) AS rate
             FROM c ORDER BY source"""))
 
+  // ---- sequence packing: concat-and-chunk into training sequences ------
+  // Pretraining packs documents back-to-back and chunks the stream at a
+  // fixed token budget; `seq_id` is the chunk containing the document's
+  // first token. Packing runs INSIDE each source partition (window
+  // partitioned by source), so the running sum parallelizes across
+  // sources and no global sort exists — the per-source order is the
+  // deterministic doc_id order, which is what makes the packing
+  // reproducible run-over-run at any scale.
+  private val seqPacking = Q(
+    "q68_seq_packing",
+    (s, dir) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      t(s, dir, "documents")
+        .withColumn("n_toks", expr(s"CAST(size($toksExpr) AS BIGINT)"))
+        .withColumn("seq_id",
+          floor((sum(col("n_toks")).over(w) - col("n_toks")) / lit(512)).cast("long"))
+        .select("doc_id", "source", "n_toks", "seq_id")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH b AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_toks
+                        FROM documents)
+            SELECT doc_id, source, n_toks,
+              CAST(floor((sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id) - n_toks)
+                   / 512) AS BIGINT) AS seq_id
+            FROM b ORDER BY doc_id"""))
+
+  // ---- curriculum binning: per-language length deciles ------------------
+  // Curriculum schedules order training data by difficulty proxies; the
+  // canonical cheap proxy is length. percent_rank inside each language
+  // (ties broken by doc_id — deterministic) maps to a decile bin. The
+  // window partitions by language, so no global sort; at 100 TB exact
+  // per-stratum ranks would come from approx_percentile thresholds +
+  // a map-only bin assignment — the decile SEMANTICS pinned here are
+  // the contract either implementation must meet.
+  private val lengthCurriculum = Q(
+    "q69_length_curriculum",
+    (s, dir) => {
+      val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("bin",
+          least(floor(percent_rank().over(w) * 10), lit(9)).cast("long"))
+        .select("doc_id", "lang", "n_chars", "bin")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, n_chars,
+              CAST(least(floor(percent_rank() OVER (
+                PARTITION BY lang ORDER BY n_chars, doc_id) * 10), 9) AS BIGINT) AS bin
+            FROM documents ORDER BY doc_id"""))
+
+  // ---- TF-IDF keyword extraction ----------------------------------------
+  // Top-3 tokens per document by tf·ln(N/df). The term-frequency table
+  // aggregates map-side off one explode; document frequency reduces THAT
+  // table (already one row per distinct doc-token pair), bounded by
+  // vocabulary size, and broadcasts back; N arrives as a broadcast 1-row
+  // aggregate, never a driver collect. Selection is a per-doc window over
+  // ≤ |doc's vocab| rows. No stage touches anything quadratic.
+  private val tfidfTopTerms = Q(
+    "q70_tfidf_terms",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(expr(toksExpr)).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("token"))
+      tf.join(broadcast(df_), Seq("token"))
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("tfidf"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("doc_id", "rk")
+    },
+    Some(s"""WITH x AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM x GROUP BY doc_id, token),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            sc AS (SELECT tf.doc_id, tf.token, tf.tf,
+                     round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+                   FROM tf JOIN df USING (token) CROSS JOIN n)
+            SELECT doc_id, token, tf, tfidf,
+              CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, token) AS BIGINT) AS rk
+            FROM sc
+            QUALIFY rk <= 3
+            ORDER BY doc_id, rk"""))
+
   val queries: Seq[Q] = Seq(
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
     minhashSignatures, minhashPairs, jaccardPairs, simhash, simhashPairs,
     simhashWidePairs, cosineTopK, embedBuckets, annTopK, embedNearDup,
     ivfTopK, rollingFp, multimodalMeta, qualityScore, piiScrub, corpusFilter,
-    vocabDf, decontaminate, stratifiedSample, sourceMix)
+    vocabDf, decontaminate, stratifiedSample, sourceMix,
+    seqPacking, lengthCurriculum, tfidfTopTerms)
 }

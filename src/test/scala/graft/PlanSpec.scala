@@ -135,6 +135,25 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"sampling must not shuffle (found $exchanges exchanges):\n$p")
   }
 
+  test("q68 sequence packing windows per source — no single-partition global sort") {
+    val p = planOf(q("q68_seq_packing")).split("== Initial Plan ==")(0)
+    // the running sum's window must carry a partition spec; a global
+    // (unpartitioned) running sum plans as Exchange SinglePartition
+    // BEFORE the Window operator, which serializes the whole corpus
+    val windowIdx = p.indexOf("Window")
+    assert(windowIdx > 0, s"expected a Window operator:\n$p")
+    assert(!p.substring(windowIdx).contains("SinglePartition"),
+      s"packing window must be partitioned by source:\n$p")
+  }
+
+  test("q70 tf-idf broadcasts vocabulary df and the 1-row N") {
+    val p = planOf(q("q70_tfidf_terms"))
+    assert(p.contains("BroadcastHashJoin") &&
+      (p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange")),
+      s"df join and N must broadcast, never shuffle the tf table twice:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in tf-idf:\n$p")
+  }
+
   test("q14 upsert keeps unioned branches partitioned, no driver collect") {
     // executes distributed: two joins on the pk + union; presence of the
     // final sort is the query's own ORDER BY, not a collect
