@@ -652,6 +652,60 @@ object Relational {
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
             ORDER BY rf, ls"""))
 
+  // ---- pivot: long-to-wide conditional aggregation ---------------------
+  // (beyond-reference breadth) Per-user event-type counts as columns. The
+  // pivot domain is DECLARED (the five event types), so this is one
+  // aggregation pass — Spark's pivot without an explicit value list runs
+  // a distinct-values discovery job over the whole input first, which at
+  // 100 TB is a full extra scan for something the schema owner already
+  // knows. Missing cells are zero-filled to match the SQL FILTER form.
+  private val pivotCounts = Q(
+    "q71_pivot",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id"),
+    Some("""SELECT user_id,
+              CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+              CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+              CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+              CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+              CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+            FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  // ---- binned range join: points-in-intervals without an equi key ------
+  // graft.operators.RangeJoin end to end: sampled lineitems (points, by
+  // ship date) against sampled orders' 30-day windows — no shared key,
+  // the non-equi shape Spark would otherwise plan as a nested-loop join.
+  // The 7-day bin ≈ 1/4 of the interval span: each interval explodes
+  // into ~5 bins, candidates stay bin-local. DuckDB evaluates the naive
+  // BETWEEN join as the oracle.
+  private val rangeJoin = Q(
+    "q72_range_join",
+    (s, dir) => {
+      val pts = t(s, dir, "lineitem").filter(col("l_orderkey") % 97 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      val ivs = t(s, dir, "orders").filter(col("o_orderkey") % 101 === 0)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("o_end"))
+      graft.operators.RangeJoin
+        .pointInInterval(pts, "l_shipdate", ivs, "o_orderdate", "o_end",
+          binSeconds = 7L * 24 * 3600)
+        .select("l_orderkey", "l_linenumber", "o_orderkey")
+        .orderBy("l_orderkey", "l_linenumber", "o_orderkey")
+    },
+    Some("""SELECT l.l_orderkey, l.l_linenumber, o.o_orderkey
+            FROM (SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+                  WHERE l_orderkey % 97 = 0) l
+            JOIN (SELECT o_orderkey, o_orderdate,
+                    o_orderdate + INTERVAL 30 DAY AS o_end
+                  FROM orders WHERE o_orderkey % 101 = 0) o
+              ON l.l_shipdate >= o.o_orderdate AND l.l_shipdate <= o.o_end
+            ORDER BY l_orderkey, l_linenumber, o_orderkey"""))
+
   // ---- N6: map flatten with parent key (traverse_dict) -----------------
   // (ref: transformation/transformation.py:5-15) — JSON object column ->
   // one row per (key, value) pair via from_json + explode(map_entries).
@@ -799,5 +853,5 @@ object Relational {
     regexExtract, arrayOps, eventWindow, slidingWindow, sessionWindow,
     scd2, sqlSource, rangeOrIn,
     intersectOp, exceptOp, rollupAgg, mapFlatten, reverseEtl, asofEnrich,
-    percentiles, saltedJoinAgg)
+    percentiles, saltedJoinAgg, pivotCounts, rangeJoin)
 }
