@@ -544,7 +544,13 @@ object Llm {
   /** Planes for this corpus: occupancy N/2^planes ≈ annOccupancyTarget,
     * floored at 2. At the oracle scale factor (sf0.01, N=500) this
     * resolves to 4 — the constant the oracle SQL (`annSqlCte(4)`) is
-    * written against; AnnRecallSpec pins that agreement. */
+    * written against; AnnRecallSpec pins that agreement. At OTHER scale
+    * factors q53/q54 intentionally diverge from their oracle SQL (the
+    * derived knob picks a finer index than the oracle's pinned
+    * constant — measured: it finds closer neighbors, not fewer); the
+    * correctness gate runs oracles at sf0.01 only, and the property
+    * that holds at EVERY scale is AnnRecallSpec's measured recall
+    * floor, not bit-equality with a fixed-parameter index. */
   private[graft] def annPlanesFor(s: SparkSession, dir: String): Int =
     annPlaneCache.computeIfAbsent(dir, _ => {
       val n = t(s, dir, "embeddings").count()
