@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Staging
 import graft.functions.F
+import graft.operators.Components
 import Q.t
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
@@ -245,39 +246,47 @@ object Llm {
   // true near-dup density, not with bucket occupancy. Missing a J≈0.5 pair
   // whose bands never collide is the standard LSH recall trade — the
   // band/row parameters are the recall knob (SURVEY §2; MMDS ch.3).
+  /** Verified near-dup edges: MinHash-band candidates with exact Jaccard
+    * ≥ 0.5 — the edge list q49 reports and q73/q74 cluster. */
+  private def jaccardEdges(s: SparkSession, dir: String): DataFrame = {
+    // token table staged ONCE: both join sides below scan the staged
+    // (doc_id, toks) frame instead of re-running the tokenizer per side
+    // (the plan otherwise tokenized three times — once in minhashSig,
+    // once per join side; round-4 verdict "What's wrong" #3)
+    val toks = Staging.stage(t(s, dir, "documents")
+      .select(col("doc_id"), expr(s"array_distinct($toksExpr)").as("toks")))
+    val cand = minhashCandidates(s, dir)
+    cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
+      .withColumn("uni",
+        (size(col("toks_a")) + size(col("toks_b"))).cast("double") - col("inter"))
+      .withColumn("jaccard", round(col("inter") / col("uni"), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** CTEs `d`/`p`/`jp`: the oracle-side twin of [[jaccardEdges]]
+    * (composes after `$minhashSigSqlCte, $minhashBandsSqlCte`). */
+  private val jaccardEdgesSqlCte =
+    s"""d AS (SELECT doc_id, list_distinct($toksSql) AS toks FROM documents),
+        p AS (
+          SELECT c.doc_a, c.doc_b,
+            CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE) AS inter,
+            CAST(len(da.toks) + len(db.toks) AS DOUBLE) AS tot
+          FROM cand c
+          JOIN d da ON c.doc_a = da.doc_id
+          JOIN d db ON c.doc_b = db.doc_id),
+        jp AS (
+          SELECT doc_a, doc_b, round(inter / (tot - inter), 6) AS jaccard
+          FROM p WHERE round(inter / (tot - inter), 6) >= 0.5)"""
+
   private val jaccardPairs = Q(
     "q49_jaccard_pairs",
-    (s, dir) => {
-      // token table staged ONCE: both join sides below scan the staged
-      // (doc_id, toks) frame instead of re-running the tokenizer per side
-      // (the plan otherwise tokenized three times — once in minhashSig,
-      // once per join side; round-4 verdict "What's wrong" #3)
-      val toks = Staging.stage(t(s, dir, "documents")
-        .select(col("doc_id"), expr(s"array_distinct($toksExpr)").as("toks")))
-      val cand = minhashCandidates(s, dir)
-      cand
-        .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
-        .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
-        .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
-        .withColumn("uni",
-          (size(col("toks_a")) + size(col("toks_b"))).cast("double") - col("inter"))
-        .withColumn("jaccard", round(col("inter") / col("uni"), 6))
-        .filter(col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
-    },
-    Some(s"""WITH $minhashSigSqlCte, $minhashBandsSqlCte,
-            d AS (SELECT doc_id, list_distinct($toksSql) AS toks FROM documents),
-            p AS (
-              SELECT c.doc_a, c.doc_b,
-                CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE) AS inter,
-                CAST(len(da.toks) + len(db.toks) AS DOUBLE) AS tot
-              FROM cand c
-              JOIN d da ON c.doc_a = da.doc_id
-              JOIN d db ON c.doc_b = db.doc_id)
-            SELECT doc_a, doc_b, round(inter / (tot - inter), 6) AS jaccard
-            FROM p WHERE round(inter / (tot - inter), 6) >= 0.5
-            ORDER BY doc_a, doc_b"""))
+    (s, dir) => jaccardEdges(s, dir).orderBy("doc_a", "doc_b"),
+    Some(s"""WITH $minhashSigSqlCte, $minhashBandsSqlCte, $jaccardEdgesSqlCte
+            SELECT doc_a, doc_b, jaccard FROM jp ORDER BY doc_a, doc_b"""))
 
   // ---- SimHash (nibble-decomposed md5, zero UDFs) ----------------------
   // Bit b of a word's hash comes from hex digit b/4 of md5(word); the
@@ -1047,11 +1056,67 @@ object Llm {
             QUALIFY rk <= 3
             ORDER BY doc_id, rk"""))
 
+  // ---- near-dup clustering: pairs → connected components → survivors ---
+  // The pair queries (q46/q49/q51) stop at edges, but dedup needs the
+  // TRANSITIVE closure: A~B and B~C must collapse into one cluster even
+  // when A and C never collide in any band. q73 labels every paired doc
+  // with its cluster's canonical (minimum) doc_id via hash-min label
+  // propagation (operators/Components.scala — one shuffle per diameter
+  // hop, converges in a handful of rounds because near-dup clusters are
+  // shallow); q74 is the corpus a training run actually reads: one
+  // survivor per cluster plus every unpaired doc. The oracle walks the
+  // same closure with a recursive CTE — both sides agree because "min
+  // reachable id" is evaluation-order-free.
+  private val clusterSqlCte =
+    """sym AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+               UNION ALL
+               SELECT doc_b AS src, doc_a AS dst FROM jp),
+       walk AS (
+         SELECT src AS doc_id, src AS comp FROM sym
+         UNION
+         SELECT s.dst AS doc_id, w.comp AS comp
+         FROM walk w JOIN sym s ON s.src = w.doc_id),
+       clusters AS (
+         SELECT doc_id, min(comp) AS cluster_id FROM walk GROUP BY doc_id)"""
+
+  private def docClusters(s: SparkSession, dir: String): DataFrame =
+    Components.connected(jaccardEdges(s, dir), src = "doc_a", dst = "doc_b")
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+
+  private val dupClusters = Q(
+    "q73_dup_clusters",
+    (s, dir) => docClusters(s, dir).orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE $minhashSigSqlCte, $minhashBandsSqlCte,
+            $jaccardEdgesSqlCte, $clusterSqlCte
+            SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"""))
+
+  // Survivors: drop every clustered doc except its cluster's canonical.
+  // `dominated` is tiny relative to the corpus (near-dup members only), so
+  // AQE resolves the anti-join to a broadcast; at worst it is a hash
+  // anti-join keyed on doc_id — never a scan-vs-scan nested loop.
+  private val dedupSurvivors = Q(
+    "q74_dedup_survivors",
+    (s, dir) => {
+      val dominated = docClusters(s, dir)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select("doc_id")
+      t(s, dir, "documents")
+        .join(dominated, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $minhashSigSqlCte, $minhashBandsSqlCte,
+            $jaccardEdgesSqlCte, $clusterSqlCte
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE doc_id NOT IN
+              (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+            ORDER BY doc_id"""))
+
   val queries: Seq[Q] = Seq(
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
     minhashSignatures, minhashPairs, jaccardPairs, simhash, simhashPairs,
     simhashWidePairs, cosineTopK, embedBuckets, annTopK, embedNearDup,
     ivfTopK, rollingFp, multimodalMeta, qualityScore, piiScrub, corpusFilter,
     vocabDf, decontaminate, stratifiedSample, sourceMix,
-    seqPacking, lengthCurriculum, tfidfTopTerms)
+    seqPacking, lengthCurriculum, tfidfTopTerms, dupClusters, dedupSurvivors)
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Components
+
+/** Hash-min connected components (operators/Components.scala) — the
+  * pairs→clusters collapse behind q73/q74. */
+class ComponentsSpec extends SparkSpec {
+
+  private def edges(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.toDF("src", "dst")
+  }
+
+  private def labels(pairs: (Long, Long)*): Map[Long, Long] =
+    Components.connected(edges(pairs: _*))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+
+  test("transitive chain collapses to one cluster under the min id") {
+    // 1-2, 2-3, 3-4 never pair 1 with 4 directly; the closure must
+    assert(labels(1L -> 2L, 2L -> 3L, 3L -> 4L, 10L -> 11L) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("deep path needs multiple propagation rounds and still converges") {
+    // a 12-node path: the min label must travel 11 hops
+    val path = (1L to 11L).map(i => i -> (i + 1))
+    assert(labels(path: _*) === (1L to 12L).map(_ -> 1L).toMap)
+  }
+
+  test("edge orientation does not matter") {
+    assert(labels(5L -> 2L, 2L -> 9L) === Map(2L -> 2L, 5L -> 2L, 9L -> 2L))
+  }
+
+  test("empty edge list yields an empty labeling") {
+    assert(Components.connected(edges()).isEmpty)
+  }
+
+  test("exceeding maxRounds fail-stops instead of returning wrong labels") {
+    val path = (1L to 11L).map(i => i -> (i + 1))
+    assertThrows[IllegalStateException] {
+      Components.connected(edges(path: _*), maxRounds = 2).collect()
+    }
+  }
+
+  test("q73 clusters cover exactly the paired docs and q74 keeps canonicals") {
+    val dir = "/root/testdata/sf0.01"
+    val clusters = graft.queries.Llm.queries.find(_.name == "q73_dup_clusters").get
+      .fn(spark, dir)
+    val pairs = graft.queries.Llm.queries.find(_.name == "q49_jaccard_pairs").get
+      .fn(spark, dir)
+    val pairedDocs = pairs.select(col("doc_a").as("d"))
+      .union(pairs.select(col("doc_b").as("d"))).distinct().count()
+    assert(clusters.count() === pairedDocs)
+    // every cluster id is itself a member (the canonical doc exists)
+    assert(clusters.filter(col("doc_id") === col("cluster_id")).count() ===
+      clusters.select("cluster_id").distinct().count())
+
+    val docs = graft.core.Tables.load(spark, dir, "documents").count()
+    val survivors = graft.queries.Llm.queries.find(_.name == "q74_dedup_survivors").get
+      .fn(spark, dir).count()
+    val removed = clusters.filter(col("doc_id") =!= col("cluster_id")).count()
+    assert(survivors === docs - removed)
+  }
+}

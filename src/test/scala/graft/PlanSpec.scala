@@ -160,4 +160,12 @@ class PlanSpec extends SparkSpec {
     val p = planOf(q("q14_upsert_orders"))
     assert(p.contains("Join") && p.contains("Union"), s"upsert must be join+union:\n$p")
   }
+
+  test("q74 survivor anti-join is a hash join on doc_id, never a nested loop") {
+    val p = planOf(q("q74_dedup_survivors"))
+    assert(p.contains("LeftAnti"), s"survivors must anti-join the dominated set:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"anti-join must stay keyed on doc_id:\n$p")
+  }
 }
