@@ -1056,6 +1056,68 @@ object Llm {
             QUALIFY rk <= 3
             ORDER BY doc_id, rk"""))
 
+  // ---- repetition signals (Gopher-style quality rules) ------------------
+  // Excess repetition is the classic low-quality marker a corpus filter
+  // gates on: the fraction of the doc occupied by its single most common
+  // word bigram, and the duplicate-word fraction. Bigrams are built with
+  // the bind-once lambda idiom (`transform(array(toks), tk -> ...)`) so
+  // the tokenizer never re-runs per element; counting is one explode +
+  // hash aggregation keyed (doc_id, gram) with map-side partials, and
+  // both per-doc windows share the doc_id shuffle. Docs with fewer than
+  // two tokens have no bigram and are absent by definition — both engines
+  // agree because unnesting an empty list yields no rows.
+  private val bigramFromToks =
+    """flatten(transform(array(toks), tk ->
+         CASE WHEN size(tk) >= 2
+           THEN transform(sequence(1, size(tk) - 1),
+                  i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))
+           ELSE array() END))"""
+
+  private val repetition = Q(
+    "q75_repetition",
+    (s, dir) => {
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), expr(toksExpr).as("toks"))
+        .select(col("doc_id"),
+          round(lit(1) - size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks")), 6).as("dwf"),
+          explode(expr(bigramFromToks)).as("gram"))
+      // dwf is functionally determined by doc_id; max() carries it through
+      // the gram aggregation without a second scan or a join-back
+      val counts = grams.groupBy("doc_id", "gram")
+        .agg(count(lit(1)).as("cnt"), max(col("dwf")).as("dup_word_frac"))
+      val wTot = Window.partitionBy("doc_id")
+      val wRk = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("gram"))
+      counts
+        .withColumn("n_bigrams", sum(col("cnt")).over(wTot))
+        .withColumn("rk", row_number().over(wRk))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("gram").as("top_bigram"),
+          col("cnt").as("top_cnt"), col("n_bigrams").cast("long").as("n_bigrams"),
+          round(col("cnt").cast("double") / col("n_bigrams"), 6).as("top_bigram_frac"),
+          col("dup_word_frac"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH b AS (SELECT doc_id, $toksSql AS toks FROM documents),
+            g AS (SELECT doc_id,
+                    round(1 - CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks), 6) AS dwf,
+                    unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                      ELSE list_transform(generate_series(1, len(toks)-1),
+                             i -> toks[i] || ' ' || toks[i+1]) END) AS gram
+                  FROM b),
+            c AS (SELECT doc_id, gram, count(*) AS cnt, max(dwf) AS dup_word_frac
+                  FROM g GROUP BY 1, 2),
+            t AS (SELECT doc_id, gram, cnt, dup_word_frac,
+                    sum(cnt) OVER (PARTITION BY doc_id) AS n_bigrams,
+                    row_number() OVER (PARTITION BY doc_id
+                      ORDER BY cnt DESC, gram) AS rk
+                  FROM c)
+            SELECT doc_id, gram AS top_bigram, CAST(cnt AS BIGINT) AS top_cnt,
+              CAST(n_bigrams AS BIGINT) AS n_bigrams,
+              round(CAST(cnt AS DOUBLE)/n_bigrams, 6) AS top_bigram_frac,
+              dup_word_frac
+            FROM t WHERE rk = 1 ORDER BY doc_id"""))
+
   // ---- near-dup clustering: pairs → connected components → survivors ---
   // The pair queries (q46/q49/q51) stop at edges, but dedup needs the
   // TRANSITIVE closure: A~B and B~C must collapse into one cluster even
@@ -1118,5 +1180,6 @@ object Llm {
     simhashWidePairs, cosineTopK, embedBuckets, annTopK, embedNearDup,
     ivfTopK, rollingFp, multimodalMeta, qualityScore, piiScrub, corpusFilter,
     vocabDf, decontaminate, stratifiedSample, sourceMix,
-    seqPacking, lengthCurriculum, tfidfTopTerms, dupClusters, dedupSurvivors)
+    seqPacking, lengthCurriculum, tfidfTopTerms, repetition,
+    dupClusters, dedupSurvivors)
 }
