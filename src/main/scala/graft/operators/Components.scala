@@ -52,9 +52,13 @@ object Components {
       src: String = "src",
       dst: String = "dst",
       maxRounds: Int = 20): DataFrame = {
-    val sym = Staging.stage(
-      edges.select(col(src).cast("long").as("id"), col(dst).cast("long").as("nbr"))
-        .union(edges.select(col(dst).cast("long").as("id"), col(src).cast("long").as("nbr"))))
+    // stage the caller's edge pipeline ONCE, then symmetrize by unioning
+    // the staged frame with its column swap — unioning two scans of the
+    // unstaged input would execute the (possibly expensive) upstream edge
+    // computation once per orientation
+    val e = Staging.stage(
+      edges.select(col(src).cast("long").as("id"), col(dst).cast("long").as("nbr")))
+    val sym = e.union(e.select(col("nbr").as("id"), col("id").as("nbr")))
 
     // round 0: min over the 1-hop neighborhood (self included)
     var labels = Staging.stage(

@@ -130,18 +130,34 @@ object Llm {
   // would re-evaluate the whole split/filter per element_at once Catalyst
   // inlines the column (O(words²) per doc; measured 10× on the bench).
   // A lambda variable is an O(1) bound reference, immune to inlining.
-  private val shingleSparkExpr =
+  /** Space-joined word k-grams over a `toks` column, Spark side. The
+    * bind-once idiom above lives ONLY here — shingles (k=3) and bigrams
+    * (k=2) are instantiations, so a fix to the inlining-sensitive shape
+    * cannot drift between them. `short` supplies the result for docs
+    * with fewer than k tokens (`tk` is the bound token array). */
+  private def kGramSparkExpr(k: Int, short: String): String = {
+    val parts = (0 until k).map(j => s"element_at(tk, i + $j)").mkString(", ")
     s"""flatten(transform(array(toks), tk ->
-          CASE WHEN size(tk) >= 3
-            THEN transform(sequence(1, size(tk) - 2),
-                   i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))
-            ELSE array(array_join(tk, ' ')) END))"""
+          CASE WHEN size(tk) >= $k
+            THEN transform(sequence(1, size(tk) - ${k - 1}),
+                   i -> concat_ws(' ', $parts))
+            ELSE $short END))"""
+  }
 
-  private val shingleSql =
-    s"""CASE WHEN len(toks) >= 3
-          THEN list_transform(generate_series(1, len(toks) - 2),
-                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
-          ELSE [array_to_string(toks, ' ')] END"""
+  /** DuckDB twin of [[kGramSparkExpr]] — same k-gram text, same
+    * short-doc fallback hook (over `toks`). */
+  private def kGramSql(k: Int, short: String): String = {
+    val parts = (0 until k)
+      .map(j => if (j == 0) "toks[i]" else s"toks[i + $j]").mkString(" || ' ' || ")
+    s"""CASE WHEN len(toks) >= $k
+          THEN list_transform(generate_series(1, len(toks) - ${k - 1}), i -> $parts)
+          ELSE $short END"""
+  }
+
+  // shingles: short docs fall back to one whole-doc shingle (a 2-word
+  // doc still near-dup-matches its copies)
+  private val shingleSparkExpr = kGramSparkExpr(3, "array(array_join(tk, ' '))")
+  private val shingleSql = kGramSql(3, "[array_to_string(toks, ' ')]")
 
   // Explode + hash-aggregate rather than per-row array lambdas: the
   // exploded form computes exactly one md5 per shingle (array-lambda
@@ -1059,19 +1075,15 @@ object Llm {
   // ---- repetition signals (Gopher-style quality rules) ------------------
   // Excess repetition is the classic low-quality marker a corpus filter
   // gates on: the fraction of the doc occupied by its single most common
-  // word bigram, and the duplicate-word fraction. Bigrams are built with
-  // the bind-once lambda idiom (`transform(array(toks), tk -> ...)`) so
-  // the tokenizer never re-runs per element; counting is one explode +
-  // hash aggregation keyed (doc_id, gram) with map-side partials, and
-  // both per-doc windows share the doc_id shuffle. Docs with fewer than
-  // two tokens have no bigram and are absent by definition — both engines
-  // agree because unnesting an empty list yields no rows.
-  private val bigramFromToks =
-    """flatten(transform(array(toks), tk ->
-         CASE WHEN size(tk) >= 2
-           THEN transform(sequence(1, size(tk) - 1),
-                  i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))
-           ELSE array() END))"""
+  // word bigram, and the duplicate-word fraction. Bigrams instantiate the
+  // shared k-gram machinery (k=2, empty fallback — see kGramSparkExpr's
+  // bind-once note); counting is one explode + hash aggregation keyed
+  // (doc_id, gram) with map-side partials, and both per-doc windows share
+  // the doc_id shuffle. Docs with fewer than two tokens have no bigram
+  // and are absent by definition — both engines agree because unnesting
+  // an empty list yields no rows.
+  private val bigramFromToks = kGramSparkExpr(2, "array()")
+  private val bigramSql = kGramSql(2, "CAST([] AS VARCHAR[])")
 
   private val repetition = Q(
     "q75_repetition",
@@ -1101,9 +1113,7 @@ object Llm {
     Some(s"""WITH b AS (SELECT doc_id, $toksSql AS toks FROM documents),
             g AS (SELECT doc_id,
                     round(1 - CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks), 6) AS dwf,
-                    unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
-                      ELSE list_transform(generate_series(1, len(toks)-1),
-                             i -> toks[i] || ' ' || toks[i+1]) END) AS gram
+                    unnest($bigramSql) AS gram
                   FROM b),
             c AS (SELECT doc_id, gram, count(*) AS cnt, max(dwf) AS dup_word_frac
                   FROM g GROUP BY 1, 2),
