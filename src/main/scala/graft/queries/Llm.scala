@@ -165,8 +165,8 @@ object Llm {
   // hashing), does the mins map-side (partial_min before the shuffle,
   // 4 short strings per doc on the wire), and is the shape that scales —
   // shingle explosion is linear and the shuffle is per-doc, not per-pair.
-  private def minhashSig(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+  private def minhashSigOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", expr(toksExpr))
       .withColumn("shingles", expr(shingleSparkExpr))
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
@@ -179,6 +179,9 @@ object Llm {
         min(expr("substring(h, 25, 8)")).as("mh3"))
       .withColumn("band0", md5(concat_ws("|", col("mh0"), col("mh1"))))
       .withColumn("band1", md5(concat_ws("|", col("mh2"), col("mh3"))))
+
+  private def minhashSig(s: SparkSession, dir: String): DataFrame =
+    minhashSigOf(t(s, dir, "documents"))
 
   private val minhashSigSqlCte =
     s"""b AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -211,13 +214,16 @@ object Llm {
     * dedup, with `spark.graft.staging=reliable` switching to a
     * recomputable parquet staging write (executor loss survivable).
     */
-  private def minhashBands(s: SparkSession, dir: String): DataFrame =
-    Staging.stage(minhashSig(s, dir).select(col("doc_id"), col("band0").as("b0"),
+  private def minhashBandsOf(docs: DataFrame): DataFrame =
+    Staging.stage(minhashSigOf(docs).select(col("doc_id"), col("band0").as("b0"),
       explode(array(
         struct(lit(0).as("band"), col("band0").as("bucket")),
         struct(lit(1).as("band"), col("band1").as("bucket")))).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"),
         col("b0")))
+
+  private def minhashBands(s: SparkSession, dir: String): DataFrame =
+    minhashBandsOf(t(s, dir, "documents"))
 
   /** Candidate near-dup pairs from the band equi-join — never all-pairs,
     * and exactly-once: a pair colliding on BOTH bands is emitted only from
@@ -1184,6 +1190,99 @@ object Llm {
               (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
             ORDER BY doc_id"""))
 
+  // ---- incremental dedup: delta batch vs the corpus band index ---------
+  // The production shape of MinHash dedup at 100 TB: the corpus is never
+  // re-shingled per ingest. Its band table (doc_id, band, bucket) is a
+  // PERSISTED byproduct of the last dedup run; each new batch shingles
+  // only itself and equi-joins its bands against the index, so per-ingest
+  // cost scales with the delta, not the corpus. The query models the
+  // split with a doc_id threshold (corpus < 400, delta ≥ 400) and the
+  // index side's staging stands in for the persisted table. The exact-
+  // Jaccard verification reuses the linear map-only token table (q49's);
+  // both verification joins are keyed equi-joins, and emission is
+  // exactly-once via the same lowest-agreeing-band filter as q46.
+  private val deltaSplit = 400L
+
+  private val incrementalDedup = Q(
+    "q76_incremental_dedup",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = minhashBandsOf(docs.filter(col("doc_id") < deltaSplit))
+      val delta = minhashBandsOf(docs.filter(col("doc_id") >= deltaSplit))
+      val cand = delta.select(col("doc_id").as("delta_id"), col("band"),
+          col("bucket"), col("b0").as("b0_d"))
+        .join(idx.select(col("doc_id").as("corpus_id"), col("band"),
+          col("bucket"), col("b0").as("b0_c")), Seq("band", "bucket"))
+        .filter(col("band") === 0 || col("b0_d") =!= col("b0_c"))
+        .select("delta_id", "corpus_id")
+      val toks = Staging.stage(docs
+        .select(col("doc_id"), expr(s"array_distinct($toksExpr)").as("toks")))
+      cand
+        .join(toks.select(col("doc_id").as("delta_id"), col("toks").as("toks_d")),
+          Seq("delta_id"))
+        .join(toks.select(col("doc_id").as("corpus_id"), col("toks").as("toks_c")),
+          Seq("corpus_id"))
+        .withColumn("inter",
+          size(array_intersect(col("toks_d"), col("toks_c"))).cast("double"))
+        .withColumn("uni",
+          (size(col("toks_d")) + size(col("toks_c"))).cast("double") - col("inter"))
+        .withColumn("jaccard", round(col("inter") / col("uni"), 6))
+        .filter(col("jaccard") >= 0.5)
+        .select("delta_id", "corpus_id", "jaccard")
+        .orderBy("delta_id", "corpus_id")
+    },
+    Some(s"""WITH $minhashSigSqlCte,
+            bands AS (
+              SELECT doc_id, 0 AS band, band0 AS bucket FROM sigb
+              UNION ALL
+              SELECT doc_id, 1 AS band, band1 AS bucket FROM sigb),
+            cand AS (
+              SELECT DISTINCT d.doc_id AS delta_id, c.doc_id AS corpus_id
+              FROM bands d JOIN bands c
+                ON d.band = c.band AND d.bucket = c.bucket
+              WHERE d.doc_id >= $deltaSplit AND c.doc_id < $deltaSplit),
+            tk AS (SELECT doc_id, list_distinct($toksSql) AS toks FROM documents),
+            p AS (
+              SELECT cand.delta_id, cand.corpus_id,
+                CAST(len(list_intersect(td.toks, tc.toks)) AS DOUBLE) AS inter,
+                CAST(len(td.toks) + len(tc.toks) AS DOUBLE) AS tot
+              FROM cand
+              JOIN tk td ON cand.delta_id = td.doc_id
+              JOIN tk tc ON cand.corpus_id = tc.doc_id)
+            SELECT delta_id, corpus_id, round(inter / (tot - inter), 6) AS jaccard
+            FROM p WHERE round(inter / (tot - inter), 6) >= 0.5
+            ORDER BY delta_id, corpus_id"""))
+
+  // ---- temperature-based source mixing ---------------------------------
+  // The standard multilingual/multi-source sampling formula (q_i ∝ p_i^α,
+  // α = 0.7): flattens the source distribution toward uniform without
+  // inverting it — high-resource sources are down-weighted, low-resource
+  // ones up-weighted. Like q67, the corpus collapses to one row per
+  // source BEFORE the whole-frame windows, so they run over a handful of
+  // rows; p/q stay unrounded through the arithmetic and round only at
+  // emission (both engines compute the same IEEE-754 chain).
+  private val temperatureMix = Q(
+    "q77_temperature_mix",
+    (s, dir) => {
+      val tot = Window.partitionBy()
+      t(s, dir, "documents")
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("p", col("n_docs").cast("double") / sum(col("n_docs")).over(tot))
+        .withColumn("pa", pow(col("p"), lit(0.7)))
+        .withColumn("q", col("pa") / sum(col("pa")).over(tot))
+        .select(col("source"), col("n_docs"),
+          round(col("p"), 6).as("p"), round(col("q"), 6).as("q"))
+        .orderBy("source")
+    },
+    Some("""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+            w AS (SELECT source, n_docs,
+                    CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () AS p
+                  FROM c),
+            a AS (SELECT source, n_docs, p, power(p, 0.7) AS pa FROM w)
+            SELECT source, n_docs, round(p, 6) AS p,
+              round(pa / sum(pa) OVER (), 6) AS q
+            FROM a ORDER BY source"""))
+
   val queries: Seq[Q] = Seq(
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
     minhashSignatures, minhashPairs, jaccardPairs, simhash, simhashPairs,
@@ -1191,5 +1290,5 @@ object Llm {
     ivfTopK, rollingFp, multimodalMeta, qualityScore, piiScrub, corpusFilter,
     vocabDf, decontaminate, stratifiedSample, sourceMix,
     seqPacking, lengthCurriculum, tfidfTopTerms, repetition,
-    dupClusters, dedupSurvivors)
+    dupClusters, dedupSurvivors, incrementalDedup, temperatureMix)
 }
