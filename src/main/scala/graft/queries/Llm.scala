@@ -37,7 +37,7 @@ object Llm {
 
   // Tokenization shared by the text operators: lowercase, split on
   // non-space runs, drop empties. Pure built-ins.
-  private val toksExpr = "filter(split(lower(text), '\\\\s+'), x -> x <> '')"
+  private[graft] val toksExpr = "filter(split(lower(text), '\\\\s+'), x -> x <> '')"
   private val toksSql = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 
   // ---- text statistics / quality scoring -------------------------------
@@ -156,7 +156,7 @@ object Llm {
 
   // shingles: short docs fall back to one whole-doc shingle (a 2-word
   // doc still near-dup-matches its copies)
-  private val shingleSparkExpr = kGramSparkExpr(3, "array(array_join(tk, ' '))")
+  private[graft] val shingleSparkExpr = kGramSparkExpr(3, "array(array_join(tk, ' '))")
   private val shingleSql = kGramSql(3, "[array_to_string(toks, ' ')]")
 
   // Explode + hash-aggregate rather than per-row array lambdas: the
@@ -214,13 +214,22 @@ object Llm {
     * dedup, with `spark.graft.staging=reliable` switching to a
     * recomputable parquet staging write (executor loss survivable).
     */
-  private def minhashBandsOf(docs: DataFrame): DataFrame =
-    Staging.stage(minhashSigOf(docs).select(col("doc_id"), col("band0").as("b0"),
+  /** The unstaged band-index plan: (doc_id, band, bucket, b0). Public
+    * seam for PERSISTING the index (q76's architecture, and the static
+    * side of the streaming near-dup join — streaming/NearDup.scala): an
+    * ingest pipeline writes this once per dedup run and every later
+    * delta joins against the stored table instead of re-shingling the
+    * corpus. */
+  def bandIndexOf(docs: DataFrame): DataFrame =
+    minhashSigOf(docs).select(col("doc_id"), col("band0").as("b0"),
       explode(array(
         struct(lit(0).as("band"), col("band0").as("bucket")),
         struct(lit(1).as("band"), col("band1").as("bucket")))).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"),
-        col("b0")))
+        col("b0"))
+
+  private def minhashBandsOf(docs: DataFrame): DataFrame =
+    Staging.stage(bandIndexOf(docs))
 
   private def minhashBands(s: SparkSession, dir: String): DataFrame =
     minhashBandsOf(t(s, dir, "documents"))

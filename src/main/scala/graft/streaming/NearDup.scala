@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.Llm
+
+/** Streaming near-dup detection: the stream-static realization of q76's
+  * incremental-dedup architecture. The corpus band index
+  * (`Llm.bandIndexOf`, persisted as a table) and the corpus token table
+  * are the STATIC sides; each micro-batch of arriving documents computes
+  * its own MinHash bands map-only and equi-joins them against the index —
+  * stateless stream-static joins, so no watermark, no state store, and
+  * per-batch cost scales with the batch, never the corpus.
+  *
+  * The batch index builds signatures by explode + groupBy-min (cheapest
+  * at rest), but a streaming stage cannot run a per-doc aggregation just
+  * to assemble signatures. Here the signature is a single per-row
+  * `aggregate(...)` fold over the shingle array — one md5 per shingle,
+  * min-slices accumulated in a struct — and the whole band computation
+  * stays inside one projected expression so Catalyst cannot inline the
+  * fold into multiple consumers and re-evaluate it (the measured
+  * CollapseProject re-inlining pitfall). Bit-parity of the two
+  * constructions is pinned by NearDupStreamSpec.
+  */
+object NearDup {
+
+  // fold initial: lexicographically above every 8-hex-char slice
+  private val top = "zzzzzzzz"
+
+  /** One expression: shingles → md5 fold → [band0, band1] structs, each
+    * carrying the doc's band-0 bucket (`b0`) for the exactly-once
+    * emission filter downstream. Evaluated once per row (single use,
+    * then exploded). */
+  private val bandArrayExpr =
+    s"""transform(array(aggregate(
+          transform(shingles, sh -> md5(sh)),
+          named_struct('m0', '$top', 'm1', '$top', 'm2', '$top', 'm3', '$top'),
+          (a, h) -> named_struct(
+            'm0', least(a.m0, substring(h, 1, 8)),
+            'm1', least(a.m1, substring(h, 9, 8)),
+            'm2', least(a.m2, substring(h, 17, 8)),
+            'm3', least(a.m3, substring(h, 25, 8))))),
+        g -> array(
+          named_struct('band', 0,
+            'bucket', md5(concat_ws('|', g.m0, g.m1)),
+            'b0', md5(concat_ws('|', g.m0, g.m1))),
+          named_struct('band', 1,
+            'bucket', md5(concat_ws('|', g.m2, g.m3)),
+            'b0', md5(concat_ws('|', g.m0, g.m1)))))[0]"""
+
+  /** Map-only (doc_id, band, bucket, b0) for a streaming OR batch doc
+    * frame — same band values as `Llm.bandIndexOf` (parity-tested), no
+    * aggregation state. */
+  def bands(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", expr(Llm.toksExpr))
+      .withColumn("shingles", expr(Llm.shingleSparkExpr))
+      .select(col("doc_id"), expr(bandArrayExpr).as("bs"))
+      .select(col("doc_id"), explode(col("bs")).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"),
+        col("b.bucket").as("bucket"), col("b.b0").as("b0"))
+
+  /** Flag stream docs that are near-dups of the indexed corpus.
+    *
+    * @param stream     streaming doc frame with `doc_id` and `text`
+    * @param index      static band index: output of `Llm.bandIndexOf`
+    *                   (read back from its persisted table)
+    * @param corpusToks static (doc_id, toks) with DISTINCT tokens (the
+    *                   q49 token-table shape) for the exact-Jaccard check
+    * @return (delta_id, corpus_id, jaccard) — exactly one row per
+    *         verified pair (lowest-agreeing-band emission, no dedup
+    *         state) */
+  def flagAgainstIndex(
+      stream: DataFrame,
+      index: DataFrame,
+      corpusToks: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val withBands = stream
+      .withColumn("toks", expr(Llm.toksExpr))
+      .withColumn("shingles", expr(Llm.shingleSparkExpr))
+      .select(col("doc_id").as("delta_id"),
+        array_distinct(col("toks")).as("toks_d"), expr(bandArrayExpr).as("bs"))
+      .select(col("delta_id"), col("toks_d"), explode(col("bs")).as("b"))
+      .select(col("delta_id"), col("toks_d"), col("b.band").as("band"),
+        col("b.bucket").as("bucket"), col("b.b0").as("b0_d"))
+    withBands
+      .join(index.select(col("doc_id").as("corpus_id"), col("band"),
+        col("bucket"), col("b0").as("b0_c")), Seq("band", "bucket"))
+      .filter(col("band") === 0 || col("b0_d") =!= col("b0_c"))
+      .join(corpusToks.select(col("doc_id").as("corpus_id"),
+        col("toks").as("toks_c")), Seq("corpus_id"))
+      .withColumn("inter",
+        size(array_intersect(col("toks_d"), col("toks_c"))).cast("double"))
+      .withColumn("uni",
+        (size(col("toks_d")) + size(col("toks_c"))).cast("double") - col("inter"))
+      .withColumn("jaccard", round(col("inter") / col("uni"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("delta_id"), col("corpus_id"), col("jaccard"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.queries.Llm
+import graft.streaming.NearDup
+
+/** Streaming near-dup detection (streaming/NearDup.scala): bit-parity of
+  * the map-only fold signature with the batch explode+groupBy index, and
+  * the stream-static join end-to-end against q76's batch result. */
+class NearDupStreamSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+  private val split = 400L
+
+  test("map-only fold bands are bit-identical to the batch band index") {
+    val docs = Tables.load(spark, sf, "documents")
+    val batch = Llm.bandIndexOf(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3))).toSet
+    val fold = NearDup.bands(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3))).toSet
+    assert(fold === batch)
+  }
+
+  test("stream-static join flags the same near-dups as batch q76") {
+    val docs = Tables.load(spark, sf, "documents")
+
+    // the persisted corpus artifacts: band index + distinct-token table
+    val idxDir = Files.createTempDirectory("nd-idx").toString
+    val toksDir = Files.createTempDirectory("nd-toks").toString
+    Llm.bandIndexOf(docs.filter(col("doc_id") < split))
+      .write.mode("overwrite").parquet(idxDir)
+    docs.filter(col("doc_id") < split)
+      .select(col("doc_id"),
+        expr("array_distinct(filter(split(lower(text), '\\\\s+'), x -> x <> ''))").as("toks"))
+      .write.mode("overwrite").parquet(toksDir)
+
+    // the arriving delta, staged as a file stream
+    val deltaDir = Files.createTempDirectory("nd-delta").toString
+    docs.filter(col("doc_id") >= split).write.mode("overwrite").parquet(deltaDir)
+    val schema = spark.read.parquet(deltaDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(deltaDir)
+
+    val q = NearDup.flagAgainstIndex(stream,
+        spark.read.parquet(idxDir), spark.read.parquet(toksDir))
+      .writeStream
+      .format("memory").queryName("neardups").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt-nd").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("neardups")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = SparkEntry.queries("q76_incremental_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty, "fixture must contain cross-split near-dups")
+    assert(streamed === batch)
+  }
+}
