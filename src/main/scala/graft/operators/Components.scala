@@ -86,4 +86,28 @@ object Components {
           "(large-star/small-star) for deep graphs")
     labels
   }
+
+  /** Incremental cluster maintenance: fold a new ingest's edges into an
+    * existing labeling WITHOUT re-walking the old edge set (the
+    * clustering continuation of q76's persisted-index architecture — the
+    * prior run's (id, comp) table is the persisted artifact). Each old
+    * label row is itself an edge to the component's canonical node, and
+    * that star preserves the old connectivity exactly, with diameter 2 —
+    * so propagation over star ∪ new edges converges in a few rounds
+    * regardless of how many ingests built the old labeling. Identical to
+    * re-clustering the full history (ComponentsSpec pins it).
+    *
+    * Canonical ids can MOVE when a new edge bridges two old clusters or
+    * a new doc has a smaller id than an old canonical — downstream
+    * survivor tables key on cluster membership, not on a canonical
+    * staying put. */
+  def merge(
+      labels: DataFrame,
+      newEdges: DataFrame,
+      src: String = "src",
+      dst: String = "dst",
+      maxRounds: Int = 20): DataFrame = {
+    val star = labels.select(col("id").as(src), col("comp").as(dst))
+    connected(star.union(newEdges.select(col(src), col(dst))), src, dst, maxRounds)
+  }
 }

@@ -46,6 +46,17 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("incremental merge equals re-clustering the full edge history") {
+    val oldEdges = Seq(1L -> 2L, 2L -> 3L, 10L -> 11L)
+    val newEdges = Seq(3L -> 10L, 20L -> 21L) // bridges {1,2,3}+{10,11}, adds {20,21}
+    val oldLabels = Components.connected(edges(oldEdges: _*))
+    val merged = Components.merge(oldLabels, edges(newEdges: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === labels(oldEdges ++ newEdges: _*))
+    assert(merged(11L) === 1L, "bridged clusters must re-canonicalize to the global min")
+    assert(merged(21L) === 20L)
+  }
+
   test("q73 clusters cover exactly the paired docs and q74 keeps canonicals") {
     val dir = "/root/testdata/sf0.01"
     val clusters = graft.queries.Llm.queries.find(_.name == "q73_dup_clusters").get
