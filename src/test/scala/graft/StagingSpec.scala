@@ -111,7 +111,10 @@ class StagingSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-staging-spec2").toString
     spark.conf.set("spark.graft.staging.dir", dir)
     try {
-      Seq("q46_minhash_pairs", "q51_simhash_pairs", "q53_ann_topk").foreach { name =>
+      // q73 exercises the iterative hash-min loop (one staging per
+      // propagation round), q76 the two-index incremental join
+      Seq("q46_minhash_pairs", "q51_simhash_pairs", "q53_ann_topk",
+          "q73_dup_clusters", "q76_incremental_dedup").foreach { name =>
         val local = withStagingMode("local") {
           SparkEntry.queries(name)(spark, sf).collect().toSeq
         }
