@@ -9,9 +9,10 @@ import graft.core.Staging
   * of a near-dup dedup pipeline: pair emission (MinHash/SimHash banding)
   * finds the edges, components turn transitive chains (A~B, B~C) into one
   * duplicate cluster, and the cluster's canonical member is the survivor
-  * (ref: the reference's dedup stages stop at pairwise joins —
-  * transform/dedupe.py — so this is the engine going one stage further
-  * than the system it models).
+  * (the reference's dedup is exact-key only —
+  * pipeline/functions/functions.py:91-106,149 — so clustering is the
+  * engine going a stage beyond the system it models, per the builder
+  * brief's LLM-pipeline scope).
   *
   * Algorithm: hash-min label propagation. Every node starts labeled with
   * the minimum of itself and its direct neighbors; each round propagates
