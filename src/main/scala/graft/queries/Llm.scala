@@ -1149,6 +1149,38 @@ object Llm {
               dup_word_frac
             FROM t WHERE rk = 1 ORDER BY doc_id"""))
 
+  // ---- unigram log-probability scoring ---------------------------------
+  // The oracle-able form of LM-based quality filtering (CCNet-style
+  // perplexity gates): score each doc by the average log-probability of
+  // its tokens under the corpus unigram distribution — gibberish and
+  // rare-token soup score low, fluent common text scores high. The
+  // count table is vocabulary-bounded and broadcasts back to the token
+  // stream (the q70 shape); corpus mass arrives as a broadcast 1-row
+  // aggregate. Everything heavier than the vocab shuffle is map-side.
+  private val unigramLogprob = Q(
+    "q78_unigram_logprob",
+    (s, dir) => {
+      val toksTbl = t(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(toksExpr)).as("token"))
+      val cnts = toksTbl.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val n = cnts.agg(sum(col("cnt")).as("n_total"))
+      toksTbl
+        .join(broadcast(cnts), Seq("token"))
+        .crossJoin(broadcast(n))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          round(avg(log(col("cnt").cast("double") / col("n_total"))), 6)
+            .as("avg_logp"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH x AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+            c AS (SELECT token, count(*) AS cnt FROM x GROUP BY token),
+            n AS (SELECT sum(cnt) AS n_total FROM c)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+              round(avg(ln(CAST(cnt AS DOUBLE) / n_total)), 6) AS avg_logp
+            FROM x JOIN c USING (token) CROSS JOIN n
+            GROUP BY doc_id ORDER BY doc_id"""))
+
   // ---- near-dup clustering: pairs → connected components → survivors ---
   // The pair queries (q46/q49/q51) stop at edges, but dedup needs the
   // TRANSITIVE closure: A~B and B~C must collapse into one cluster even
@@ -1305,5 +1337,6 @@ object Llm {
     ivfTopK, rollingFp, multimodalMeta, qualityScore, piiScrub, corpusFilter,
     vocabDf, decontaminate, stratifiedSample, sourceMix,
     seqPacking, lengthCurriculum, tfidfTopTerms, repetition,
-    dupClusters, dedupSurvivors, incrementalDedup, temperatureMix)
+    dupClusters, dedupSurvivors, incrementalDedup, temperatureMix,
+    unigramLogprob)
 }

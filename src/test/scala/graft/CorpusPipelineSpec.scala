@@ -52,4 +52,30 @@ class CorpusPipelineSpec extends SparkSpec {
     val k2 = p2.select("doc_id", "seq_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(k1 === k2)
   }
+
+  test("reliable staging yields the identical corpus and reclaims its scratch") {
+    val (docs, bench) = inputs
+    val (pLocal, rLocal) = CorpusPipeline.run(docs, bench)
+    val localKeys = pLocal.select("doc_id", "seq_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("corpus-reliable").toString
+    spark.conf.set("spark.graft.staging.dir", dir)
+    spark.conf.set("spark.graft.staging", "reliable")
+    try {
+      val mark = graft.core.Staging.mark(spark)
+      val (pRel, rRel) = CorpusPipeline.run(docs, bench)
+      val relKeys = pRel.select("doc_id", "seq_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(relKeys === localKeys)
+      assert(rRel === rLocal)
+      assert(graft.core.Staging.reclaim(spark, mark) > 0,
+        "the run must have tracked reclaimable staging")
+      assert(new java.io.File(dir).listFiles().isEmpty,
+        "run-end reclaim must empty the pipeline's staging scratch")
+    } finally {
+      spark.conf.unset("spark.graft.staging")
+      spark.conf.unset("spark.graft.staging.dir")
+    }
+  }
 }
