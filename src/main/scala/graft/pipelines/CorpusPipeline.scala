@@ -60,13 +60,19 @@ object CorpusPipeline {
       s
     }
 
-    // 1. map-only gate + scrub, fused into one projection over the scan
-    val stops = cfg.stopwords.map(w => s"'$w'").mkString(", ")
+    // 1. map-only gate + scrub, fused into one projection over the scan.
+    // Stopwords enter as literal Columns, never spliced into SQL text —
+    // a quote-bearing stopword must not be a parser injection point.
+    val stopGate =
+      if (cfg.stopwords.isEmpty) lit(true)
+      else {
+        val stopArr = array(cfg.stopwords.map(lit): _*)
+        size(filter(col("toks"), x => array_contains(stopArr, x))) *
+          cfg.stopwordDivisor > size(col("toks"))
+      }
     val gated = staged("gate_scrub", docs
       .withColumn("toks", expr(Llm.toksExpr))
-      .filter(col("n_chars").between(cfg.minChars, cfg.maxChars) &&
-        expr(s"size(filter(toks, x -> x IN ($stops)))") * cfg.stopwordDivisor >
-          size(col("toks")))
+      .filter(col("n_chars").between(cfg.minChars, cfg.maxChars) && stopGate)
       .withColumn("text", F.redactPii(col("text")))
       .drop("toks"))
 

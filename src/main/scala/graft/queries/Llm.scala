@@ -204,22 +204,16 @@ object Llm {
     Some(s"""WITH $minhashSigSqlCte
             SELECT doc_id, mh0, mh1, mh2, mh3, band0, band1 FROM sigb ORDER BY doc_id"""))
 
-  /** (doc_id, band, bucket) rows, one per LSH band, plus the doc's band-0
-    * bucket on every row (`b0`) so the pair join can decide exactly-once
-    * emission without a dedup pass. Materialized eagerly (Staging.stage)
-    * because every consumer self-joins it: the shingle+minhash aggregation
-    * runs once and — in the default local mode — its blocks are reclaimed
-    * by the ContextCleaner when the frame goes out of scope. At cluster
-    * scale this is the classic signature-staging step of MinHash-LSH
-    * dedup, with `spark.graft.staging=reliable` switching to a
-    * recomputable parquet staging write (executor loss survivable).
-    */
-  /** The unstaged band-index plan: (doc_id, band, bucket, b0). Public
+  /** The UNSTAGED band-index plan: (doc_id, band, bucket) rows, one per
+    * LSH band, plus the doc's band-0 bucket on every row (`b0`) so pair
+    * joins can decide exactly-once emission without a dedup pass. Public
     * seam for PERSISTING the index (q76's architecture, and the static
     * side of the streaming near-dup join — streaming/NearDup.scala): an
     * ingest pipeline writes this once per dedup run and every later
     * delta joins against the stored table instead of re-shingling the
-    * corpus. */
+    * corpus. In-engine consumers that self-join the index within one
+    * query go through [[minhashBandsOf]], which stages this plan so the
+    * shingle+minhash aggregation runs once per query, not per branch. */
   def bandIndexOf(docs: DataFrame): DataFrame =
     minhashSigOf(docs).select(col("doc_id"), col("band0").as("b0"),
       explode(array(
@@ -228,6 +222,11 @@ object Llm {
       .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"),
         col("b0"))
 
+  /** [[bandIndexOf]] materialized via Staging.stage: in the default local
+    * mode its blocks are reclaimed by the ContextCleaner when the frame
+    * goes out of scope; `spark.graft.staging=reliable` switches to a
+    * recomputable parquet staging write (executor loss survivable) —
+    * the classic signature-staging step of MinHash-LSH dedup. */
   private def minhashBandsOf(docs: DataFrame): DataFrame =
     Staging.stage(bandIndexOf(docs))
 
@@ -282,6 +281,22 @@ object Llm {
   // band/row parameters are the recall knob (SURVEY §2; MMDS ch.3).
   /** Verified near-dup edges: MinHash-band candidates with exact Jaccard
     * ≥ 0.5 — the edge list q49 reports and q73/q74 cluster. */
+  /** The exact-Jaccard verification core shared by every near-dup path
+    * (batch q49/q73/q74, incremental q76, streaming NearDup): score
+    * candidate rows already carrying both DISTINCT token arrays, keep
+    * pairs at/above `threshold`. One definition means the threshold,
+    * rounding, and set semantics cannot drift between paths. */
+  private[graft] def jaccardScore(
+      pairs: DataFrame, aToks: String, bToks: String,
+      threshold: Double): DataFrame =
+    pairs
+      .withColumn("inter",
+        size(array_intersect(col(aToks), col(bToks))).cast("double"))
+      .withColumn("uni",
+        (size(col(aToks)) + size(col(bToks))).cast("double") - col("inter"))
+      .withColumn("jaccard", round(col("inter") / col("uni"), 6))
+      .filter(col("jaccard") >= threshold)
+
   private[graft] def jaccardEdgesOf(docs: DataFrame): DataFrame = {
     // token table staged ONCE: both join sides below scan the staged
     // (doc_id, toks) frame instead of re-running the tokenizer per side
@@ -290,14 +305,9 @@ object Llm {
     val toks = Staging.stage(docs
       .select(col("doc_id"), expr(s"array_distinct($toksExpr)").as("toks")))
     val cand = minhashCandidatesOf(docs)
-    cand
       .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
       .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
-      .withColumn("uni",
-        (size(col("toks_a")) + size(col("toks_b"))).cast("double") - col("inter"))
-      .withColumn("jaccard", round(col("inter") / col("uni"), 6))
-      .filter(col("jaccard") >= 0.5)
+    jaccardScore(cand, "toks_a", "toks_b", 0.5)
       .select("doc_a", "doc_b", "jaccard")
   }
 
@@ -1264,17 +1274,12 @@ object Llm {
         .select("delta_id", "corpus_id")
       val toks = Staging.stage(docs
         .select(col("doc_id"), expr(s"array_distinct($toksExpr)").as("toks")))
-      cand
+      val scored = cand
         .join(toks.select(col("doc_id").as("delta_id"), col("toks").as("toks_d")),
           Seq("delta_id"))
         .join(toks.select(col("doc_id").as("corpus_id"), col("toks").as("toks_c")),
           Seq("corpus_id"))
-        .withColumn("inter",
-          size(array_intersect(col("toks_d"), col("toks_c"))).cast("double"))
-        .withColumn("uni",
-          (size(col("toks_d")) + size(col("toks_c"))).cast("double") - col("inter"))
-        .withColumn("jaccard", round(col("inter") / col("uni"), 6))
-        .filter(col("jaccard") >= 0.5)
+      jaccardScore(scored, "toks_d", "toks_c", 0.5)
         .select("delta_id", "corpus_id", "jaccard")
         .orderBy("delta_id", "corpus_id")
     },

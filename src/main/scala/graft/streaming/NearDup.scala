@@ -31,7 +31,12 @@ object NearDup {
   /** One expression: shingles → md5 fold → [band0, band1] structs, each
     * carrying the doc's band-0 bucket (`b0`) for the exactly-once
     * emission filter downstream. Evaluated once per row (single use,
-    * then exploded). */
+    * then exploded). The `nullif` on each accumulated slice keeps parity
+    * with the batch path for null-text docs: there `min` over an all-null
+    * group is null and `concat_ws` skips it (bucket = md5('')), while
+    * `least` skips nulls and would leave the fold at its '$top' sentinel —
+    * no real slice is ever '$top' (slices are hex), so mapping the
+    * sentinel back to null restores the identical bucket. */
   private val bandArrayExpr =
     s"""transform(array(aggregate(
           transform(shingles, sh -> md5(sh)),
@@ -43,11 +48,11 @@ object NearDup {
             'm3', least(a.m3, substring(h, 25, 8))))),
         g -> array(
           named_struct('band', 0,
-            'bucket', md5(concat_ws('|', g.m0, g.m1)),
-            'b0', md5(concat_ws('|', g.m0, g.m1))),
+            'bucket', md5(concat_ws('|', nullif(g.m0, '$top'), nullif(g.m1, '$top'))),
+            'b0', md5(concat_ws('|', nullif(g.m0, '$top'), nullif(g.m1, '$top')))),
           named_struct('band', 1,
-            'bucket', md5(concat_ws('|', g.m2, g.m3)),
-            'b0', md5(concat_ws('|', g.m0, g.m1)))))[0]"""
+            'bucket', md5(concat_ws('|', nullif(g.m2, '$top'), nullif(g.m3, '$top'))),
+            'b0', md5(concat_ws('|', nullif(g.m0, '$top'), nullif(g.m1, '$top'))))))[0]"""
 
   /** Map-only (doc_id, band, bucket, b0) for a streaming OR batch doc
     * frame — same band values as `Llm.bandIndexOf` (parity-tested), no
@@ -84,18 +89,13 @@ object NearDup {
       .select(col("delta_id"), col("toks_d"), explode(col("bs")).as("b"))
       .select(col("delta_id"), col("toks_d"), col("b.band").as("band"),
         col("b.bucket").as("bucket"), col("b.b0").as("b0_d"))
-    withBands
+    val scored = withBands
       .join(index.select(col("doc_id").as("corpus_id"), col("band"),
         col("bucket"), col("b0").as("b0_c")), Seq("band", "bucket"))
       .filter(col("band") === 0 || col("b0_d") =!= col("b0_c"))
       .join(corpusToks.select(col("doc_id").as("corpus_id"),
         col("toks").as("toks_c")), Seq("corpus_id"))
-      .withColumn("inter",
-        size(array_intersect(col("toks_d"), col("toks_c"))).cast("double"))
-      .withColumn("uni",
-        (size(col("toks_d")) + size(col("toks_c"))).cast("double") - col("inter"))
-      .withColumn("jaccard", round(col("inter") / col("uni"), 6))
-      .filter(col("jaccard") >= threshold)
+    Llm.jaccardScore(scored, "toks_d", "toks_c", threshold)
       .select(col("delta_id"), col("corpus_id"), col("jaccard"))
   }
 }

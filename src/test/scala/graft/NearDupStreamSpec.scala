@@ -25,6 +25,22 @@ class NearDupStreamSpec extends SparkSpec {
     assert(fold === batch)
   }
 
+  test("null-text docs bucket identically in fold and batch paths") {
+    // batch: min over an all-null group is null, concat_ws skips it;
+    // fold: least skips nulls and parks at the sentinel — the nullif in
+    // bandArrayExpr maps the sentinel back to null. Divergence here
+    // would make null-text stream docs silently unmatchable.
+    import spark.implicits._
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, "spark rows fast table"))
+      .toDF("doc_id", "text")
+    val batch = Llm.bandIndexOf(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3))).toSet
+    val fold = NearDup.bands(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3))).toSet
+    assert(fold === batch)
+    assert(batch.exists(_._1 == 1L), "the null-text doc must still produce bands")
+  }
+
   test("stream-static join flags the same near-dups as batch q76") {
     val docs = Tables.load(spark, sf, "documents")
 
@@ -35,7 +51,7 @@ class NearDupStreamSpec extends SparkSpec {
       .write.mode("overwrite").parquet(idxDir)
     docs.filter(col("doc_id") < split)
       .select(col("doc_id"),
-        expr("array_distinct(filter(split(lower(text), '\\\\s+'), x -> x <> ''))").as("toks"))
+        expr(s"array_distinct(${Llm.toksExpr})").as("toks"))
       .write.mode("overwrite").parquet(toksDir)
 
     // the arriving delta, staged as a file stream
