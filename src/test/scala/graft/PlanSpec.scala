@@ -161,6 +161,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join") && p.contains("Union"), s"upsert must be join+union:\n$p")
   }
 
+  test("q76 incremental dedup joins bands by key, never a cartesian") {
+    val p = planOf(q("q76_incremental_dedup"))
+    assert(p.contains("Join"), s"band/index join must exist:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs in incremental dedup:\n$p")
+  }
+
+  test("q78 unigram scoring broadcasts vocab counts and the 1-row total") {
+    val p = planOf(q("q78_unigram_logprob"))
+    assert(p.contains("BroadcastHashJoin") &&
+      (p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange")),
+      s"vocab join and N must broadcast, never shuffle the token stream twice:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in unigram scoring:\n$p")
+  }
+
   test("q74 survivor anti-join is a hash join on doc_id, never a nested loop") {
     // fixture precondition: with zero dominated docs AQE's empty-relation
     // propagation legitimately erases the anti-join, so the plan shape
