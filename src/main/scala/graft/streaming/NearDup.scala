@@ -66,6 +66,37 @@ object NearDup {
       .select(col("doc_id"), col("b.band").as("band"),
         col("b.bucket").as("bucket"), col("b.b0").as("b0"))
 
+  /** Distinct shingle-hash values of a benchmark/eval corpus, collected
+    * driver-side for [[decontaminateStream]]. Bounded-scalar by design:
+    * eval suites are small (10³–10⁴ shingles), the same category as the
+    * engine's 8-row plane read — NOT for arbitrary corpora. */
+  def benchmarkShingleHashes(benchmark: DataFrame): Array[String] =
+    benchmark
+      .withColumn("toks", expr(Llm.toksExpr))
+      .select(explode(expr(s"array_distinct(${Llm.shingleSparkExpr})")).as("sh"))
+      .select(md5(col("sh")).as("h")).distinct()
+      .collect().map(_.getString(0))
+
+  /** Streaming decontamination: drop arriving docs sharing at least
+    * `minShared` distinct shingle hashes with the benchmark set — q65's
+    * gate applied before data ever lands. Stateless: the benchmark
+    * hashes ride the plan as one literal array and each row intersects
+    * its own distinct shingle hashes against it, so there is no join,
+    * no aggregation state, and no shuffle — the stage fuses into the
+    * stream's projection. */
+  def decontaminateStream(
+      stream: DataFrame,
+      benchHashes: Array[String],
+      minShared: Int = 2): DataFrame =
+    stream
+      .withColumn("toks", expr(Llm.toksExpr))
+      .withColumn("shingles", expr(Llm.shingleSparkExpr))
+      .withColumn("__shared", size(array_intersect(
+        expr("array_distinct(transform(shingles, sh -> md5(sh)))"),
+        typedLit(benchHashes.toSeq))))
+      .filter(col("__shared") < minShared)
+      .drop("toks", "shingles", "__shared")
+
   /** Flag stream docs that are near-dups of the indexed corpus.
     *
     * @param stream     streaming doc frame with `doc_id` and `text`

@@ -41,6 +41,34 @@ class NearDupStreamSpec extends SparkSpec {
     assert(batch.exists(_._1 == 1L), "the null-text doc must still produce bands")
   }
 
+  test("streaming decontamination drops exactly the docs batch q65 flags") {
+    val docs = Tables.load(spark, sf, "documents")
+    val bench = NearDup.benchmarkShingleHashes(docs.filter(col("doc_id") < 10))
+
+    val inDir = Files.createTempDirectory("decon-in").toString
+    docs.filter(col("doc_id") >= 10).write.mode("overwrite").parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(inDir)
+
+    val q = NearDup.decontaminateStream(stream, bench)
+      .select("doc_id")
+      .writeStream
+      .format("memory").queryName("decon").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt-decon").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val kept = spark.table("decon").collect().map(_.getLong(0)).toSet
+    val contaminated = SparkEntry.queries("q65_decontaminate")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = docs.filter(col("doc_id") >= 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(contaminated.nonEmpty, "fixture must contain contaminated docs")
+    assert(kept === all -- contaminated)
+  }
+
   test("stream-static join flags the same near-dups as batch q76") {
     val docs = Tables.load(spark, sf, "documents")
 
