@@ -91,13 +91,8 @@ object CorpusPipeline {
       exact.join(dominated, Seq("doc_id"), "left_anti"))
 
     // 4. decontamination against the broadcast benchmark shingle set
-    val shingleHashes = (df: DataFrame) => df
-      .withColumn("toks", expr(Llm.toksExpr))
-      .select(col("doc_id"),
-        explode(expr(s"array_distinct(${Llm.shingleSparkExpr})")).as("sh"))
-      .select(col("doc_id"), md5(col("sh")).as("h"))
-    val benchSet = shingleHashes(benchmark).select("h").distinct()
-    val contaminated = shingleHashes(collapsed)
+    val benchSet = Llm.shingleHashes(benchmark).select("h").distinct()
+    val contaminated = Llm.shingleHashes(collapsed)
       .join(broadcast(benchSet), Seq("h"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= cfg.contaminationShared)

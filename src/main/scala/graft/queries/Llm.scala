@@ -135,9 +135,9 @@ object Llm {
     * (k=2) are instantiations, so a fix to the inlining-sensitive shape
     * cannot drift between them. `short` supplies the result for docs
     * with fewer than k tokens (`tk` is the bound token array). */
-  private def kGramSparkExpr(k: Int, short: String): String = {
+  private def kGramSparkExpr(k: Int, short: String, src: String = "toks"): String = {
     val parts = (0 until k).map(j => s"element_at(tk, i + $j)").mkString(", ")
-    s"""flatten(transform(array(toks), tk ->
+    s"""flatten(transform(array($src), tk ->
           CASE WHEN size(tk) >= $k
             THEN transform(sequence(1, size(tk) - ${k - 1}),
                    i -> concat_ws(' ', $parts))
@@ -158,6 +158,25 @@ object Llm {
   // doc still near-dup-matches its copies)
   private[graft] val shingleSparkExpr = kGramSparkExpr(3, "array(array_join(tk, ' '))")
   private val shingleSql = kGramSql(3, "[array_to_string(toks, ' ')]")
+
+  /** (doc_id, h): one row per DISTINCT shingle md5 of each doc — the
+    * contamination-detection unit shared by q65, the corpus pipeline,
+    * and the streaming gates. One definition so shingle hashing cannot
+    * drift between the batch and streaming contamination paths. */
+  private[graft] def shingleHashes(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", expr(toksExpr))
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct($shingleSparkExpr)")).as("sh"))
+      .select(col("doc_id"), md5(col("sh")).as("h"))
+
+  /** Self-contained per-row form of [[shingleHashes]] (distinct shingle
+    * md5s as one array, computed straight off `text` with no helper
+    * columns) — for streaming stages that must not clobber caller
+    * columns. */
+  private[graft] val shingleHashArrayExpr: String =
+    s"""transform(array_distinct(${kGramSparkExpr(3,
+        "array(array_join(tk, ' '))", src = toksExpr)}), sh -> md5(sh))"""
 
   // Explode + hash-aggregate rather than per-row array lambdas: the
   // exploded form computes exactly one md5 per shingle (array-lambda
@@ -947,11 +966,7 @@ object Llm {
   private val decontaminate = Q(
     "q65_decontaminate",
     (s, dir) => {
-      val sh = t(s, dir, "documents")
-        .withColumn("toks", expr(toksExpr))
-        .select(col("doc_id"),
-          explode(expr(s"array_distinct($shingleSparkExpr)")).as("sh"))
-        .select(col("doc_id"), md5(col("sh")).as("h"))
+      val sh = shingleHashes(t(s, dir, "documents"))
       val bench = sh.filter(col("doc_id") < 10).select("h").distinct()
       sh.filter(col("doc_id") >= 10)
         .join(broadcast(bench), Seq("h"))

@@ -69,33 +69,36 @@ object NearDup {
   /** Distinct shingle-hash values of a benchmark/eval corpus, collected
     * driver-side for [[decontaminateStream]]. Bounded-scalar by design:
     * eval suites are small (10³–10⁴ shingles), the same category as the
-    * engine's 8-row plane read — NOT for arbitrary corpora. */
+    * engine's 8-row plane read — NOT for arbitrary corpora. Null hashes
+    * (null-text benchmark docs) are excluded: the batch gate's equi-join
+    * never matches a null key, and `array_intersect` WOULD, so keeping
+    * them breaks stream/batch parity. */
   def benchmarkShingleHashes(benchmark: DataFrame): Array[String] =
-    benchmark
-      .withColumn("toks", expr(Llm.toksExpr))
-      .select(explode(expr(s"array_distinct(${Llm.shingleSparkExpr})")).as("sh"))
-      .select(md5(col("sh")).as("h")).distinct()
+    Llm.shingleHashes(benchmark)
+      .select("h").filter(col("h").isNotNull).distinct()
       .collect().map(_.getString(0))
 
   /** Streaming decontamination: drop arriving docs sharing at least
     * `minShared` distinct shingle hashes with the benchmark set — q65's
-    * gate applied before data ever lands. Stateless: the benchmark
-    * hashes ride the plan as one literal array and each row intersects
-    * its own distinct shingle hashes against it, so there is no join,
-    * no aggregation state, and no shuffle — the stage fuses into the
-    * stream's projection. */
+    * gate applied before data ever lands. Stateless and pass-through:
+    * the whole gate is ONE filter predicate over a self-contained
+    * expression, so no caller column is shadowed and the stage fuses
+    * into the stream's projection (no join, no state, no shuffle).
+    *
+    * Per-row cost is O(|bench|): `array_intersect` hash-builds from its
+    * SECOND argument, so the build is over the doc's own ~|shingles|
+    * hashes and the probe walks the benchmark literal. For eval-suite
+    * sizes that probe is the same order as the row's own md5 work; a
+    * corpus-sized exclusion set belongs in the batch gate's broadcast
+    * join (q65) or behind a native set-probe Expression, not here. */
   def decontaminateStream(
       stream: DataFrame,
       benchHashes: Array[String],
       minShared: Int = 2): DataFrame =
-    stream
-      .withColumn("toks", expr(Llm.toksExpr))
-      .withColumn("shingles", expr(Llm.shingleSparkExpr))
-      .withColumn("__shared", size(array_intersect(
-        expr("array_distinct(transform(shingles, sh -> md5(sh)))"),
-        typedLit(benchHashes.toSeq))))
-      .filter(col("__shared") < minShared)
-      .drop("toks", "shingles", "__shared")
+    stream.filter(
+      size(array_intersect(
+        typedLit(benchHashes.toSeq),
+        expr(Llm.shingleHashArrayExpr))) < minShared)
 
   /** Flag stream docs that are near-dups of the indexed corpus.
     *

@@ -58,7 +58,7 @@ class NearDupStreamSpec extends SparkSpec {
       .option("checkpointLocation", Files.createTempDirectory("ckpt-decon").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in time")
 
     val kept = spark.table("decon").collect().map(_.getLong(0)).toSet
     val contaminated = SparkEntry.queries("q65_decontaminate")(spark, sf)
@@ -96,7 +96,7 @@ class NearDupStreamSpec extends SparkSpec {
       .option("checkpointLocation", Files.createTempDirectory("ckpt-nd").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in time")
 
     val streamed = spark.table("neardups")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

@@ -169,9 +169,10 @@ class PlanSpec extends SparkSpec {
 
   test("q78 unigram scoring broadcasts vocab counts and the 1-row total") {
     val p = planOf(q("q78_unigram_logprob"))
-    assert(p.contains("BroadcastHashJoin") &&
-      (p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange")),
-      s"vocab join and N must broadcast, never shuffle the token stream twice:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab counts must broadcast-join the token stream:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row total must arrive as a broadcast nested-loop, not a shuffle:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian in unigram scoring:\n$p")
   }
 
