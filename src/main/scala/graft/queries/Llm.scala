@@ -1350,6 +1350,30 @@ object Llm {
               round(pa / sum(pa) OVER (), 6) AS q
             FROM a ORDER BY source"""))
 
+  // ---- clustering over the SimHash edge set ----------------------------
+  // Same collapse as q73, different edge generator: Hamming-verified
+  // simhash pairs instead of Jaccard-verified MinHash pairs. The fixture
+  // is deliberately near-dup dense, so this also exercises the
+  // propagation on a DENSE graph — density SHRINKS hash-min's round
+  // count (more edges → shorter paths to the minimum), so the dense case
+  // is cheap per round-count even though the edge join itself is the
+  // expensive stage.
+  private val simhashClusters = Q(
+    "q79_simhash_clusters",
+    (s, dir) =>
+      Components.connected(
+        simhashBandPairs(Staging.stage(simhashFrame(s, dir, 32)), 8, 4, 6),
+        src = "doc_a", dst = "doc_b")
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+        .orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE ${simhashSqlCte(32)},
+            jp AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sim a JOIN sim b ON a.lang = b.lang AND a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+            $clusterSqlCte
+            SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"""))
+
   val queries: Seq[Q] = Seq(
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
     minhashSignatures, minhashPairs, jaccardPairs, simhash, simhashPairs,
@@ -1358,5 +1382,5 @@ object Llm {
     vocabDf, decontaminate, stratifiedSample, sourceMix,
     seqPacking, lengthCurriculum, tfidfTopTerms, repetition,
     dupClusters, dedupSurvivors, incrementalDedup, temperatureMix,
-    unigramLogprob)
+    unigramLogprob, simhashClusters)
 }
