@@ -1229,9 +1229,15 @@ object Llm {
        clusters AS (
          SELECT doc_id, min(comp) AS cluster_id FROM walk GROUP BY doc_id)"""
 
-  private def docClusters(s: SparkSession, dir: String): DataFrame =
-    Components.connected(jaccardEdges(s, dir), src = "doc_a", dst = "doc_b")
+  /** Edge frame (doc_a, doc_b) → (doc_id, cluster_id) collapse — the one
+    * mapping shared by every clustering query regardless of which pair
+    * generator produced the edges. */
+  private def clustersOf(edges: DataFrame): DataFrame =
+    Components.connected(edges, src = "doc_a", dst = "doc_b")
       .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+
+  private def docClusters(s: SparkSession, dir: String): DataFrame =
+    clustersOf(jaccardEdges(s, dir))
 
   private val dupClusters = Q(
     "q73_dup_clusters",
@@ -1361,10 +1367,7 @@ object Llm {
   private val simhashClusters = Q(
     "q79_simhash_clusters",
     (s, dir) =>
-      Components.connected(
-        simhashBandPairs(Staging.stage(simhashFrame(s, dir, 32)), 8, 4, 6),
-        src = "doc_a", dst = "doc_b")
-        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      clustersOf(simhashBandPairs(Staging.stage(simhashFrame(s, dir, 32)), 8, 4, 6))
         .orderBy("doc_id"),
     Some(s"""WITH RECURSIVE ${simhashSqlCte(32)},
             jp AS (
