@@ -61,16 +61,38 @@ object Bench {
     // Locale.ROOT: default-locale format renders a comma decimal
     // separator on comma-locale JVMs, which breaks the JSON line
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, t) => s"\"" + k + "\":" + t(1) }
+
+    // The harness that records this line keeps only the LAST ~2000 chars
+    // of the run's output and parses the metric line out of that window:
+    // round 5's line (per-query min/med/max for 78 queries, ~3.5 KB)
+    // outgrew it and the round recorded no parseable bench at all. So the
+    // stdout line stays compact — short query keys ("q53"), 3-decimal
+    // medians — and the full record (full names, min/med/max spread,
+    // machine context) goes to BENCH_DETAIL.json next to the build,
+    // referenced from the line. Short keys are unique by construction
+    // (query names are "qNN_slug"); if a collision ever appears the full
+    // name is kept for both sides rather than silently merging them.
+    val shortKey: Map[String, String] = {
+      val pref = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }
+      val collided = pref.groupBy(_._2).filter(_._2.size > 1).keySet
+      pref.map { case (k, p) => k -> (if (collided(p)) k else p) }.toMap
+    }
+    val qs = results.map { case (k, t) => "\"" + shortKey(k) + "\":" + f(t(1)) }
       .mkString("{", ",", "}")
     val stats = results.map { case (k, t) =>
       s"""\"$k\":{"min":${f(t(0))},"med":${f(t(1))},"max":${f(t(2))}}"""
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2(1)).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-      s""","query_stats":$stats,"loadavg_start":${f(loadStart)},"loadavg_end":${f(loadEnd)}""" +
+    val machine = s""""loadavg_start":${f(loadStart)},"loadavg_end":${f(loadEnd)}""" +
       s""","available_processors":${Runtime.getRuntime.availableProcessors}""" +
-      s""","timed_passes":3,"aggregation":"median"}""")
+      s""","timed_passes":3,"aggregation":"median""""
+    val detailFile = java.nio.file.Paths.get("BENCH_DETAIL.json")
+    java.nio.file.Files.write(detailFile,
+      (s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir"""" +
+        s""","query_stats":$stats,$machine}""" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs""" +
+      s""","sf":"$sfDir",$machine,"detail":"${detailFile.toAbsolutePath}"}""")
     graft.core.Staging.reclaim(spark)
     spark.stop()
   }

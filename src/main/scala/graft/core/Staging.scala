@@ -97,7 +97,14 @@ object Staging {
             val hp = new Path(p)
             if (hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true))
               n += 1
-          } catch { case _: java.io.IOException => failed.add(p) }
+          } catch {
+            // NonFatal, not just IOException: reclaim runs in `finally`
+            // blocks, and a RuntimeException from FileSystem.delete (bad
+            // URI, closed FS) must neither mask the primary failure nor
+            // drop the path from tracking (it was already removed above,
+            // so it goes to `failed` for a later attempt either way)
+            case scala.util.control.NonFatal(_) => failed.add(p)
+          }
           i -= 1
         }
         tracked.addAll(failed)

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
 
 import graft.sinks.Sinks
 
@@ -39,6 +38,12 @@ object Compact {
     val root = new Path(snapshotPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Sinks.recoverPartitionSwaps(spark, snapshotPath)
+    // a crash mid-compaction orphans its __compact-<uuid> staged dir (the
+    // live snapshot is repaired above, but nothing else references the
+    // staging copy) — sweep them on entry, mirroring Upsert.partitioned's
+    // __stage-* sweep, so repeated crashes don't leak partition copies
+    fs.globStatus(new Path(s"${snapshotPath}__compact-*"))
+      .foreach(st => fs.delete(st.getPath, true))
 
     // driver-side partition census: (dir name, #data files, bytes)
     val candidates = fs.listStatus(root)
@@ -53,14 +58,23 @@ object Compact {
     candidates.map { case (dirName, _, bytes) =>
       val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
       val stagedPath = s"${snapshotPath}__compact-${java.util.UUID.randomUUID()}"
-      // one partition per pass: the scan is partition-pruned to the dir
-      // being rewritten, so compaction cost tracks the small partitions
-      // it fixes, never the table
-      val Array(partCol, partVal) = dirName.split("=", 2)
-      spark.read.parquet(snapshotPath)
-        .filter(col(partCol) === partVal)
+      // Read the one partition DIRECTORY and write the staged output under
+      // the IDENTICAL dir name. The earlier filter-on-decoded-value +
+      // partitionBy round-trip let Spark's partition type inference
+      // re-canonicalize the value (y=01 read as int 1 is rewritten as
+      // y=1 — swapPartitions then promotes a new dir while the old one
+      // stays live, duplicating rows on read) and URL-escaped values
+      // (%XX) matched nothing, silently no-op'ing while still being
+      // reported as rewritten. Reading the dir as a plain parquet path
+      // sidesteps decoding entirely: the files' schema already excludes
+      // the partition column (partitionBy writes drop it), so the
+      // rewritten files are layout-identical to the originals.
+      spark.read.parquet(s"$snapshotPath/$dirName")
         .repartition(nOut)
-        .write.partitionBy(partCol).mode("error").parquet(stagedPath)
+        .write.mode("error").parquet(s"$stagedPath/$dirName")
+      // parquet() drops a _SUCCESS marker at the staged dir level; remove
+      // it so swapPartitions sees only the partition dir
+      fs.delete(new Path(s"$stagedPath/$dirName/_SUCCESS"), false)
       Sinks.swapPartitions(spark, stagedPath, snapshotPath)
       dirName
     }.toSeq
