@@ -1079,10 +1079,14 @@ object Llm {
   // ---- TF-IDF keyword extraction ----------------------------------------
   // Top-3 tokens per document by tf·ln(N/df). The term-frequency table
   // aggregates map-side off one explode; document frequency reduces THAT
-  // table (already one row per distinct doc-token pair), bounded by
-  // vocabulary size, and broadcasts back; N arrives as a broadcast 1-row
-  // aggregate, never a driver collect. Selection is a per-doc window over
-  // ≤ |doc's vocab| rows. No stage touches anything quadratic.
+  // table (already one row per distinct doc-token pair). The df join back
+  // onto tf is deliberately UNHINTED: vocabulary size follows Heaps' law,
+  // so at web scale the distinct-token table runs to 10⁸–10⁹ rows and a
+  // forced broadcast would OOM the driver — AQE broadcasts it exactly when
+  // its measured size fits, and otherwise the join stays a shuffled hash
+  // join keyed on token (both sides already token-clustered by their
+  // aggregations). Only N, a 1-row aggregate, is hint-broadcast. Selection
+  // is a per-doc window over ≤ |doc's vocab| rows; nothing is quadratic.
   private val tfidfTopTerms = Q(
     "q70_tfidf_terms",
     (s, dir) => {
@@ -1094,7 +1098,7 @@ object Llm {
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("tfidf").desc, col("token"))
-      tf.join(broadcast(df_), Seq("token"))
+      tf.join(df_, Seq("token"))
         .crossJoin(broadcast(n))
         .withColumn("tfidf",
           round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
@@ -1179,9 +1183,12 @@ object Llm {
   // perplexity gates): score each doc by the average log-probability of
   // its tokens under the corpus unigram distribution — gibberish and
   // rare-token soup score low, fluent common text scores high. The
-  // count table is vocabulary-bounded and broadcasts back to the token
-  // stream (the q70 shape); corpus mass arrives as a broadcast 1-row
-  // aggregate. Everything heavier than the vocab shuffle is map-side.
+  // count-table join back onto the token stream is UNHINTED (the q70
+  // rationale: Heaps'-law vocabularies reach 10⁸–10⁹ distinct tokens at
+  // web scale, so a forced broadcast is a driver OOM — AQE broadcasts
+  // only when the measured aggregate fits, else a token-keyed shuffled
+  // join). Corpus mass arrives as a hint-broadcast 1-row aggregate.
+  // Everything heavier than the vocab shuffle is map-side.
   private val unigramLogprob = Q(
     "q78_unigram_logprob",
     (s, dir) => {
@@ -1190,7 +1197,7 @@ object Llm {
       val cnts = toksTbl.groupBy("token").agg(count(lit(1)).as("cnt"))
       val n = cnts.agg(sum(col("cnt")).as("n_total"))
       toksTbl
-        .join(broadcast(cnts), Seq("token"))
+        .join(cnts, Seq("token"))
         .crossJoin(broadcast(n))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_toks"),

@@ -146,12 +146,21 @@ class PlanSpec extends SparkSpec {
       s"packing window must be partitioned by source:\n$p")
   }
 
-  test("q70 tf-idf broadcasts vocabulary df and the 1-row N") {
-    val p = planOf(q("q70_tfidf_terms"))
-    assert(p.contains("BroadcastHashJoin") &&
-      (p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange")),
-      s"df join and N must broadcast, never shuffle the tf table twice:\n$p")
+  test("q70 tf-idf never mandates a vocabulary broadcast; only 1-row N is hinted") {
+    // Heaps'-law vocabularies reach 10⁸–10⁹ tokens at web scale: the df
+    // join must leave the strategy to AQE (broadcast iff it measures
+    // small), not force it. Exactly one broadcast hint may survive in the
+    // optimized logical plan — the 1-row N aggregate.
+    val df = q("q70_tfidf_terms")
+    val hints = "strategy=broadcast".r
+      .findAllIn(df.queryExecution.optimizedPlan.toString).size
+    assert(hints <= 1,
+      s"vocab df join must not carry a mandatory broadcast hint:\n" +
+        df.queryExecution.optimizedPlan)
+    val p = planOf(df)
     assert(!p.contains("CartesianProduct"), s"no cartesian in tf-idf:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"at test scale AQE should still elect to broadcast the tiny vocab:\n$p")
   }
 
   test("q14 upsert keeps unioned branches partitioned, no driver collect") {
@@ -167,10 +176,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no all-pairs in incremental dedup:\n$p")
   }
 
-  test("q78 unigram scoring broadcasts vocab counts and the 1-row total") {
-    val p = planOf(q("q78_unigram_logprob"))
-    assert(p.contains("BroadcastHashJoin"),
-      s"vocab counts must broadcast-join the token stream:\n$p")
+  test("q78 unigram scoring never mandates a vocab broadcast; 1-row total is hinted") {
+    // same contract as q70: the count-table join is AQE's choice, the
+    // only surviving hint is the 1-row corpus-mass aggregate
+    val df = q("q78_unigram_logprob")
+    val hints = "strategy=broadcast".r
+      .findAllIn(df.queryExecution.optimizedPlan.toString).size
+    assert(hints <= 1,
+      s"vocab count join must not carry a mandatory broadcast hint:\n" +
+        df.queryExecution.optimizedPlan)
+    val p = planOf(df)
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"the 1-row total must arrive as a broadcast nested-loop, not a shuffle:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian in unigram scoring:\n$p")
