@@ -617,24 +617,17 @@ object Llm {
   private val annPlaneCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   /** Planes for this corpus: occupancy N/2^planes ≈ annOccupancyTarget,
-    * floored at 2. At the oracle scale factor (sf0.01, N=500) this
-    * resolves to 4 — the constant the oracle SQL (`annSqlCte(4)`) is
-    * written against; AnnRecallSpec pins that agreement. At OTHER scale
-    * factors q53/q54 intentionally diverge from their oracle SQL (the
-    * derived knob picks a finer index than the oracle's pinned
-    * constant — measured: it finds closer neighbors, not fewer); the
-    * correctness gate runs oracles at sf0.01 only, and the property
-    * that holds at EVERY scale is AnnRecallSpec's measured recall
-    * floor, not bit-equality with a fixed-parameter index. */
+    * floored at 2. The oracle SQL derives the SAME knob from the same
+    * count (`annSqlCte`'s np/npd CTEs mirror this formula and
+    * `probeDepth` in DuckDB), so q53/q54 bit-equality holds at every
+    * scale factor the gate might run, not just sf0.01 — and
+    * AnnRecallSpec separately pins the measured recall floor at both
+    * sf0.01 and sf0.1. */
   private[graft] def annPlanesFor(s: SparkSession, dir: String): Int =
     annPlaneCache.computeIfAbsent(dir, _ => {
       val n = t(s, dir, "embeddings").count()
       math.max(2, math.round(math.log(n / annOccupancyTarget) / math.log(2)).toInt)
     }).intValue()
-
-  // the plane count the oracle SQL is written against (= annPlanesFor at
-  // the sf0.01 oracle scale)
-  private val annPlanes = 4
 
   // The staged frame carries each vector's norm so candidate scoring does
   // one dot product per pair instead of three (norms were recomputed
@@ -648,19 +641,28 @@ object Llm {
         sqrt(expr(dotExpr.format("embedding", "embedding"))).as("norm"))
   }
 
-  private def annSqlCte(nPlanes: Int): String = {
-    val probeList = probeMasks(nPlanes).map(m => s"xor(bucket, $m)")
-      .mkString(", ")
+  /** Shared q53/q54 oracle CTE. Derives the plane count and probe depth
+    * from the corpus count with the SAME formulas as `annPlanesFor` /
+    * `probeDepth` (ln/ln(2) rather than log2, mirroring the Scala
+    * arithmetic to the ulp), then enumerates the probe-mask set as all
+    * bit patterns of popcount ≤ depth — so engine/oracle bit-equality
+    * holds at any scale factor. The 2^planes mask enumeration is
+    * oracle-only (planes is O(log N), a few thousand rows at most);
+    * the engine generates the O(planes^depth) subsets directly. */
+  private val annSqlCte: String =
     s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       p AS (SELECT vec_id AS plane_id, v AS pvec FROM e WHERE vec_id BETWEEN 1 AND $nPlanes),
+       np AS (SELECT GREATEST(2, CAST(round(ln(count(*) / 32.0) / ln(2)) AS INTEGER)) AS planes FROM e),
+       npd AS (SELECT planes, CASE WHEN planes <= 5 THEN 2 ELSE 3 END AS depth FROM np),
+       p AS (SELECT vec_id AS plane_id, v AS pvec FROM e, np WHERE vec_id BETWEEN 1 AND planes),
        b AS (SELECT e.vec_id,
                CAST(SUM(CASE WHEN list_dot_product(v, pvec) > 0
                              THEN CAST(pow(2, plane_id - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
              FROM e, p GROUP BY e.vec_id),
        eb AS (SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS norm, b.bucket
               FROM e JOIN b ON e.vec_id = b.vec_id),
-       ebp AS (SELECT vec_id, v, norm, bucket, unnest([$probeList]) AS probe FROM eb)"""
-  }
+       masks AS (SELECT u.m FROM npd, unnest(range(0, CAST(pow(2, planes) AS BIGINT))) AS u(m)
+                 WHERE bit_count(u.m) <= npd.depth),
+       ebp AS (SELECT vec_id, v, norm, bucket, xor(bucket, masks.m) AS probe FROM eb, masks)"""
 
   private val annTopK = Q(
     "q53_ann_topk",
@@ -682,7 +684,7 @@ object Llm {
           round(col("n.score"), 6).as("score"))
         .orderBy(col("query_id"), col("score").desc, col("vec_id"))
     },
-    Some(s"""WITH ${annSqlCte(annPlanes)},
+    Some(s"""WITH ${annSqlCte},
             q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm, probe
                   FROM ebp WHERE vec_id < 5),
             scored AS (
@@ -714,7 +716,7 @@ object Llm {
         .select(col("vec_a"), col("vec_b"), round(col("score"), 6).as("score"))
         .orderBy("vec_a", "vec_b")
     },
-    Some(s"""WITH ${annSqlCte(annPlanes)},
+    Some(s"""WITH ${annSqlCte},
             pr AS (
               SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                 list_dot_product(a.v, b.v) / (a.norm * b.norm) AS score
