@@ -48,4 +48,73 @@ class CompactSpec extends SparkSpec {
     assert(Compact.partitions(spark, snap, maxFilesPerPartition = 4) === Seq.empty,
       "re-running on a compact snapshot selects nothing")
   }
+
+  // regression: partition values that don't round-trip through Spark's
+  // partition type inference. The pre-fix implementation read the whole
+  // snapshot, filtered on the DECODED value, and re-wrote via partitionBy —
+  // inference re-canonicalized y=01 to int 1, so the rewrite published a
+  // NEW y=1 dir while y=01 stayed live, duplicating every row on read.
+  test("compaction preserves zero-padded partition dir names (y=01 stays y=01)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact-zp").toString
+    val snap = s"$tmp/snap"
+    (1 to 6).foreach { i =>
+      Seq((s"k$i", "01", i.toDouble)).toDF("id", "y", "v")
+        .write.partitionBy("y").mode("append").parquet(snap)
+    }
+
+    val rewritten = Compact.partitions(spark, snap, maxFilesPerPartition = 4)
+    assert(rewritten === Seq("y=01"))
+
+    val dirs = new java.io.File(snap).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.toSeq === Seq("y=01"),
+      s"the dir name must survive verbatim — no re-canonicalized y=1 twin: ${dirs.toSeq}")
+    val rows = spark.read.parquet(snap).select("id").as[String].collect().sorted
+    assert(rows === (1 to 6).map(i => s"k$i"),
+      "exactly the original six rows — a live y=1 twin would duplicate them")
+    assert(TestFiles.partFileHashes(snap).keys.count(_.startsWith("y=01")) === 1,
+      "six small files must become one")
+  }
+
+  // regression: URL-escaped partition values. The pre-fix filter on the
+  // decoded value matched nothing for a %XX-escaped dir — compaction
+  // reported the partition rewritten while silently writing zero rows.
+  test("compaction rewrites URL-escaped partition dirs (y=2024%3A01)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact-esc").toString
+    val snap = s"$tmp/snap"
+    (1 to 6).foreach { i =>
+      Seq((s"k$i", "2024:01", i.toDouble)).toDF("id", "y", "v")
+        .write.partitionBy("y").mode("append").parquet(snap)
+    }
+    val escDir = new java.io.File(snap).listFiles().filter(_.isDirectory).map(_.getName)
+      .find(_.contains("%")).getOrElse(fail("expected an escaped partition dir"))
+
+    val rewritten = Compact.partitions(spark, snap, maxFilesPerPartition = 4)
+    assert(rewritten === Seq(escDir))
+
+    assert(TestFiles.partFileHashes(snap).keys.count(_.startsWith(escDir)) === 1,
+      "the escaped partition must actually be rewritten: six files → one")
+    val rows = spark.read.parquet(snap).select("id").as[String].collect().sorted
+    assert(rows === (1 to 6).map(i => s"k$i"), "all rows preserved through the rewrite")
+  }
+
+  // regression: a crash between staging and swap orphans the __compact-*
+  // copy; re-running must sweep it (mirroring Upsert's __stage-* sweep)
+  // instead of leaking a full partition copy per crash
+  test("re-run after a crash mid-compaction sweeps __compact-* orphans") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact-crash").toString
+    val snap = s"$tmp/snap"
+    Seq(("k1", "01", 1.0)).toDF("id", "y", "v")
+      .write.partitionBy("y").mode("append").parquet(snap)
+
+    // simulate the crash artifact: a staged copy that was never swapped
+    val orphan = new java.io.File(s"${snap}__compact-deadbeef/y=01")
+    assert(orphan.mkdirs())
+    java.nio.file.Files.write(orphan.toPath.resolve("part-00000-orphan.parquet"),
+      Array[Byte](1, 2, 3))
+
+    assert(Compact.partitions(spark, snap, maxFilesPerPartition = 4) === Seq.empty)
+    assert(!new java.io.File(s"${snap}__compact-deadbeef").exists(),
+      "the orphaned staged copy must be swept on entry")
+    assert(spark.read.parquet(snap).count() === 1, "live data untouched")
+  }
 }
