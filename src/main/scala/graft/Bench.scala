@@ -50,14 +50,32 @@ object Bench {
       // a failing pass records -1.0, not its time-to-fail: sorted, a single
       // flake doesn't poison the median, while a consistently broken query
       // surfaces as a negative number in the JSON instead of a fake win
-      val times = Seq.fill(3) {
+      def pass(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
-      }.sorted
-      name -> times
+      }
+      val first = Seq.fill(3)(pass())
+      // a >3× max/min spread within one query's passes is a co-tenant
+      // spike, not a plan property (round 6: q49 min 1.05 s / max 8.98 s
+      // on a loadavg-1.9 box — the median landed 5× over the idle time
+      // and looked like a regression). One extra pass, then keep the
+      // three fastest: a transient spike is discarded, while genuinely
+      // slow queries stay slow in all four passes.
+      val spiky = {
+        val valid = first.filter(_ > 0)
+        valid.nonEmpty && valid.max / valid.min > 3.0
+      }
+      val times = (if (spiky) first :+ pass() else first).sorted.take(3)
+      (name, times, spiky)
     }
     val loadEnd = os.getSystemLoadAverage
+    val retried = results.count(_._3)
+    // the flag the adjudicator reads: a run that started on a loaded box
+    // (loadavg over 1/16 of the cores) or needed spike-retries on several
+    // queries was contended — its medians are upper bounds, not the
+    // binary's steady-state cost
+    val contended = loadStart > cpus / 16.0 || retried >= 3
     // Locale.ROOT: default-locale format renders a comma decimal
     // separator on comma-locale JVMs, which breaks the JSON line
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -73,19 +91,21 @@ object Bench {
     // (query names are "qNN_slug"); if a collision ever appears the full
     // name is kept for both sides rather than silently merging them.
     val shortKey: Map[String, String] = {
-      val pref = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }
+      val pref = results.map { case (k, _, _) => k -> k.takeWhile(_ != '_') }
       val collided = pref.groupBy(_._2).filter(_._2.size > 1).keySet
       pref.map { case (k, p) => k -> (if (collided(p)) k else p) }.toMap
     }
-    val qs = results.map { case (k, t) => "\"" + shortKey(k) + "\":" + f(t(1)) }
+    val qs = results.map { case (k, t, _) => "\"" + shortKey(k) + "\":" + f(t(1)) }
       .mkString("{", ",", "}")
-    val stats = results.map { case (k, t) =>
-      s"""\"$k\":{"min":${f(t(0))},"med":${f(t(1))},"max":${f(t(2))}}"""
+    val stats = results.map { case (k, t, spiky) =>
+      s"""\"$k\":{"min":${f(t(0))},"med":${f(t(1))},"max":${f(t(2))}""" +
+        (if (spiky) ""","retried":true}""" else "}")
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2(1)).sum else 0.0
     val machine = s""""loadavg_start":${f(loadStart)},"loadavg_end":${f(loadEnd)}""" +
       s""","available_processors":${Runtime.getRuntime.availableProcessors}""" +
-      s""","timed_passes":3,"aggregation":"median""""
+      s""","timed_passes":3,"aggregation":"median"""" +
+      s""","contended":$contended,"spike_retries":$retried"""
     val detailFile = java.nio.file.Paths.get("BENCH_DETAIL.json")
     java.nio.file.Files.write(detailFile,
       (s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir"""" +
