@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 import graft.sinks.Sinks
 
@@ -30,11 +31,16 @@ object Compact {
 
   /** Compact partitions of `snapshotPath` that hold more than
     * `maxFilesPerPartition` data files, rewriting each into
-    * ⌈bytes / targetFileBytes⌉ files.
+    * ⌈bytes / targetFileBytes⌉ files. Partitions are rewritten
+    * `batchSize` at a time in ONE Spark job per batch: a heavily
+    * fragmented snapshot (10⁵ touched partitions) costs ⌈N/batch⌉ jobs,
+    * not N — one job per partition made per-job scheduling overhead the
+    * compaction bottleneck long before the bytes did.
     * @return the partition dir names rewritten */
   def partitions(spark: SparkSession, snapshotPath: String,
                  targetFileBytes: Long = 128L << 20,
-                 maxFilesPerPartition: Int = 4): Seq[String] = {
+                 maxFilesPerPartition: Int = 4,
+                 batchSize: Int = 16): Seq[String] = {
     val root = new Path(snapshotPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Sinks.recoverPartitionSwaps(spark, snapshotPath)
@@ -55,28 +61,51 @@ object Compact {
       }
       .filter { case (_, nFiles, _) => nFiles > maxFilesPerPartition }
 
-    candidates.map { case (dirName, _, bytes) =>
-      val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    candidates.grouped(batchSize).flatMap { batch =>
       val stagedPath = s"${snapshotPath}__compact-${java.util.UUID.randomUUID()}"
-      // Read the one partition DIRECTORY and write the staged output under
-      // the IDENTICAL dir name. The earlier filter-on-decoded-value +
-      // partitionBy round-trip let Spark's partition type inference
-      // re-canonicalize the value (y=01 read as int 1 is rewritten as
-      // y=1 — swapPartitions then promotes a new dir while the old one
-      // stays live, duplicating rows on read) and URL-escaped values
-      // (%XX) matched nothing, silently no-op'ing while still being
-      // reported as rewritten. Reading the dir as a plain parquet path
-      // sidesteps decoding entirely: the files' schema already excludes
-      // the partition column (partitionBy writes drop it), so the
-      // rewritten files are layout-identical to the originals.
-      spark.read.parquet(s"$snapshotPath/$dirName")
-        .repartition(nOut)
-        .write.mode("error").parquet(s"$stagedPath/$dirName")
+      // Read each partition DIRECTORY verbatim and restore the staged
+      // output under the IDENTICAL dir name. An earlier
+      // filter-on-decoded-value + partitionBy round-trip let Spark's
+      // partition type inference re-canonicalize the value (y=01 read as
+      // int 1 was rewritten as y=1 — swapPartitions then promoted a new
+      // dir while the old one stayed live, duplicating rows on read) and
+      // URL-escaped values (%XX) matched nothing, silently no-op'ing
+      // while still being reported as rewritten (CompactSpec pins both).
+      // So the batch write never round-trips the VALUE: each dir's rows
+      // are tagged with a batch-local integer, the job partitions by the
+      // tag, and the tag dirs are renamed back to the original dir names
+      // (a metadata op) before the swap. The files' schema already
+      // excludes the partition column (partitionBy writes drop it, and
+      // the tag is dropped the same way), so rewritten files stay
+      // layout-identical to the originals.
+      val nOut = batch.map { case (_, _, bytes) =>
+        math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      }
+      // rows land in nOut(tag) output files via a (tag, salt) hash
+      // repartition: salts within a tag split big partitions across
+      // tasks, while partitionBy(tag) keeps each task's rows in one file
+      val saltFor = map(nOut.zipWithIndex.flatMap { case (n, i) =>
+        Seq(lit(i), lit(n.toLong))
+      }: _*)
+      batch.zipWithIndex.map { case ((dirName, _, _), i) =>
+          spark.read.parquet(s"$snapshotPath/$dirName")
+            .withColumn("__graft_p", lit(i))
+        }
+        .reduce(_.unionByName(_))
+        .withColumn("__graft_s",
+          pmod(monotonically_increasing_id(), element_at(saltFor, col("__graft_p"))))
+        .repartition(nOut.sum, col("__graft_p"), col("__graft_s"))
+        .drop("__graft_s")
+        .write.partitionBy("__graft_p").mode("error").parquet(stagedPath)
+      batch.zipWithIndex.foreach { case ((dirName, _, _), i) =>
+        Sinks.rename(fs, new Path(s"$stagedPath/__graft_p=$i"),
+          new Path(s"$stagedPath/$dirName"))
+      }
       // parquet() drops a _SUCCESS marker at the staged dir level; remove
-      // it so swapPartitions sees only the partition dir
-      fs.delete(new Path(s"$stagedPath/$dirName/_SUCCESS"), false)
+      // it so swapPartitions sees only the partition dirs
+      fs.delete(new Path(s"$stagedPath/_SUCCESS"), false)
       Sinks.swapPartitions(spark, stagedPath, snapshotPath)
-      dirName
+      batch.map(_._1)
     }.toSeq
   }
 }

@@ -155,6 +155,9 @@ object Sinks {
     * a swap step that ignores the boolean would keep going and delete
     * the only surviving copy. Every rename in the swap/recovery protocol
     * goes through this. */
+  private[graft] def rename(fs: org.apache.hadoop.fs.FileSystem,
+                            src: Path, dst: Path): Unit = renameOrFail(fs, src, dst)
+
   private def renameOrFail(fs: org.apache.hadoop.fs.FileSystem,
                            src: Path, dst: Path): Unit =
     if (!fs.rename(src, dst))

@@ -97,6 +97,52 @@ class CompactSpec extends SparkSpec {
     assert(rows === (1 to 6).map(i => s"k$i"), "all rows preserved through the rewrite")
   }
 
+  // scale: a heavily fragmented snapshot must compact in ⌈N/batch⌉ write
+  // jobs, not N — per-partition jobs made driver scheduling the
+  // bottleneck at 10⁵ touched partitions
+  test("compaction batches partition rewrites into ceil(N/batch) write jobs") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact-batch").toString
+    val snap = s"$tmp/snap"
+    // 6 partitions, 6 files each: every append writes one file into each
+    val parts = (1 to 6).map(p => f"p$p%02d")
+    (1 to 6).foreach { i =>
+      parts.map(p => (s"k$i-$p", p, i.toDouble)).toDF("id", "y", "v")
+        .write.partitionBy("y").mode("append").parquet(snap)
+    }
+
+    val writes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        if (qe.logical.getClass.getSimpleName.contains("InsertIntoHadoopFsRelationCommand"))
+          writes.incrementAndGet()
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val rewritten =
+        Compact.partitions(spark, snap, maxFilesPerPartition = 4, batchSize = 4)
+      assert(rewritten.sorted === parts.map(p => s"y=$p"))
+
+      // listener events are delivered async; wait for the expected count,
+      // then a grace beat to catch overshoot (un-batched = 6 writes)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (writes.get() < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(500)
+      assert(writes.get() === 2, "6 partitions at batchSize=4 must take exactly 2 write jobs")
+
+      parts.foreach { p =>
+        assert(TestFiles.partFileHashes(snap).keys.count(_.startsWith(s"y=$p")) === 1,
+          s"partition y=$p must compact to one file")
+      }
+      val rows = spark.read.parquet(snap).count()
+      assert(rows === 36, "every row survives the batched rewrite")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   // regression: a crash between staging and swap orphans the __compact-*
   // copy; re-running must sweep it (mirroring Upsert's __stage-* sweep)
   // instead of leaking a full partition copy per crash
