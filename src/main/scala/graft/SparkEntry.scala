@@ -1,7 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.pipelines.SnapshotSync
+import org.apache.spark.sql.functions.col
+import graft.core.Tables
+import graft.pipelines.{CorpusPipeline, SnapshotSync}
 import graft.queries.{Llm, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -11,9 +13,19 @@ object SparkEntry {
 
   /** Flagship: the reference's canonical snapshot-sync lifecycle
     * (SURVEY.md §3.1) — cursor read → incremental filtered scan → dedup →
-    * lineage stamp → MERGE upsert → cursor advance — on sf0.001. */
-  def entry(spark: SparkSession): DataFrame =
-    SnapshotSync.run(spark, "/root/testdata/sf0.001")
+    * lineage stamp → MERGE upsert → cursor advance — on sf0.001. The
+    * second flagship composition, the LLM corpus-preparation pipeline
+    * (gate → dedup → near-dup collapse → decontaminate → mix → pack),
+    * runs alongside it and prints its staged row-count report to the run
+    * log; the returned frame stays the sync result the driver smokes. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents")
+    val bench = docs.filter(col("doc_id") < 10).select("doc_id", "text")
+    val (_, report) = CorpusPipeline.run(docs, bench)
+    report.foreach(r => println(s"[entry] corpus ${r.stage} rows=${r.rowsOut}"))
+    SnapshotSync.run(spark, dir)
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
