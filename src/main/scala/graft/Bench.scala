@@ -31,20 +31,23 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark: SparkSession = GraftSession.local(cpus)
 
+    // machine-context disclosure: the recorded number has twice been 1.3–2.3×
+    // a judge's idle re-run of the identical binary (co-tenant load). The
+    // load average before/after and the per-query min/med/max spread make
+    // the record adjudicable without a re-run: sustained contention shows
+    // as high loadavg + wide spread, a genuine regression as a tight one.
+    // Sampled BEFORE the warmup pass: the warmup itself saturates local[32]
+    // for a minute, so a post-warmup sample reads the benchmark's own load
+    // and would flag every run — including idle-box ones — as contended.
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = os.getSystemLoadAverage
+
     // one ordering for both passes: the warmup set and the timed set must
     // never diverge
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     sorted.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
-
-    // machine-context disclosure: the recorded number has twice been 1.3–2.3×
-    // a judge's idle re-run of the identical binary (co-tenant load). The
-    // load average before/after and the per-query min/med/max spread make
-    // the record adjudicable without a re-run: sustained contention shows
-    // as high loadavg + wide spread, a genuine regression as a tight one.
-    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    val loadStart = os.getSystemLoadAverage
 
     val results = sorted.map { case (name, fn) =>
       // a failing pass records -1.0, not its time-to-fail: sorted, a single
@@ -66,16 +69,26 @@ object Bench {
         val valid = first.filter(_ > 0)
         valid.nonEmpty && valid.max / valid.min > 3.0
       }
-      val times = (if (spiky) first :+ pass() else first).sorted.take(3)
+      // the retry only participates if it succeeded: a failed retry
+      // (-1.0) would sort first and displace the slowest VALID pass,
+      // recording min:-1 and a flattering median for a query that ran
+      // clean three times
+      val retryTimes = if (spiky) { val r = pass(); if (r >= 0) first :+ r else first }
+        else first
+      val times = retryTimes.sorted.take(3)
       (name, times, spiky)
     }
     val loadEnd = os.getSystemLoadAverage
     val retried = results.count(_._3)
-    // the flag the adjudicator reads: a run that started on a loaded box
-    // (loadavg over 1/16 of the cores) or needed spike-retries on several
-    // queries was contended — its medians are upper bounds, not the
+    // spike-retries on SLOW queries corroborate contention; sub-half-second
+    // queries spread >3× from GC/JIT noise even on an idle box (round 6:
+    // q30 0.13→0.74 s idle) and must not trip the flag by themselves
+    val slowSpikes = results.count { case (_, t, spiky) => spiky && t(0) >= 0.5 }
+    // the flag the adjudicator reads: a run that STARTED on a loaded box
+    // (pre-warmup loadavg over 1/16 of the cores) or spiked on multiple
+    // slow queries was contended — its medians are upper bounds, not the
     // binary's steady-state cost
-    val contended = loadStart > cpus / 16.0 || retried >= 3
+    val contended = loadStart > cpus / 16.0 || slowSpikes >= 2
     // Locale.ROOT: default-locale format renders a comma decimal
     // separator on comma-locale JVMs, which breaks the JSON line
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)

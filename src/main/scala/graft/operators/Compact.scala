@@ -61,7 +61,17 @@ object Compact {
       }
       .filter { case (_, nFiles, _) => nFiles > maxFilesPerPartition }
 
-    candidates.grouped(batchSize).flatMap { batch =>
+    // a batch unions its partitions into one frame, so partitions written
+    // across a schema evolution (older dirs missing a later column) must
+    // not share a batch — group by file schema first; each partition is
+    // still rewritten with exactly its own layout, never a merged one
+    val bySchema = candidates
+      .map { case c @ (dirName, _, _) =>
+        (spark.read.parquet(s"$snapshotPath/$dirName").schema, c)
+      }
+      .groupBy(_._1).values.map(_.map(_._2))
+
+    bySchema.flatMap(_.grouped(batchSize)).flatMap { batch =>
       val stagedPath = s"${snapshotPath}__compact-${java.util.UUID.randomUUID()}"
       // Read each partition DIRECTORY verbatim and restore the staged
       // output under the IDENTICAL dir name. An earlier
@@ -81,25 +91,46 @@ object Compact {
       val nOut = batch.map { case (_, _, bytes) =>
         math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
       }
-      // rows land in nOut(tag) output files via a (tag, salt) hash
-      // repartition: salts within a tag split big partitions across
-      // tasks, while partitionBy(tag) keeps each task's rows in one file
+      // Every (tag, salt) combination maps to its own GLOBAL slot
+      // (offset(tag) + salt) and slots are placed 1:1 onto tasks by an
+      // explicit partitioner, so each partition comes out in exactly
+      // nOut(tag) files. A hash repartition on (tag, salt) cannot
+      // promise that: colliding combos merge tasks, and partitionBy then
+      // writes fewer, oversized files — which the file-count threshold
+      // never re-selects, so the oversize would be permanent.
+      val offsets = nOut.scanLeft(0)(_ + _)
       val saltFor = map(nOut.zipWithIndex.flatMap { case (n, i) =>
         Seq(lit(i), lit(n.toLong))
       }: _*)
-      batch.zipWithIndex.map { case ((dirName, _, _), i) =>
+      val slotBase = map(batch.indices.flatMap(i =>
+        Seq(lit(i), lit(offsets(i).toLong))): _*)
+      val tagged = batch.zipWithIndex.map { case ((dirName, _, _), i) =>
           spark.read.parquet(s"$snapshotPath/$dirName")
             .withColumn("__graft_p", lit(i))
         }
         .reduce(_.unionByName(_))
-        .withColumn("__graft_s",
-          pmod(monotonically_increasing_id(), element_at(saltFor, col("__graft_p"))))
-        .repartition(nOut.sum, col("__graft_p"), col("__graft_s"))
-        .drop("__graft_s")
+        .withColumn("__graft_slot",
+          (element_at(slotBase, col("__graft_p")) +
+            pmod(monotonically_increasing_id(), element_at(saltFor, col("__graft_p"))))
+            .cast("int"))
+      val slotted = spark.createDataFrame(
+        tagged.rdd.keyBy(_.getAs[Int]("__graft_slot"))
+          .partitionBy(new org.apache.spark.Partitioner {
+            override def numPartitions: Int = offsets.last
+            override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+          })
+          .map(_._2),
+        tagged.schema)
+      slotted.drop("__graft_slot")
         .write.partitionBy("__graft_p").mode("error").parquet(stagedPath)
       batch.zipWithIndex.foreach { case ((dirName, _, _), i) =>
-        Sinks.rename(fs, new Path(s"$stagedPath/__graft_p=$i"),
-          new Path(s"$stagedPath/$dirName"))
+        val staged = new Path(s"$stagedPath/__graft_p=$i")
+        // a candidate whose files hold zero rows emits no staged dir;
+        // publish an empty dir instead so the swap still collapses its
+        // junk files (and the rename can't abort the healthy partitions)
+        if (fs.exists(staged))
+          Sinks.rename(fs, staged, new Path(s"$stagedPath/$dirName"))
+        else fs.mkdirs(new Path(s"$stagedPath/$dirName"))
       }
       // parquet() drops a _SUCCESS marker at the staged dir level; remove
       // it so swapPartitions sees only the partition dirs

@@ -143,6 +143,57 @@ class CompactSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  // a batch unions partition dirs, so dirs written across a schema
+  // evolution must not be merged into one frame: each partition keeps
+  // exactly its own layout
+  test("batched compaction keeps per-partition schemas across schema drift") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact-drift").toString
+    val snap = s"$tmp/snap"
+    (1 to 6).foreach { i =>
+      Seq((s"a$i", "old", i.toDouble)).toDF("id", "y", "v")
+        .write.partitionBy("y").mode("append").parquet(snap)
+      Seq((s"b$i", "new", i.toDouble, s"x$i")).toDF("id", "y", "v", "extra")
+        .write.partitionBy("y").mode("append").parquet(snap)
+    }
+
+    val rewritten = Compact.partitions(spark, snap, maxFilesPerPartition = 4)
+    assert(rewritten.toSet === Set("y=old", "y=new"))
+
+    val oldCols = spark.read.parquet(s"$snap/y=old").columns.toSet
+    val newCols = spark.read.parquet(s"$snap/y=new").columns.toSet
+    assert(oldCols === Set("id", "v"),
+      "the pre-evolution partition must not grow a null 'extra' column")
+    assert(newCols === Set("id", "v", "extra"))
+    assert(spark.read.parquet(s"$snap/y=new").count() === 6)
+    assert(spark.read.parquet(s"$snap/y=old").count() === 6)
+  }
+
+  // a fragmented partition whose files hold zero rows (metadata-only
+  // parquet from empty-frame saves) stages no output dir; the swap must
+  // still collapse its junk files without aborting the healthy batch
+  test("an all-empty fragmented partition compacts to empty without aborting the batch") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact-empty").toString
+    val snap = s"$tmp/snap"
+    (1 to 6).foreach { i =>
+      Seq((s"k$i", i.toDouble)).toDF("id", "v")
+        .write.mode("append").parquet(s"$snap/y=aa")
+      Seq.empty[(String, Double)].toDF("id", "v")
+        .write.mode("append").parquet(s"$snap/y=ghost")
+    }
+    val ghostFiles = new java.io.File(s"$snap/y=ghost").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assume(ghostFiles > 4, s"empty saves must fragment the fixture (got $ghostFiles files)")
+
+    val rewritten = Compact.partitions(spark, snap, maxFilesPerPartition = 4, batchSize = 4)
+    assert(rewritten.toSet === Set("y=aa", "y=ghost"))
+
+    assert(new java.io.File(s"$snap/y=ghost").listFiles()
+      .count(_.getName.startsWith("part-")) === 0,
+      "the zero-row partition's junk files must be gone")
+    assert(TestFiles.partFileHashes(snap).keys.count(_.startsWith("y=aa")) === 1)
+    assert(spark.read.parquet(snap).count() === 6, "healthy rows all survive")
+  }
+
   // regression: a crash between staging and swap orphans the __compact-*
   // copy; re-running must sweep it (mirroring Upsert's __stage-* sweep)
   // instead of leaking a full partition copy per crash
