@@ -69,13 +69,14 @@ object Bench {
         val valid = first.filter(_ > 0)
         valid.nonEmpty && valid.max / valid.min > 3.0
       }
-      // the retry only participates if it succeeded: a failed retry
-      // (-1.0) would sort first and displace the slowest VALID pass,
-      // recording min:-1 and a flattering median for a query that ran
-      // clean three times
-      val retryTimes = if (spiky) { val r = pass(); if (r >= 0) first :+ r else first }
-        else first
-      val times = retryTimes.sorted.take(3)
+      val passes = if (spiky) first :+ pass() else first
+      // stats come from VALID passes only, fastest three, padded with the
+      // -1.0 sentinel at the END: a flake must neither displace a valid
+      // time (sorting the sentinel first recorded min:-1 and a
+      // flattering median) nor hide (the sentinel in the max slot marks
+      // it); a query whose every pass failed records [-1,-1,-1]
+      val valid = passes.filter(_ >= 0).sorted.take(3)
+      val times = valid ++ Seq.fill(3 - valid.size)(-1.0)
       (name, times, spiky)
     }
     val loadEnd = os.getSystemLoadAverage
@@ -85,10 +86,14 @@ object Bench {
     // q30 0.13→0.74 s idle) and must not trip the flag by themselves
     val slowSpikes = results.count { case (_, t, spiky) => spiky && t(0) >= 0.5 }
     // the flag the adjudicator reads: a run that STARTED on a loaded box
-    // (pre-warmup loadavg over 1/16 of the cores) or spiked on multiple
-    // slow queries was contended — its medians are upper bounds, not the
-    // binary's steady-state cost
-    val contended = loadStart > cpus / 16.0 || slowSpikes >= 2
+    // (pre-warmup loadavg over 1/16 of the cores), spiked on multiple
+    // slow queries, or ENDED far above the bench's own measured quiet
+    // load (loadEnd stays under ~cpus/8 when alone — the queries are
+    // short bursts — so a heavy steady co-tenant that arrived after the
+    // start sample still shows) was contended — its medians are upper
+    // bounds, not the binary's steady-state cost
+    val contended = loadStart > cpus / 16.0 || slowSpikes >= 2 ||
+      loadEnd > cpus / 4.0
     // Locale.ROOT: default-locale format renders a comma decimal
     // separator on comma-locale JVMs, which breaks the JSON line
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)

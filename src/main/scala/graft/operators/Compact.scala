@@ -61,17 +61,29 @@ object Compact {
       }
       .filter { case (_, nFiles, _) => nFiles > maxFilesPerPartition }
 
-    // a batch unions its partitions into one frame, so partitions written
-    // across a schema evolution (older dirs missing a later column) must
-    // not share a batch — group by file schema first; each partition is
-    // still rewritten with exactly its own layout, never a merged one
+    // Schema handling, two layers. WITHIN a dir: read with mergeSchema —
+    // incremental appends can straddle a schema evolution inside ONE
+    // partition, and a single-footer inferred schema would silently drop
+    // the newer files' columns from the rewrite (data loss, since the
+    // originals are swapped away). ACROSS dirs: a batch unions its
+    // partitions into one frame, so dirs whose (merged) schemas differ
+    // must not share a batch — group by schema; each partition is
+    // rewritten with exactly its own merged layout, never another
+    // group's. The per-candidate footer merge is metadata-priced; a
+    // census past ~10⁵ partitions should come from write-side manifests
+    // (the touched-partition lists the MERGE already records) rather
+    // than this listing+footer walk. Frames are read once here and
+    // reused by the batch write below.
     val bySchema = candidates
       .map { case c @ (dirName, _, _) =>
-        (spark.read.parquet(s"$snapshotPath/$dirName").schema, c)
+        val df = spark.read.option("mergeSchema", true)
+          .parquet(s"$snapshotPath/$dirName")
+        (df.schema, (c, df))
       }
       .groupBy(_._1).values.map(_.map(_._2))
 
-    bySchema.flatMap(_.grouped(batchSize)).flatMap { batch =>
+    bySchema.flatMap(_.grouped(batchSize)).flatMap { batchWithDf =>
+      val batch = batchWithDf.map(_._1)
       val stagedPath = s"${snapshotPath}__compact-${java.util.UUID.randomUUID()}"
       // Read each partition DIRECTORY verbatim and restore the staged
       // output under the IDENTICAL dir name. An earlier
@@ -86,8 +98,11 @@ object Compact {
       // tag, and the tag dirs are renamed back to the original dir names
       // (a metadata op) before the swap. The files' schema already
       // excludes the partition column (partitionBy writes drop it, and
-      // the tag is dropped the same way), so rewritten files stay
-      // layout-identical to the originals.
+      // the tag is dropped the same way), so rewritten files keep the
+      // dir's own (merged) layout — identical to the originals unless
+      // the dir itself straddles a schema evolution, in which case older
+      // rows gain the newer columns as nulls rather than newer columns
+      // being dropped.
       val nOut = batch.map { case (_, _, bytes) =>
         math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
       }
@@ -104,9 +119,8 @@ object Compact {
       }: _*)
       val slotBase = map(batch.indices.flatMap(i =>
         Seq(lit(i), lit(offsets(i).toLong))): _*)
-      val tagged = batch.zipWithIndex.map { case ((dirName, _, _), i) =>
-          spark.read.parquet(s"$snapshotPath/$dirName")
-            .withColumn("__graft_p", lit(i))
+      val tagged = batchWithDf.zipWithIndex.map { case ((_, df), i) =>
+          df.withColumn("__graft_p", lit(i))
         }
         .reduce(_.unionByName(_))
         .withColumn("__graft_slot",
@@ -123,14 +137,23 @@ object Compact {
         tagged.schema)
       slotted.drop("__graft_slot")
         .write.partitionBy("__graft_p").mode("error").parquet(stagedPath)
-      batch.zipWithIndex.foreach { case ((dirName, _, _), i) =>
+      batchWithDf.zipWithIndex.foreach { case (((dirName, _, _), df), i) =>
         val staged = new Path(s"$stagedPath/__graft_p=$i")
-        // a candidate whose files hold zero rows emits no staged dir;
-        // publish an empty dir instead so the swap still collapses its
-        // junk files (and the rename can't abort the healthy partitions)
         if (fs.exists(staged))
           Sinks.rename(fs, staged, new Path(s"$stagedPath/$dirName"))
-        else fs.mkdirs(new Path(s"$stagedPath/$dirName"))
+        // A candidate whose files hold zero rows (metadata-only parquet
+        // from empty-frame saves) legitimately emits no staged dir —
+        // publish an empty dir so the swap still collapses its junk
+        // files. But ONLY after re-proving the source is empty: a
+        // missing dir for a partition that HAS rows means the write
+        // lost them, and swapping an empty dir over the live copy would
+        // convert that bug into silent data deletion. Fail loudly
+        // instead — the staged batch is abandoned, the live snapshot
+        // untouched. The probe is per-missing-tag (rare) and
+        // LocalLimit-1 cheap.
+        else if (df.isEmpty) fs.mkdirs(new Path(s"$stagedPath/$dirName"))
+        else throw new java.io.IOException(
+          s"compaction staged no output for non-empty partition $dirName")
       }
       // parquet() drops a _SUCCESS marker at the staged dir level; remove
       // it so swapPartitions sees only the partition dirs

@@ -168,6 +168,33 @@ class CompactSpec extends SparkSpec {
     assert(spark.read.parquet(s"$snap/y=old").count() === 6)
   }
 
+  // a single partition whose OWN files straddle a schema evolution must
+  // rewrite with the merged schema — a one-footer inferred schema would
+  // silently drop the newer files' columns while the swap deletes the
+  // only copy holding them
+  test("compaction merges schemas of files straddling an evolution within one dir") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact-intra").toString
+    val snap = s"$tmp/snap"
+    (1 to 3).foreach { i =>
+      Seq((s"old$i", i.toDouble)).toDF("id", "v")
+        .write.mode("append").parquet(s"$snap/y=mix")
+    }
+    (1 to 3).foreach { i =>
+      Seq((s"new$i", i.toDouble, s"x$i")).toDF("id", "v", "extra")
+        .write.mode("append").parquet(s"$snap/y=mix")
+    }
+
+    assert(Compact.partitions(spark, snap, maxFilesPerPartition = 4) === Seq("y=mix"))
+
+    val out = spark.read.parquet(s"$snap/y=mix")
+    assert(out.columns.toSet === Set("id", "v", "extra"),
+      "the rewrite must carry the evolved column")
+    assert(out.count() === 6)
+    assert(out.filter(col("extra").isNotNull).count() === 3,
+      "every post-evolution value survives the rewrite")
+    assert(TestFiles.partFileHashes(snap).keys.count(_.startsWith("y=mix")) === 1)
+  }
+
   // a fragmented partition whose files hold zero rows (metadata-only
   // parquet from empty-frame saves) stages no output dir; the swap must
   // still collapse its junk files without aborting the healthy batch
