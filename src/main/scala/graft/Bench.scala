@@ -75,8 +75,7 @@ object Bench {
       // time (sorting the sentinel first recorded min:-1 and a
       // flattering median) nor hide (the sentinel in the max slot marks
       // it); a query whose every pass failed records [-1,-1,-1]
-      val valid = passes.filter(_ >= 0).sorted.take(3)
-      val times = valid ++ Seq.fill(3 - valid.size)(-1.0)
+      val times = passes.filter(_ >= 0).sorted.take(3).padTo(3, -1.0)
       (name, times, spiky)
     }
     val loadEnd = os.getSystemLoadAverage
@@ -87,13 +86,16 @@ object Bench {
     val slowSpikes = results.count { case (_, t, spiky) => spiky && t(0) >= 0.5 }
     // the flag the adjudicator reads: a run that STARTED on a loaded box
     // (pre-warmup loadavg over 1/16 of the cores), spiked on multiple
-    // slow queries, or ENDED far above the bench's own measured quiet
-    // load (loadEnd stays under ~cpus/8 when alone — the queries are
-    // short bursts — so a heavy steady co-tenant that arrived after the
-    // start sample still shows) was contended — its medians are upper
-    // bounds, not the binary's steady-state cost
+    // slow queries, or — on a short-burst run, where the bench's own
+    // work cannot explain it (measured loadavg_end ≤ ~2 at sf0.1;
+    // a LONG run keeps all cores runnable and saturates the 1-minute
+    // loadavg by itself, so the term is scoped to total < 120 s) —
+    // ENDED far above quiet load, catching a steady co-tenant that
+    // arrived after the start sample. A contended run's medians are
+    // upper bounds, not the binary's steady-state cost.
+    val medianTotal = results.map(_._2(1)).filter(_ >= 0).sum
     val contended = loadStart > cpus / 16.0 || slowSpikes >= 2 ||
-      loadEnd > cpus / 4.0
+      (medianTotal < 120.0 && loadEnd > cpus / 4.0)
     // Locale.ROOT: default-locale format renders a comma decimal
     // separator on comma-locale JVMs, which breaks the JSON line
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)

@@ -72,18 +72,23 @@ object Compact {
     // group's. The per-candidate footer merge is metadata-priced; a
     // census past ~10⁵ partitions should come from write-side manifests
     // (the touched-partition lists the MERGE already records) rather
-    // than this listing+footer walk. Frames are read once here and
-    // reused by the batch write below.
+    // than this listing+footer walk. Only the SCHEMA is retained from
+    // this pass — batch reads below re-open their dirs with the merged
+    // schema passed explicitly (the parquet reader nulls a file's
+    // missing columns), so neither a second footer walk nor 10⁵ live
+    // DataFrames/file indexes ever accumulate on the driver.
     val bySchema = candidates
       .map { case c @ (dirName, _, _) =>
-        val df = spark.read.option("mergeSchema", true)
-          .parquet(s"$snapshotPath/$dirName")
-        (df.schema, (c, df))
+        (spark.read.option("mergeSchema", true)
+          .parquet(s"$snapshotPath/$dirName").schema, c)
       }
-      .groupBy(_._1).values.map(_.map(_._2))
+      .groupBy(_._1).toSeq
 
-    bySchema.flatMap(_.grouped(batchSize)).flatMap { batchWithDf =>
-      val batch = batchWithDf.map(_._1)
+    bySchema.flatMap { case (schema, group) =>
+      group.map(_._2).grouped(batchSize).map((schema, _))
+    }.flatMap { case (schema, batch) =>
+      def readDir(dirName: String) =
+        spark.read.schema(schema).parquet(s"$snapshotPath/$dirName")
       val stagedPath = s"${snapshotPath}__compact-${java.util.UUID.randomUUID()}"
       // Read each partition DIRECTORY verbatim and restore the staged
       // output under the IDENTICAL dir name. An earlier
@@ -119,8 +124,8 @@ object Compact {
       }: _*)
       val slotBase = map(batch.indices.flatMap(i =>
         Seq(lit(i), lit(offsets(i).toLong))): _*)
-      val tagged = batchWithDf.zipWithIndex.map { case ((_, df), i) =>
-          df.withColumn("__graft_p", lit(i))
+      val tagged = batch.zipWithIndex.map { case ((dirName, _, _), i) =>
+          readDir(dirName).withColumn("__graft_p", lit(i))
         }
         .reduce(_.unionByName(_))
         .withColumn("__graft_slot",
@@ -137,7 +142,7 @@ object Compact {
         tagged.schema)
       slotted.drop("__graft_slot")
         .write.partitionBy("__graft_p").mode("error").parquet(stagedPath)
-      batchWithDf.zipWithIndex.foreach { case (((dirName, _, _), df), i) =>
+      batch.zipWithIndex.foreach { case ((dirName, _, _), i) =>
         val staged = new Path(s"$stagedPath/__graft_p=$i")
         if (fs.exists(staged))
           Sinks.rename(fs, staged, new Path(s"$stagedPath/$dirName"))
@@ -151,7 +156,7 @@ object Compact {
         // instead — the staged batch is abandoned, the live snapshot
         // untouched. The probe is per-missing-tag (rare) and
         // LocalLimit-1 cheap.
-        else if (df.isEmpty) fs.mkdirs(new Path(s"$stagedPath/$dirName"))
+        else if (readDir(dirName).isEmpty) fs.mkdirs(new Path(s"$stagedPath/$dirName"))
         else throw new java.io.IOException(
           s"compaction staged no output for non-empty partition $dirName")
       }
