@@ -14,27 +14,46 @@ import graft.core.Staging
   * engine going a stage beyond the system it models, per the builder
   * brief's LLM-pipeline scope).
   *
-  * Algorithm: hash-min label propagation. Every node starts labeled with
-  * the minimum of itself and its direct neighbors; each round propagates
-  * labels one hop (`label(v) ← min(label(v), min over neighbors of
-  * label(u))`) until a fixpoint. Each round is one shuffle
-  * (edge ⋈ label, then a min aggregation) and the round count is the
-  * cluster DIAMETER, not the node count — near-dup clusters are small and
-  * shallow, so this converges in a handful of rounds at any corpus size.
-  * For graphs with genuinely deep components (social graphs, link
-  * graphs), the O(log n)-round alternating large-star/small-star
-  * algorithm (Kiveris et al., "Connected Components in MapReduce and
-  * Beyond") is the drop-in upgrade; for dedup clustering its extra
-  * machinery buys nothing.
+  * Algorithm: min-label CONTRACTION. Level 0 labels every node with the
+  * minimum of itself and its direct neighbors (one shuffle over the full
+  * edge list — the only full-E pass after staging). The edge list is then
+  * rewritten into representative space (`(label(a), label(b))`, loops
+  * dropped, duplicates collapsed) and the same min-merge repeats on the
+  * CONTRACTED graph until no inter-representative edge remains. Each
+  * level folds its representative relabeling back into the
+  * full-resolution `(id, comp)` frame with one keyed join.
+  *
+  * Why contraction instead of plain hash-min rounds: near-dup clusters
+  * are DENSE (a k-member cluster emits Θ(k²) verified pairs — the sf0.1
+  * simhash fixture is 5 000 docs / 1.35 M edges), and hash-min re-joins
+  * the full edge list every round while labels converge — measured on
+  * that fixture, 5 rounds × ~4 s of full-E joins after a 1.4 s level-0.
+  * Contraction pays the full-E cost once more (the level-0 rewrite) and
+  * every later level runs on the residue — a dense cluster's Θ(k²) edges
+  * all map into its representative and vanish in the `distinct`, so the
+  * contracted graph is roughly one node per already-merged cluster. At
+  * production edge counts the per-level term is O(E_contracted + V),
+  * not O(E): the full edge list is scanned a constant number of times
+  * regardless of how many levels convergence takes. Level count is still
+  * bounded by component diameter (min-of-neighborhood merges at least
+  * two nodes per component per level), the same shallow-cluster regime
+  * as before — for genuinely deep graphs (social/link graphs) the
+  * O(log n) alternating large-star/small-star algorithm (Kiveris et
+  * al., "Connected Components in MapReduce and Beyond") remains the
+  * drop-in upgrade; for dedup clustering its extra machinery buys
+  * nothing.
   *
   * Scale notes:
-  *  - labels are staged per round (Staging.stage), which truncates the
-  *    iterated plan — without the cut, round k's logical plan embeds all
+  *  - every iterated frame (labels, contracted edges, per-level
+  *    relabeling) is staged (Staging.stage), which truncates the
+  *    iterated plan — without the cut, level k's logical plan embeds all
   *    k-1 predecessors and the optimizer re-plans the whole history;
-  *  - the convergence probe is `isEmpty` on the changed-label frame — a
-  *    LocalLimit(1) driver action per round, not a collect of labels;
-  *  - the edge list is staged once and re-scanned per round (both the
-  *    symmetric orientation and every join read it).
+  *  - the convergence probe is `isEmpty` on the STAGED contracted edge
+  *    frame — a LocalLimit(1) scan of materialized blocks, not a
+  *    recompute;
+  *  - the caller's edge pipeline is staged once; both the level-0
+  *    min-merge and the level-0 contraction re-scan that staging, never
+  *    the upstream computation.
   */
 object Components {
 
@@ -43,64 +62,65 @@ object Components {
     * distinct node appearing in the edge list; isolated nodes (never in
     * an edge) are by definition absent.
     *
-    * @param maxRounds fail-stop bound: if the propagation has not reached
-    *   a fixpoint after this many rounds the graph has a deeper diameter
-    *   than dedup clustering produces and the caller picked the wrong
-    *   algorithm — throw rather than return a wrong (unconverged)
-    *   labeling. */
+    * @param maxRounds fail-stop bound on contraction levels: if the
+    *   contracted graph still has edges after this many levels the graph
+    *   has a deeper diameter than dedup clustering produces and the
+    *   caller picked the wrong algorithm — throw rather than return a
+    *   wrong (unconverged) labeling. */
   def connected(
       edges: DataFrame,
       src: String = "src",
       dst: String = "dst",
       maxRounds: Int = 20): DataFrame = {
-    // stage the caller's edge pipeline ONCE, then symmetrize by unioning
-    // the staged frame with its column swap — unioning two scans of the
-    // unstaged input would execute the (possibly expensive) upstream edge
-    // computation once per orientation
-    val e = Staging.stage(
+    // stage the caller's edge pipeline ONCE — every consumer below
+    // (symmetrized min-merge, contraction joins) re-scans the staged
+    // frame, not the (possibly expensive) upstream computation
+    val e0 = Staging.stage(
       edges.select(col(src).cast("long").as("id"), col(dst).cast("long").as("nbr")))
-    val sym = e.union(e.select(col("nbr").as("id"), col("id").as("nbr")))
 
-    // round 0: min over the 1-hop neighborhood (self included)
-    var labels = Staging.stage(
-      sym.groupBy("id").agg(min(col("nbr")).as("mn"))
+    def symmetric(e: DataFrame): DataFrame =
+      e.union(e.select(col("nbr").as("id"), col("id").as("nbr")))
+
+    // min over the 1-hop neighborhood (self included), one row per node
+    // of `e` — level 0 runs it on the full graph, later levels on the
+    // contracted residue where it is a representative → representative map
+    def minMerge(e: DataFrame): DataFrame = Staging.stage(
+      symmetric(e).groupBy("id").agg(min(col("nbr")).as("mn"))
         .select(col("id"), least(col("id"), col("mn")).as("comp")))
 
-    // Delta propagation: labels only DECREASE under min-merge, and a
-    // node's label can only drop when a neighbor's label dropped in the
-    // previous round — so each round joins the edges against the CHANGED
-    // set (the frontier), not the full labeling. Most labels settle in
-    // round 0, so later rounds touch only frontier-adjacent edges plus
-    // the O(|V|) min-merge instead of re-walking all of `sym`. At the
-    // test fixtures' scale the two shapes MEASURE equal (per-round job
-    // overhead dominates either way); the delta shape is chosen because
-    // the full-edge re-join per round is the term that explodes at
-    // production edge counts. The frontier is deliberately NOT staged:
-    // both of its consumers (the isEmpty probe, the next round's join)
-    // are cheap scans over the already-staged `next`/`labels`, and an
-    // extra materialization per round is pure overhead. Round 0's
-    // frontier is the full labeling — everything just "changed".
-    var frontier = labels
-    var round = 0
-    var converged = false
-    while (!converged && round < maxRounds) {
-      // one hop: a changed label is offered to every neighbor, keep min
-      val offered = sym.join(frontier, "id")
-        .select(col("nbr").as("id"), col("comp"))
-      val next = Staging.stage(
-        offered.union(labels).groupBy("id").agg(min(col("comp")).as("comp")))
-      frontier = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") < col("prev"))
-        .select("id", "comp")
-      converged = frontier.isEmpty
-      labels = next
-      round += 1
+    // rewrite `e` into representative space under `l` (which covers every
+    // node of `e` by construction): intra-cluster edges drop, duplicates
+    // collapse, orientation is normalized so (a,b)/(b,a) dedup together
+    def contract(e: DataFrame, l: DataFrame): DataFrame = Staging.stage(
+      e.join(l.select(col("id"), col("comp").as("ca")), "id")
+        .join(l.select(col("id").as("nbr"), col("comp").as("cb")), "nbr")
+        .filter(col("ca") =!= col("cb"))
+        .select(least(col("ca"), col("cb")).as("id"),
+          greatest(col("ca"), col("cb")).as("nbr"))
+        .distinct())
+
+    var labels = minMerge(e0)
+    var e = contract(e0, labels)
+    var level = 0
+    var done = e.isEmpty
+    while (!done && level < maxRounds) {
+      val l = minMerge(e)
+      // fold the representative relabeling into the full-resolution
+      // frame: rows whose comp was itself relabeled follow it, the rest
+      // (components with no surviving external edge) keep theirs
+      labels = Staging.stage(
+        labels.join(l.select(col("id").as("comp"), col("comp").as("next")),
+            Seq("comp"), "left")
+          .select(col("id"), coalesce(col("next"), col("comp")).as("comp")))
+      e = contract(e, l)
+      level += 1
+      done = e.isEmpty
     }
-    if (!converged)
+    if (!done)
       throw new IllegalStateException(
-        s"hash-min did not converge in $maxRounds rounds — component diameter " +
-          "exceeds the dedup-cluster regime; use a log-round algorithm " +
-          "(large-star/small-star) for deep graphs")
+        s"contraction did not converge in $maxRounds levels — component " +
+          "diameter exceeds the dedup-cluster regime; use a log-round " +
+          "algorithm (large-star/small-star) for deep graphs")
     labels
   }
 
@@ -110,7 +130,7 @@ object Components {
     * prior run's (id, comp) table is the persisted artifact). Each old
     * label row is itself an edge to the component's canonical node, and
     * that star preserves the old connectivity exactly, with diameter 2 —
-    * so propagation over star ∪ new edges converges in a few rounds
+    * so propagation over star ∪ new edges converges in a few levels
     * regardless of how many ingests built the old labeling. Identical to
     * re-clustering the full history (ComponentsSpec pins it).
     *
