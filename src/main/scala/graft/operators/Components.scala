@@ -15,13 +15,14 @@ import graft.core.Staging
   * brief's LLM-pipeline scope).
   *
   * Algorithm: min-label CONTRACTION. Level 0 labels every node with the
-  * minimum of itself and its direct neighbors (one shuffle over the full
-  * edge list — the only full-E pass after staging). The edge list is then
-  * rewritten into representative space (`(label(a), label(b))`, loops
-  * dropped, duplicates collapsed) and the same min-merge repeats on the
-  * CONTRACTED graph until no inter-representative edge remains. Each
-  * level folds its representative relabeling back into the
-  * full-resolution `(id, comp)` frame with one keyed join.
+  * minimum of itself and its direct neighbors (the only full-E
+  * aggregation). The edge list is then rewritten into representative
+  * space (`(label(a), label(b))`, loops dropped, duplicates collapsed —
+  * the one other full-E pass) and the same min-merge repeats on the
+  * CONTRACTED graph until no inter-representative edge remains. The
+  * per-level relabelings compose in contracted space (small ⋈ small) and
+  * fold into the full-resolution `(id, comp)` frame with ONE keyed join
+  * after convergence.
   *
   * Why contraction instead of plain hash-min rounds: near-dup clusters
   * are DENSE (a k-member cluster emits Θ(k²) verified pairs — the sf0.1
@@ -32,9 +33,10 @@ import graft.core.Staging
   * every later level runs on the residue — a dense cluster's Θ(k²) edges
   * all map into its representative and vanish in the `distinct`, so the
   * contracted graph is roughly one node per already-merged cluster. At
-  * production edge counts the per-level term is O(E_contracted + V),
-  * not O(E): the full edge list is scanned a constant number of times
-  * regardless of how many levels convergence takes. Level count is still
+  * production edge counts the per-level term is O(E_contracted), not
+  * O(E) or O(V): the full edge list and the full node set are each
+  * touched a constant number of times regardless of how many levels
+  * convergence takes. Level count is still
   * bounded by component diameter (min-of-neighborhood merges at least
   * two nodes per component per level), the same shallow-cluster regime
   * as before — for genuinely deep graphs (social/link graphs) the
@@ -60,7 +62,10 @@ object Components {
   /** Label every node of `edges` (columns `src`/`dst`) with the minimum
     * node id reachable from it. Returns (`id`, `comp`) — one row per
     * distinct node appearing in the edge list; isolated nodes (never in
-    * an edge) are by definition absent.
+    * an edge) are by definition absent. Edges with a null endpoint (a
+    * null id, or a non-numeric string id — which ANSI mode rejects at
+    * cast) carry no connectivity and are dropped up front rather than
+    * silently vanishing inside the contraction joins.
     *
     * @param maxRounds fail-stop bound on contraction levels: if the
     *   contracted graph still has edges after this many levels the graph
@@ -76,7 +81,8 @@ object Components {
     // (symmetrized min-merge, contraction joins) re-scans the staged
     // frame, not the (possibly expensive) upstream computation
     val e0 = Staging.stage(
-      edges.select(col(src).cast("long").as("id"), col(dst).cast("long").as("nbr")))
+      edges.select(col(src).cast("long").as("id"), col(dst).cast("long").as("nbr"))
+        .filter(col("id").isNotNull && col("nbr").isNotNull))
 
     def symmetric(e: DataFrame): DataFrame =
       e.union(e.select(col("nbr").as("id"), col("id").as("nbr")))
@@ -99,19 +105,27 @@ object Components {
           greatest(col("ca"), col("cb")).as("nbr"))
         .distinct())
 
-    var labels = minMerge(e0)
+    val labels = minMerge(e0)
     var e = contract(e0, labels)
+    // Cumulative representative relabeling, kept in CONTRACTED space:
+    // (rep, next) over the level-1 edge nodes. Contracted node sets only
+    // shrink (every level's labels are drawn from the previous level's
+    // nodes), so each new level map left-joins onto `next` and the
+    // composition stays as small as the first contracted graph — the
+    // full-resolution frame is touched once, after convergence, instead
+    // of once per level.
+    var repMap: DataFrame = null
     var level = 0
     var done = e.isEmpty
     while (!done && level < maxRounds) {
       val l = minMerge(e)
-      // fold the representative relabeling into the full-resolution
-      // frame: rows whose comp was itself relabeled follow it, the rest
-      // (components with no surviving external edge) keep theirs
-      labels = Staging.stage(
-        labels.join(l.select(col("id").as("comp"), col("comp").as("next")),
-            Seq("comp"), "left")
-          .select(col("id"), coalesce(col("next"), col("comp")).as("comp")))
+      val step = l.select(col("id").as("rep"), col("comp").as("next"))
+      repMap = Staging.stage(
+        if (repMap == null) step
+        else repMap.join(
+            step.select(col("rep").as("next"), col("next").as("next2")),
+            Seq("next"), "left")
+          .select(col("rep"), coalesce(col("next2"), col("next")).as("next")))
       e = contract(e, l)
       level += 1
       done = e.isEmpty
@@ -121,7 +135,12 @@ object Components {
         s"contraction did not converge in $maxRounds levels — component " +
           "diameter exceeds the dedup-cluster regime; use a log-round " +
           "algorithm (large-star/small-star) for deep graphs")
-    labels
+    if (repMap == null) labels
+    else
+      // one full-resolution fold: rows whose level-0 representative was
+      // later merged follow the composed map, the rest keep theirs
+      labels.join(repMap.withColumnRenamed("rep", "comp"), Seq("comp"), "left")
+        .select(col("id"), coalesce(col("next"), col("comp")).as("comp"))
   }
 
   /** Incremental cluster maintenance: fold a new ingest's edges into an
