@@ -1219,10 +1219,12 @@ object Llm {
   // The pair queries (q46/q49/q51) stop at edges, but dedup needs the
   // TRANSITIVE closure: A~B and B~C must collapse into one cluster even
   // when A and C never collide in any band. q73 labels every paired doc
-  // with its cluster's canonical (minimum) doc_id via hash-min label
-  // propagation (operators/Components.scala — one shuffle per diameter
-  // hop, converges in a handful of rounds because near-dup clusters are
-  // shallow); q74 is the corpus a training run actually reads: one
+  // with its cluster's canonical (minimum) doc_id via min-label
+  // contraction (operators/Components.scala — the full edge list is
+  // touched a constant number of times and each level runs on the
+  // contracted residue; level count tracks cluster diameter, a handful
+  // because near-dup clusters are shallow); q74 is the corpus a
+  // training run actually reads: one
   // survivor per cluster plus every unpaired doc. The oracle walks the
   // same closure with a recursive CTE — both sides agree because "min
   // reachable id" is evaluation-order-free.
@@ -1369,10 +1371,10 @@ object Llm {
   // Same collapse as q73, different edge generator: Hamming-verified
   // simhash pairs instead of Jaccard-verified MinHash pairs. The fixture
   // is deliberately near-dup dense, so this also exercises the
-  // propagation on a DENSE graph — density SHRINKS hash-min's round
-  // count (more edges → shorter paths to the minimum), so the dense case
-  // is cheap per round-count even though the edge join itself is the
-  // expensive stage.
+  // contraction on a DENSE graph — a dense cluster's quadratic edge
+  // mass maps into one representative and vanishes in the first
+  // contraction level, so the collapse is cheap even though the edge
+  // join itself is the expensive stage.
   private val simhashClusters = Q(
     "q79_simhash_clusters",
     (s, dir) =>

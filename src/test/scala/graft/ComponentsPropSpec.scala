@@ -33,7 +33,7 @@ class ComponentsPropSpec extends SparkSpec {
     nodes.map(n => n -> find(n)).toMap
   }
 
-  test("hash-min labels match union-find on 12 seeded random graphs") {
+  test("contraction labels match union-find on 12 seeded random graphs") {
     val rnd = new Random(2025)
     for (i <- 1 to 12) {
       // node universe larger than the edge count → a mix of chains,

@@ -4,8 +4,9 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Components
 
-/** Hash-min connected components (operators/Components.scala) — the
-  * pairs→clusters collapse behind q73/q74. */
+/** Min-label-contraction connected components
+  * (operators/Components.scala) — the pairs→clusters collapse behind
+  * q73/q74. */
 class ComponentsSpec extends SparkSpec {
 
   private def edges(pairs: (Long, Long)*) = {
