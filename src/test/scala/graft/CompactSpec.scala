@@ -112,11 +112,18 @@ class CompactSpec extends SparkSpec {
 
     val writes = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      // suites share one SparkSession and sbt runs them in parallel, so
+      // count only THIS test's writes (by output path) — an unfiltered
+      // count picks up any concurrent suite's parquet write and
+      // overshoots
       override def onSuccess(funcName: String,
                              qe: org.apache.spark.sql.execution.QueryExecution,
-                             durationNs: Long): Unit =
-        if (qe.logical.getClass.getSimpleName.contains("InsertIntoHadoopFsRelationCommand"))
+                             durationNs: Long): Unit = qe.logical match {
+        case c: org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationCommand
+            if c.outputPath.toString.contains(tmp) =>
           writes.incrementAndGet()
+        case _ => ()
+      }
       override def onFailure(funcName: String,
                              qe: org.apache.spark.sql.execution.QueryExecution,
                              exception: Exception): Unit = ()
