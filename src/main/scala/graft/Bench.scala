@@ -44,6 +44,7 @@ object Bench {
 
     // one ordering for both passes: the warmup set and the timed set must
     // never diverge
+    val benchStart = System.nanoTime()
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     sorted.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
@@ -89,13 +90,16 @@ object Bench {
     // slow queries, or — on a short-burst run, where the bench's own
     // work cannot explain it (measured loadavg_end ≤ ~2 at sf0.1;
     // a LONG run keeps all cores runnable and saturates the 1-minute
-    // loadavg by itself, so the term is scoped to total < 120 s) —
-    // ENDED far above quiet load, catching a steady co-tenant that
-    // arrived after the start sample. A contended run's medians are
-    // upper bounds, not the binary's steady-state cost.
-    val medianTotal = results.map(_._2(1)).filter(_ >= 0).sum
+    // loadavg by itself, so the term is scoped to runs whose ACTUAL
+    // wall clock, warmup included, stayed under two loadavg decay
+    // periods — per-query medians undercount wall time ~3× with three
+    // timed passes and ignore the warmup entirely) — ENDED far above
+    // quiet load, catching a steady co-tenant that arrived after the
+    // start sample. A contended run's medians are upper bounds, not the
+    // binary's steady-state cost.
+    val wallClock = (System.nanoTime() - benchStart) / 1e9
     val contended = loadStart > cpus / 16.0 || slowSpikes >= 2 ||
-      (medianTotal < 120.0 && loadEnd > cpus / 4.0)
+      (wallClock < 120.0 && loadEnd > cpus / 4.0)
     // Locale.ROOT: default-locale format renders a comma decimal
     // separator on comma-locale JVMs, which breaks the JSON line
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -121,11 +125,17 @@ object Bench {
       s"""\"$k\":{"min":${f(t(0))},"med":${f(t(1))},"max":${f(t(2))}""" +
         (if (spiky) ""","retried":true}""" else "}")
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2(1)).sum else 0.0
+    // valid medians only: the -1.0 failure sentinel must not SUBTRACT
+    // from the headline (a broken query would otherwise read as a win —
+    // its real seconds vanish and a spurious -1 lands in the sum); broken
+    // queries stay visible as -1 medians in the per-query map plus the
+    // failed count alongside the total
+    val failed = results.count(_._2(1) < 0)
+    val total = results.map(_._2(1)).filter(_ >= 0).sum
     val machine = s""""loadavg_start":${f(loadStart)},"loadavg_end":${f(loadEnd)}""" +
       s""","available_processors":${Runtime.getRuntime.availableProcessors}""" +
       s""","timed_passes":3,"aggregation":"median"""" +
-      s""","contended":$contended,"spike_retries":$retried"""
+      s""","contended":$contended,"spike_retries":$retried,"failed":$failed"""
     val detailFile = java.nio.file.Paths.get("BENCH_DETAIL.json")
     java.nio.file.Files.write(detailFile,
       (s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir"""" +

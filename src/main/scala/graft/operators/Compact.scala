@@ -51,36 +51,59 @@ object Compact {
     fs.globStatus(new Path(s"${snapshotPath}__compact-*"))
       .foreach(st => fs.delete(st.getPath, true))
 
-    // driver-side partition census: (dir name, #data files, bytes)
+    // driver-side partition census: (dir name, data file paths, bytes)
     val candidates = fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.contains("="))
       .map { st =>
         val files = fs.listStatus(st.getPath)
           .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-        (st.getPath.getName, files.length, files.map(_.getLen).sum)
+        (st.getPath.getName, files.map(_.getPath).toSeq, files.map(_.getLen).sum)
       }
-      .filter { case (_, nFiles, _) => nFiles > maxFilesPerPartition }
+      .filter { case (_, files, _) => files.length > maxFilesPerPartition }
 
-    // Schema handling, two layers. WITHIN a dir: read with mergeSchema —
-    // incremental appends can straddle a schema evolution inside ONE
-    // partition, and a single-footer inferred schema would silently drop
-    // the newer files' columns from the rewrite (data loss, since the
-    // originals are swapped away). ACROSS dirs: a batch unions its
-    // partitions into one frame, so dirs whose (merged) schemas differ
-    // must not share a batch — group by schema; each partition is
-    // rewritten with exactly its own merged layout, never another
-    // group's. The per-candidate footer merge is metadata-priced; a
-    // census past ~10⁵ partitions should come from write-side manifests
-    // (the touched-partition lists the MERGE already records) rather
-    // than this listing+footer walk. Only the SCHEMA is retained from
-    // this pass — batch reads below re-open their dirs with the merged
-    // schema passed explicitly (the parquet reader nulls a file's
-    // missing columns), so neither a second footer walk nor 10⁵ live
-    // DataFrames/file indexes ever accumulate on the driver.
+    // Schema handling, two layers. WITHIN a dir: incremental appends can
+    // straddle a schema evolution inside ONE partition, and a
+    // single-footer inferred schema would silently drop the newer files'
+    // columns from the rewrite (data loss, since the originals are
+    // swapped away). ACROSS dirs: a batch unions its partitions into one
+    // frame, so dirs whose (merged) schemas differ must not share a
+    // batch — group by schema; each partition is rewritten with exactly
+    // its own merged layout, never another group's. Footers are read on
+    // the DRIVER via parquet-hadoop (metadata-priced RPCs, the same
+    // category as the directory listing above) and converted with
+    // Spark's own parquet→Catalyst converter: a per-candidate
+    // mergeSchema read would schedule one distributed schema-inference
+    // JOB per fragmented partition, re-creating at census time the
+    // per-partition job overhead the batched rewrite below exists to
+    // avoid. Only a dir whose footers genuinely DISAGREE (straddling an
+    // evolution — rare) pays the one mergeSchema job for Spark's exact
+    // merge semantics. A census past ~10⁵ partitions should come from
+    // write-side manifests (the touched-partition lists the MERGE
+    // already records) rather than this listing+footer walk. Only the
+    // SCHEMA is retained from this pass — batch reads below re-open
+    // their dirs with the schema passed explicitly (the parquet reader
+    // nulls a file's missing columns), so neither a second footer walk
+    // nor 10⁵ live DataFrames/file indexes ever accumulate on the
+    // driver.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // the SQLConf-based constructor — the bare-Configuration one expects
+    // session-prepared keys (binaryAsString etc.) and throws on a raw
+    // sparkContext hadoopConfiguration
+    val toCatalyst =
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetToSparkSchemaConverter(
+        org.apache.spark.sql.internal.SQLConf.get)
     val bySchema = candidates
-      .map { case c @ (dirName, _, _) =>
-        (spark.read.option("mergeSchema", true)
-          .parquet(s"$snapshotPath/$dirName").schema, c)
+      .map { case (dirName, files, bytes) =>
+        val footerTypes = files.map { p =>
+          val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf))
+          try in.getFileMetaData.getSchema finally in.close()
+        }.distinct
+        val schema =
+          if (footerTypes.lengthCompare(1) == 0) toCatalyst.convert(footerTypes.head)
+          else spark.read.option("mergeSchema", true)
+            .parquet(s"$snapshotPath/$dirName").schema
+        (schema, (dirName, files.length, bytes))
       }
       .groupBy(_._1).toSeq
 

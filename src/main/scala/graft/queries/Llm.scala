@@ -568,7 +568,14 @@ object Llm {
   // This is the standard multi-probe LSH trade: probe-sequence length
   // grows with signature bits while candidate count stays ≈ probes ×
   // target occupancy.
-  private def probeDepth(nPlanes: Int): Int = if (nPlanes <= 5) 2 else 3
+  // named so the oracle CTE interpolates the SAME constants — a tuned
+  // breakpoint or depth must move engine and oracle together or the
+  // correctness gate compares different indexes
+  private val probeDepthBreak = 5
+  private val probeDepthShallow = 2
+  private val probeDepthDeep = 3
+  private def probeDepth(nPlanes: Int): Int =
+    if (nPlanes <= probeDepthBreak) probeDepthShallow else probeDepthDeep
 
   private def probeMasks(nPlanes: Int): Seq[Long] = {
     def subsets(from: Int, size: Int): Seq[Long] =
@@ -651,8 +658,8 @@ object Llm {
     * the engine generates the O(planes^depth) subsets directly. */
   private val annSqlCte: String =
     s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       np AS (SELECT GREATEST(2, CAST(round(ln(count(*) / 32.0) / ln(2)) AS INTEGER)) AS planes FROM e),
-       npd AS (SELECT planes, CASE WHEN planes <= 5 THEN 2 ELSE 3 END AS depth FROM np),
+       np AS (SELECT GREATEST(2, CAST(round(ln(count(*) / $annOccupancyTarget) / ln(2)) AS INTEGER)) AS planes FROM e),
+       npd AS (SELECT planes, CASE WHEN planes <= $probeDepthBreak THEN $probeDepthShallow ELSE $probeDepthDeep END AS depth FROM np),
        p AS (SELECT vec_id AS plane_id, v AS pvec FROM e, np WHERE vec_id BETWEEN 1 AND planes),
        b AS (SELECT e.vec_id,
                CAST(SUM(CASE WHEN list_dot_product(v, pvec) > 0
