@@ -47,6 +47,19 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("level-0-converged cluster keeps its label while a deep one contracts") {
+    // A dense triangle {50,51,52} collapses entirely in the level-0
+    // min-merge: its representative never enters the contracted graph,
+    // so the final fold must find it ABSENT from the composed
+    // relabeling and keep its label (the coalesce path). The 8-node
+    // path forces several contraction levels in the same call, so both
+    // fold branches run against one repMap.
+    val triangle = Seq(50L -> 51L, 51L -> 52L, 50L -> 52L)
+    val path = (1L to 7L).map(i => i -> (i + 1))
+    assert(labels(triangle ++ path: _*) ===
+      ((1L to 8L).map(_ -> 1L) ++ Seq(50L, 51L, 52L).map(_ -> 50L)).toMap)
+  }
+
   test("incremental merge equals re-clustering the full edge history") {
     val oldEdges = Seq(1L -> 2L, 2L -> 3L, 10L -> 11L)
     val newEdges = Seq(3L -> 10L, 20L -> 21L) // bridges {1,2,3}+{10,11}, adds {20,21}
