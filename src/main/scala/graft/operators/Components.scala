@@ -39,11 +39,24 @@ import graft.core.Staging
   * convergence takes. Level count is still
   * bounded by component diameter (min-of-neighborhood merges at least
   * two nodes per component per level), the same shallow-cluster regime
-  * as before — for genuinely deep graphs (social/link graphs) the
-  * O(log n) alternating large-star/small-star algorithm (Kiveris et
-  * al., "Connected Components in MapReduce and Beyond") remains the
-  * drop-in upgrade; for dedup clustering its extra machinery buys
-  * nothing.
+  * as before — and for graphs that turn out deeper than that regime
+  * (an unexpected template chain at production scale), exhausting
+  * `maxRounds` no longer kills the job: the loop hands the contracted
+  * residue to the alternating large-star/small-star algorithm (Kiveris
+  * et al., "Connected Components in MapReduce and Beyond"), which
+  * converges in a round count polylogarithmic in component size
+  * REGARDLESS of diameter. Contraction stays the fast path; the
+  * fallback pays its extra per-round machinery only on the residue a
+  * pathological graph leaves behind, never on the full edge list.
+  *
+  * The trade is not free in the SPARSE direction either: on a sparse
+  * graph whose contracted residue is nearly as large as E (little dense
+  * mass to collapse at level 0), contraction's per-level staging and the
+  * extra full-E rewrite cost more than plain hash-min rounds — measured
+  * at sf0.1, q73's sparse MinHash graph pays ~0.4 s (1.6 → 2.0 s) while
+  * q79's dense SimHash graph gains ~2 s (7.4 → 5.5 s). The dense case is
+  * the one that decides survival at 100 TB (Θ(k²) cluster mass), so the
+  * sparse overhead is the accepted price, not an oversight.
   *
   * Scale notes:
   *  - every iterated frame (labels, contracted edges, per-level
@@ -67,11 +80,13 @@ object Components {
     * cast) carry no connectivity and are dropped up front rather than
     * silently vanishing inside the contraction joins.
     *
-    * @param maxRounds fail-stop bound on contraction levels: if the
-    *   contracted graph still has edges after this many levels the graph
-    *   has a deeper diameter than dedup clustering produces and the
-    *   caller picked the wrong algorithm — throw rather than return a
-    *   wrong (unconverged) labeling. */
+    * @param maxRounds bound on contraction levels: if the contracted
+    *   graph still has edges after this many levels the graph is deeper
+    *   than the dedup-cluster regime contraction is tuned for, and the
+    *   remaining residue is handed to the diameter-independent
+    *   large-star/small-star fallback ([[starConverge]]) instead of
+    *   spending more full-residue levels (or, as before round 8,
+    *   throwing). */
   def connected(
       edges: DataFrame,
       src: String = "src",
@@ -130,17 +145,95 @@ object Components {
       level += 1
       done = e.isEmpty
     }
-    if (!done)
-      throw new IllegalStateException(
-        s"contraction did not converge in $maxRounds levels — component " +
-          "diameter exceeds the dedup-cluster regime; use a log-round " +
-          "algorithm (large-star/small-star) for deep graphs")
+    if (!done) {
+      // deep-graph fallback: the residue's diameter outlived the
+      // contraction budget. starConverge labels every residue node with
+      // its component minimum in polylog rounds; that labeling composes
+      // into the cumulative representative map exactly like one more
+      // contraction level (its domain is the residue's node set, drawn
+      // from the previous level's labels).
+      val step = starConverge(e).select(col("id").as("rep"), col("comp").as("next"))
+      repMap = Staging.stage(
+        if (repMap == null) step
+        else repMap.join(
+            step.select(col("rep").as("next"), col("next").as("next2")),
+            Seq("next"), "left")
+          .select(col("rep"), coalesce(col("next2"), col("next")).as("next")))
+    }
     if (repMap == null) labels
     else
       // one full-resolution fold: rows whose level-0 representative was
       // later merged follow the composed map, the rest keep theirs
       labels.join(repMap.withColumnRenamed("rep", "comp"), Seq("comp"), "left")
         .select(col("id"), coalesce(col("next"), col("comp")).as("comp"))
+  }
+
+  /** Alternating large-star/small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") — the deep-graph escape hatch
+    * behind [[connected]]'s `maxRounds`. Where contraction's level count
+    * tracks component DIAMETER, this pair of operations provably
+    * converges in a number of rounds polylogarithmic in component size:
+    * large-star hangs every larger neighbor off the minimum of a node's
+    * closed neighborhood (halving tall trees), small-star re-points each
+    * node's smaller neighbors at that side's minimum (flattening the
+    * result), and the fixed point is one star per component rooted at the
+    * component minimum — exactly the min-label contract the rest of the
+    * pipeline expects.
+    *
+    * Runs only on the contracted residue a pathological graph leaves
+    * after `maxRounds` levels, so its extra per-round machinery (two
+    * aggregations + two joins per round instead of one) never touches the
+    * full edge list. Each iterate is staged for the same reason the
+    * contraction levels are; convergence ("the edge set is a star
+    * forest") is the observation that in a star forest no node is both a
+    * leaf (appears as `id` — both operations emit edges oriented
+    * child→root, id > nbr) and a root (appears as `nbr`), checked with a
+    * semi-join + `isEmpty` probe on the staged iterate.
+    *
+    * Returns (`id`, `comp`) covering every node of `edges` (both
+    * operations preserve the node set and component structure — an edge
+    * (u,v) is always re-emitted linking v to a member of u's component,
+    * and components of ≥2 nodes always keep ≥1 edge). */
+  private def starConverge(edges: DataFrame): DataFrame = {
+    def symmetric(e: DataFrame): DataFrame =
+      e.union(e.select(col("nbr").as("id"), col("id").as("nbr")))
+
+    // emit (v, min(Γ(u) ∪ {u})) for every neighbor v > u
+    def largeStar(e: DataFrame): DataFrame = Staging.stage {
+      val sym = symmetric(e)
+      val mins = sym.groupBy("id").agg(min(col("nbr")).as("mn"))
+        .select(col("id"), least(col("id"), col("mn")).as("m"))
+      sym.join(mins, "id").filter(col("nbr") > col("id"))
+        .select(col("nbr").as("id"), col("m").as("nbr"))
+        .distinct()
+    }
+
+    // orient each edge large→small; emit (v, m) for every smaller
+    // neighbor v of u (v ≠ m) plus (u, m), where m = min(Γ⁻(u))
+    def smallStar(e: DataFrame): DataFrame = Staging.stage {
+      val dir = symmetric(e).filter(col("nbr") < col("id"))
+      val mins = dir.groupBy("id").agg(min(col("nbr")).as("m"))
+      dir.join(mins, "id").filter(col("nbr") =!= col("m"))
+        .select(col("nbr").as("id"), col("m").as("nbr"))
+        .union(mins.select(col("id"), col("m").as("nbr")))
+        .distinct()
+    }
+
+    var e = edges
+    var rounds = 0
+    var stars = false
+    while (!stars) {
+      e = smallStar(largeStar(e))
+      rounds += 1
+      stars = e.join(e.select(col("id").as("nbr")).distinct(), Seq("nbr"), "left_semi").isEmpty
+      // 2^100-node components do not exist; a failure to converge here is
+      // a bug in the operations, not a property of any input graph
+      if (!stars && rounds >= 100)
+        throw new IllegalStateException(
+          s"large-star/small-star did not reach a star forest in $rounds rounds")
+    }
+    e.select(col("id"), col("nbr").as("comp"))
+      .union(e.select(col("nbr").as("id"), col("nbr").as("comp")).distinct())
   }
 
   /** Incremental cluster maintenance: fold a new ingest's edges into an

@@ -73,12 +73,17 @@ object RollingFingerprint {
 
   private val info = new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fingerprint")
 
-  /** Runtime registration (no session rebuild needed). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_fingerprint",
-      { exprs: Seq[Expression] => RollingFingerprint(exprs(0), exprs(1)) },
-      "built-in")
+  /** Runtime registration (no session rebuild needed). Idempotent — see
+    * [[VectorDot.register]] for why the guard matters (WARN spam in the
+    * harness's parse window). */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_fingerprint")))
+      registry.createOrReplaceTempFunction(
+        "rolling_fingerprint",
+        { exprs: Seq[Expression] => RollingFingerprint(exprs(0), exprs(1)) },
+        "built-in")
+  }
 }
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` wires the function

@@ -48,6 +48,22 @@ class ComponentsPropSpec extends SparkSpec {
     }
   }
 
+  test("star-fallback labels match union-find on seeded random graphs") {
+    // maxRounds = 1 forces nearly every graph through the
+    // large-star/small-star fallback after one contraction level — the
+    // same union-find parity bar as the fast path, over shapes no
+    // hand-written fixture enumerates
+    val rnd = new Random(2027)
+    for (i <- 1 to 8) {
+      val n = 8 + rnd.nextInt(18)
+      val edges = List.fill(n)(
+        (rnd.nextInt(26).toLong, rnd.nextInt(26).toLong))
+      val got = Components.connected(edges.toDF("src", "dst"), maxRounds = 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === model(edges), s"iteration $i: edges=$edges")
+    }
+  }
+
   test("merge after a random split equals clustering the whole edge set") {
     val rnd = new Random(2026)
     for (i <- 1 to 6) {

@@ -20,6 +20,12 @@ class ComponentsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1))
       .toMap
 
+  private def labels2(pairs: Seq[(Long, Long)], maxRounds: Int): Map[Long, Long] =
+    Components.connected(edges(pairs: _*), maxRounds = maxRounds)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+
   test("transitive chain collapses to one cluster under the min id") {
     // 1-2, 2-3, 3-4 never pair 1 with 4 directly; the closure must
     assert(labels(1L -> 2L, 2L -> 3L, 3L -> 4L, 10L -> 11L) ===
@@ -40,11 +46,28 @@ class ComponentsSpec extends SparkSpec {
     assert(Components.connected(edges()).isEmpty)
   }
 
-  test("exceeding maxRounds fail-stops instead of returning wrong labels") {
-    val path = (1L to 11L).map(i => i -> (i + 1))
-    assertThrows[IllegalStateException] {
-      Components.connected(edges(path: _*), maxRounds = 2).collect()
-    }
+  test("exceeding maxRounds falls back to large-star/small-star and converges") {
+    // before round 8 this threw; now the contracted residue left after
+    // maxRounds levels is handed to the diameter-independent star
+    // algorithm and the labeling must still be exactly right. A 64-node
+    // path (diameter 63, far beyond what 2 contraction levels resolve)
+    // plus a separate pair checks the fallback handles multiple
+    // components in the residue.
+    val path = (1L to 63L).map(i => i -> (i + 1))
+    assert(labels2(path ++ Seq(100L -> 101L), maxRounds = 2) ===
+      ((1L to 64L).map(_ -> 1L) ++ Seq(100L -> 100L, 101L -> 100L)).toMap)
+  }
+
+  test("maxRounds = 0 routes the whole level-1 residue through the fallback") {
+    // repMap is still null when the fallback runs, so the star labeling
+    // IS the composed map (the `repMap == null` branch); the triangle
+    // converges at level 0 and must keep its label through the final
+    // fold (the coalesce branch) even when the map came from the
+    // fallback rather than contraction levels.
+    val triangle = Seq(50L -> 51L, 51L -> 52L, 50L -> 52L)
+    val path = (1L to 9L).map(i => i -> (i + 1))
+    assert(labels2(triangle ++ path, maxRounds = 0) ===
+      ((1L to 10L).map(_ -> 1L) ++ Seq(50L, 51L, 52L).map(_ -> 50L)).toMap)
   }
 
   test("level-0-converged cluster keeps its label while a deep one contracts") {
