@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, Metadata, StructType}
 
 import graft.sinks.Sinks
 
@@ -17,25 +18,67 @@ import graft.sinks.Sinks
   * rather than bytes. Compaction rewrites each qualifying partition into
   * ⌈bytes / targetFileBytes⌉ files.
   *
-  * Scale design: partition sizes come from a driver-side LISTING
-  * (metadata, same category as the touched-partition read), selection
-  * is threshold-based so an already-compact partition is never
-  * rewritten, and the rewrite publishes through the same
-  * crash-consistent per-partition staged swap as the MERGE
-  * (`Sinks.swapPartitions` + `recoverPartitionSwaps` repair) — a crash
+  * Two census modes feed the same batched rewrite:
+  *
+  *  - [[partitions]] enumerates candidates from a driver-side listing of
+  *    the snapshot root — self-contained, but O(#partitions) metadata
+  *    calls, the wrong tool past ~10⁵ partitions;
+  *  - [[partitionsFromManifests]] reads the write-side manifests the
+  *    MERGE records ([[writeManifest]], called by Upsert.partitioned
+  *    with the touched-partition list it already computes) and examines
+  *    ONLY the dirs incremental writes have actually fragmented since
+  *    the last compaction — per-run cost proportional to the delta,
+  *    zero root listings, the same architecture as q76's persisted band
+  *    index.
+  *
+  * Scale design: partition sizes come from driver-side metadata
+  * (listings of candidate dirs only), selection is threshold-based so an
+  * already-compact partition is never rewritten, and the rewrite
+  * publishes through the same crash-consistent per-partition staged swap
+  * as the MERGE (`Sinks.swapPartitions` + recovery repair) — a crash
   * mid-compaction leaves every partition complete-old or complete-new,
   * and compaction is idempotent (re-running selects nothing once
-  * partitions are compact).
+  * partitions are compact; manifests are consumed only after their
+  * rewrite succeeds, so a crashed run replays from the same manifests).
   */
 object Compact {
 
+  /** Manifest directory under the snapshot root. The underscore prefix
+    * keeps it invisible to Spark's file index (same convention as
+    * _SUCCESS), to the partition census, and to swapPartitions. */
+  private val ManifestDirName = "_graft_manifest"
+
+  /** Record a write-side manifest: one file per MERGE run listing the
+    * partition dir names the run touched. Written BEFORE the run's swap
+    * publishes (an over-approximation is harmless — compaction just
+    * examines a dir that may not exceed the threshold; an
+    * under-approximation would leave a fragmented partition invisible to
+    * manifest-driven compaction forever). */
+  def writeManifest(spark: SparkSession, snapshotPath: String,
+                    dirNames: Seq[String]): Unit = {
+    if (dirNames.isEmpty) return
+    val dir = new Path(s"$snapshotPath/$ManifestDirName")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val file = new Path(dir, s"manifest-${java.util.UUID.randomUUID()}")
+    val out = fs.create(file, false)
+    try out.write(dirNames.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readManifest(fs: FileSystem, file: Path): Seq[String] = {
+    val in = fs.open(file)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
   /** Compact partitions of `snapshotPath` that hold more than
     * `maxFilesPerPartition` data files, rewriting each into
-    * ⌈bytes / targetFileBytes⌉ files. Partitions are rewritten
-    * `batchSize` at a time in ONE Spark job per batch: a heavily
-    * fragmented snapshot (10⁵ touched partitions) costs ⌈N/batch⌉ jobs,
-    * not N — one job per partition made per-job scheduling overhead the
-    * compaction bottleneck long before the bytes did.
+    * ⌈bytes / targetFileBytes⌉ files. Candidates come from a listing of
+    * the snapshot root — use [[partitionsFromManifests]] when the
+    * snapshot's writers record manifests and the partition count makes a
+    * root walk unaffordable.
     * @return the partition dir names rewritten */
   def partitions(spark: SparkSession, snapshotPath: String,
                  targetFileBytes: Long = 128L << 20,
@@ -44,20 +87,85 @@ object Compact {
     val root = new Path(snapshotPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Sinks.recoverPartitionSwaps(spark, snapshotPath)
-    // a crash mid-compaction orphans its __compact-<uuid> staged dir (the
-    // live snapshot is repaired above, but nothing else references the
-    // staging copy) — sweep them on entry, mirroring Upsert.partitioned's
-    // __stage-* sweep, so repeated crashes don't leak partition copies
+    sweepOrphans(fs, snapshotPath)
+    val dirNames = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .map(_.getPath.getName).toSeq
+    compactDirs(spark, fs, snapshotPath, dirNames,
+      targetFileBytes, maxFilesPerPartition, batchSize)
+  }
+
+  /** Manifest-driven census: compact only the partitions named by the
+    * write-side manifests accumulated since the last compaction, then
+    * consume exactly the manifest files read (a concurrent MERGE's new
+    * manifest is left for the next run). Recovery is scoped the same
+    * way — per-named-partition existence probes
+    * (`Sinks.recoverPartitionSwap`), never a root listing: a crashed
+    * compaction's manifests survive (consumed only on success), so its
+    * partitions are re-examined and re-repaired by the replay.
+    * @return the partition dir names rewritten */
+  def partitionsFromManifests(spark: SparkSession, snapshotPath: String,
+                              targetFileBytes: Long = 128L << 20,
+                              maxFilesPerPartition: Int = 4,
+                              batchSize: Int = 16): Seq[String] = {
+    val root = new Path(snapshotPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifestDir = new Path(s"$snapshotPath/$ManifestDirName")
+    if (!fs.exists(manifestDir)) return Seq.empty
+    val manifestFiles = fs.listStatus(manifestDir)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("manifest-"))
+      .map(_.getPath).toSeq
+    val dirNames = manifestFiles.flatMap(readManifest(fs, _)).distinct
+    dirNames.foreach(Sinks.recoverPartitionSwap(spark, snapshotPath, _))
+    sweepOrphans(fs, snapshotPath)
+    // a manifest-listed dir can be legitimately absent (partition dropped
+    // since the write) — skip it rather than failing the census
+    val existing = dirNames.filter(n => fs.exists(new Path(s"$snapshotPath/$n")))
+    val rewritten = compactDirs(spark, fs, snapshotPath, existing,
+      targetFileBytes, maxFilesPerPartition, batchSize)
+    manifestFiles.foreach(fs.delete(_, false))
+    rewritten
+  }
+
+  /** A crash mid-compaction orphans its __compact-<uuid> staged dir (the
+    * live snapshot is repaired by swap recovery, but nothing else
+    * references the staging copy) — sweep them on entry, mirroring
+    * Upsert.partitioned's __stage-* sweep, so repeated crashes don't
+    * leak partition copies. (The glob lists the snapshot's PARENT dir,
+    * not the snapshot root.) */
+  private def sweepOrphans(fs: FileSystem, snapshotPath: String): Unit =
     fs.globStatus(new Path(s"${snapshotPath}__compact-*"))
       .foreach(st => fs.delete(st.getPath, true))
 
+  /** Grouping key for batch assembly: exact schemas that differ only in
+    * nullability or field metadata describe logically identical dirs and
+    * must share a batch — the census's single-footer fast path derives
+    * nullability from parquet repetition while the mergeSchema fallback
+    * reports Spark read semantics (everything nullable), and splitting
+    * on that difference would cost extra write jobs for nothing. */
+  private def normalizedType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f => f.copy(
+      dataType = normalizedType(f.dataType), nullable = true, metadata = Metadata.empty)))
+    case a: ArrayType =>
+      a.copy(elementType = normalizedType(a.elementType), containsNull = true)
+    case m: MapType => m.copy(keyType = normalizedType(m.keyType),
+      valueType = normalizedType(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  private def normalized(schema: StructType): StructType =
+    normalizedType(schema).asInstanceOf[StructType]
+
+  private def compactDirs(spark: SparkSession, fs: FileSystem,
+                          snapshotPath: String, dirNames: Seq[String],
+                          targetFileBytes: Long, maxFilesPerPartition: Int,
+                          batchSize: Int): Seq[String] = {
     // driver-side partition census: (dir name, data file paths, bytes)
-    val candidates = fs.listStatus(root)
-      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-      .map { st =>
-        val files = fs.listStatus(st.getPath)
+    val candidates = dirNames
+      .map { name =>
+        val files = fs.listStatus(new Path(s"$snapshotPath/$name"))
           .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-        (st.getPath.getName, files.map(_.getPath).toSeq, files.map(_.getLen).sum)
+        (name, files.map(_.getPath).toSeq, files.map(_.getLen).sum)
       }
       .filter { case (_, files, _) => files.length > maxFilesPerPartition }
 
@@ -70,21 +178,22 @@ object Compact {
     // batch — group by schema; each partition is rewritten with exactly
     // its own merged layout, never another group's. Footers are read on
     // the DRIVER via parquet-hadoop (metadata-priced RPCs, the same
-    // category as the directory listing above) and converted with
-    // Spark's own parquet→Catalyst converter: a per-candidate
-    // mergeSchema read would schedule one distributed schema-inference
-    // JOB per fragmented partition, re-creating at census time the
-    // per-partition job overhead the batched rewrite below exists to
-    // avoid. Only a dir whose footers genuinely DISAGREE (straddling an
-    // evolution — rare) pays the one mergeSchema job for Spark's exact
-    // merge semantics. A census past ~10⁵ partitions should come from
-    // write-side manifests (the touched-partition lists the MERGE
-    // already records) rather than this listing+footer walk. Only the
-    // SCHEMA is retained from this pass — batch reads below re-open
-    // their dirs with the schema passed explicitly (the parquet reader
-    // nulls a file's missing columns), so neither a second footer walk
-    // nor 10⁵ live DataFrames/file indexes ever accumulate on the
-    // driver.
+    // category as the directory listing above) and preferentially
+    // decoded from the Spark schema JSON the writer embedded in the
+    // footer key-value metadata (the same source Spark's own inference
+    // prefers — the raw MessageType conversion would silently strip
+    // UDTs, char/varchar and column metadata from the rewrite), falling
+    // back to the parquet→Catalyst converter for files without it. A
+    // per-candidate mergeSchema read would schedule one distributed
+    // schema-inference JOB per fragmented partition, re-creating at
+    // census time the per-partition job overhead the batched rewrite
+    // below exists to avoid. Only a dir whose footers genuinely
+    // DISAGREE (straddling an evolution — rare) pays the one mergeSchema
+    // job for Spark's exact merge semantics. Only the SCHEMA is retained
+    // from this pass — batch reads below re-open their dirs with the
+    // schema passed explicitly (the parquet reader nulls a file's
+    // missing columns), so neither a second footer walk nor 10⁵ live
+    // DataFrames/file indexes ever accumulate on the driver.
     val hconf = spark.sparkContext.hadoopConfiguration
     // the SQLConf-based constructor — the bare-Configuration one expects
     // session-prepared keys (binaryAsString etc.) and throws on a raw
@@ -92,22 +201,39 @@ object Compact {
     val toCatalyst =
       new org.apache.spark.sql.execution.datasources.parquet.ParquetToSparkSchemaConverter(
         org.apache.spark.sql.internal.SQLConf.get)
-    val bySchema = candidates
+    val sparkSchemaKey = "org.apache.spark.sql.parquet.row.metadata"
+    val withSchemas = candidates
       .map { case (dirName, files, bytes) =>
-        val footerTypes = files.map { p =>
+        val footers = files.map { p =>
           val in = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf))
-          try in.getFileMetaData.getSchema finally in.close()
+          try {
+            val md = in.getFileMetaData
+            (Option(md.getKeyValueMetaData.get(sparkSchemaKey)), md.getSchema)
+          } finally in.close()
         }.distinct
         val schema =
-          if (footerTypes.lengthCompare(1) == 0) toCatalyst.convert(footerTypes.head)
-          else spark.read.option("mergeSchema", true)
+          if (footers.lengthCompare(1) == 0) {
+            val (sparkJson, messageType) = footers.head
+            sparkJson.flatMap(json =>
+              scala.util.Try(DataType.fromJson(json).asInstanceOf[StructType]).toOption)
+              .getOrElse(toCatalyst.convert(messageType))
+          } else spark.read.option("mergeSchema", true)
             .parquet(s"$snapshotPath/$dirName").schema
         (schema, (dirName, files.length, bytes))
       }
-      .groupBy(_._1).toSeq
 
-    bySchema.flatMap { case (schema, group) =>
+    val bySchema = withSchemas.groupBy { case (schema, _) => normalized(schema) }.toSeq
+
+    bySchema.flatMap { case (normKey, group) =>
+      // one exact schema across the group (the common case) is kept
+      // verbatim for the read so embedded metadata/UDT info survives the
+      // rewrite; genuinely mixed exact schemas within one normalized
+      // group (fast-path vs mergeSchema census of logically identical
+      // dirs) read with the normalized form — file sources force
+      // nullable on read anyway, so the data is identical either way
+      val exact = group.map(_._1).distinct
+      val schema = if (exact.lengthCompare(1) == 0) exact.head else normKey
       group.map(_._2).grouped(batchSize).map((schema, _))
     }.flatMap { case (schema, batch) =>
       def readDir(dirName: String) =
@@ -188,6 +314,6 @@ object Compact {
       fs.delete(new Path(s"$stagedPath/_SUCCESS"), false)
       Sinks.swapPartitions(spark, stagedPath, snapshotPath)
       batch.map(_._1)
-    }.toSeq
+    }
   }
 }

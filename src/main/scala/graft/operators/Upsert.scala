@@ -131,6 +131,14 @@ object Upsert {
       // bootstrap: no target yet — the deduped source IS the snapshot
       Sinks.overwritePartitions(dedupLatest(src, pk, cursor), snapshotPath,
         Seq(partCol))
+      // seed the write-side manifest from the bootstrap's own output (a
+      // one-time root listing at table creation, when the listing is the
+      // write we just did) so manifest-driven compaction sees the
+      // initial load's partitions too
+      Compact.writeManifest(spark, snapshotPath,
+        fs.listStatus(new Path(snapshotPath))
+          .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+          .map(_.getPath.getName).toSeq)
     } else {
       Sinks.recoverPartitionSwaps(spark, snapshotPath)
       // staged dirs orphaned by a crashed publish are superseded by this
@@ -144,6 +152,16 @@ object Upsert {
       val stagedPath = s"${snapshotPath}__stage-${java.util.UUID.randomUUID()}"
       apply(target, src, pk, cursor)
         .write.partitionBy(partCol).mode("error").parquet(stagedPath)
+      // write-side manifest for the compaction census: the staged dir
+      // names ARE the touched partitions, already in Spark's escaped
+      // dir-name form (re-deriving them from `touched` values would
+      // re-implement the escaping). Recorded BEFORE the swap — if the
+      // swap crashes, the batch replays and the manifest over-approximates
+      // harmlessly; recording after would lose the hint forever.
+      Compact.writeManifest(spark, snapshotPath,
+        fs.listStatus(new Path(stagedPath))
+          .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+          .map(_.getPath.getName).toSeq)
       Sinks.swapPartitions(spark, stagedPath, snapshotPath)
     }
     spark.read.parquet(snapshotPath)

@@ -234,6 +234,28 @@ object Sinks {
       }
   }
 
+  /** Targeted variant of [[recoverPartitionSwaps]] for callers that
+    * already know which partitions could have been mid-swap (the
+    * manifest-driven compaction census): two existence probes per NAMED
+    * partition instead of a listing of the whole live root — the listing
+    * is exactly the O(#partitions) driver walk manifest mode exists to
+    * avoid. Semantics per partition are identical to the full repair
+    * pass: a hidden retiree with no live counterpart is restored, one
+    * with a live counterpart is garbage from a crash-after-promote.
+    * @return true iff the partition was restored from its retired copy */
+  def recoverPartitionSwap(spark: SparkSession, livePath: String,
+                           name: String): Boolean = {
+    val live = new Path(livePath)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(live, OldPartPrefix + name)
+    if (!fs.exists(old)) false
+    else {
+      val target = new Path(live, name)
+      if (fs.exists(target)) { fs.delete(old, true); false }
+      else { renameOrFail(fs, old, target); true }
+    }
+  }
+
   /** Dynamic partition overwrite — the incremental variant of the
     * reference's year-partitioned rewrite (ref: config/gcs/gcs.py:143-187
     * rewrites `{object}/{taxcode}/{year}` files per run): only the

@@ -6,6 +6,22 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Compact
 
+/** RawLocalFileSystem under a private scheme that records every
+  * `listStatus` target — the instrumented FileSystem the manifest-census
+  * spec uses to prove "zero root listings". (Hadoop instantiates it by
+  * reflection from the `fs.cfs.impl` key, hence top-level + no-arg.) */
+class CountingLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "cfs"
+  override def getUri: java.net.URI = java.net.URI.create("cfs:///")
+  override def listStatus(f: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] = {
+    CountingLocalFs.listed.add(f.toUri.getPath)
+    super.listStatus(f)
+  }
+}
+object CountingLocalFs {
+  val listed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
 class CompactSpec extends SparkSpec {
   import spark.implicits._
 
@@ -226,6 +242,90 @@ class CompactSpec extends SparkSpec {
       "the zero-row partition's junk files must be gone")
     assert(TestFiles.partFileHashes(snap).keys.count(_.startsWith("y=aa")) === 1)
     assert(spark.read.parquet(snap).count() === 6, "healthy rows all survive")
+  }
+
+  // the manifest census: compaction driven by write-side manifests must
+  // examine ONLY manifest-listed dirs — in particular it must never list
+  // the snapshot root, the O(#partitions) driver walk that makes the
+  // listing census the wrong tool past ~10⁵ partitions
+  test("manifest-driven compaction lists no root and touches only manifest dirs") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact-manif").toString
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.cfs.impl", classOf[CountingLocalFs].getName)
+    val snap = s"cfs:$tmp/snap"
+    // three fragmented partitions; the manifest names only two
+    (1 to 6).foreach { i =>
+      Seq((s"a$i", "a", i.toDouble), (s"b$i", "b", i.toDouble), (s"c$i", "c", i.toDouble))
+        .toDF("id", "y", "v").write.partitionBy("y").mode("append").parquet(snap)
+    }
+    graft.operators.Compact.writeManifest(spark, snap, Seq("y=a", "y=b"))
+
+    CountingLocalFs.listed.clear()
+    val rewritten = Compact.partitionsFromManifests(spark, snap, maxFilesPerPartition = 4)
+    assert(rewritten.toSet === Set("y=a", "y=b"))
+
+    val inRoot = {
+      import scala.jdk.CollectionConverters._
+      CountingLocalFs.listed.asScala.toSeq
+        .filter(p => p == s"$tmp/snap" || p.startsWith(s"$tmp/snap/"))
+    }
+    assert(!inRoot.contains(s"$tmp/snap"),
+      s"the manifest census must perform zero root listStatus calls, got: $inRoot")
+    val allowed = Seq(s"$tmp/snap/y=a", s"$tmp/snap/y=b", s"$tmp/snap/_graft_manifest")
+    inRoot.foreach { p =>
+      assert(allowed.exists(a => p == a || p.startsWith(s"$a/")),
+        s"listing outside the manifest-listed dirs: $p")
+    }
+
+    val hashes = TestFiles.partFileHashes(s"$tmp/snap")
+    assert(hashes.keys.count(_.startsWith("y=a/")) === 1, "y=a compacts to one file")
+    assert(hashes.keys.count(_.startsWith("y=b/")) === 1, "y=b compacts to one file")
+    assert(hashes.keys.count(_.startsWith("y=c/")) === 6,
+      "the un-manifested partition must be untouched")
+    assert(spark.read.parquet(snap).count() === 18, "every row survives")
+
+    assert(Compact.partitionsFromManifests(spark, snap, maxFilesPerPartition = 4)
+      === Seq.empty, "manifests are consumed — a second run has nothing to read")
+  }
+
+  // end-to-end: the partitioned MERGE records manifests; manifest-driven
+  // compaction consumes exactly them and a later merge starts a new set
+  test("MERGE-written manifests drive compaction and are consumed on success") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact-e2e").toString
+    val snap = s"$tmp/snap"
+    def src(rows: (String, String, Double)*) =
+      rows.toDF("id", "updated_at", "v")
+        .withColumn("updated_at", to_timestamp($"updated_at"))
+    def merge(rows: (String, String, Double)*) =
+      graft.operators.Upsert.partitioned(snap, src(rows: _*),
+        pk = Seq("id"), cursor = "updated_at",
+        partCol = "y", partOf = year(to_timestamp(col("updated_at"))))
+
+    merge(("k1", "2023-06-01 00:00:00", 1.0), ("k2", "2024-01-01 00:00:00", 2.0))
+    merge(("k2", "2024-02-01 00:00:00", 3.0)) // incremental: touches y=2024 only
+    val manifestDir = new java.io.File(s"$snap/_graft_manifest")
+    assert(manifestDir.listFiles().count(_.getName.startsWith("manifest-")) === 2,
+      "bootstrap and the incremental merge each record a manifest")
+
+    // fragment the partition the manifests name (append loads bypass the
+    // swap, so they fragment; their partitions reached the manifest via
+    // the merges above)
+    (1 to 6).foreach { i =>
+      Seq((s"f$i", 2024, i.toDouble)).toDF("id", "y", "v")
+        .write.partitionBy("y").mode("append").parquet(snap)
+    }
+
+    val rewritten = Compact.partitionsFromManifests(spark, snap, maxFilesPerPartition = 4)
+    assert(rewritten === Seq("y=2024"),
+      "only the fragmented manifest-listed partition compacts")
+    assert(TestFiles.partFileHashes(snap).keys.count(_.startsWith("y=2024/")) === 1)
+    assert(manifestDir.listFiles().count(_.getName.startsWith("manifest-")) === 0,
+      "successful compaction consumes the manifests")
+    assert(spark.read.parquet(snap).filter(col("id").startsWith("f")).count() === 6)
+
+    merge(("k3", "2024-03-01 00:00:00", 4.0))
+    assert(manifestDir.listFiles().count(_.getName.startsWith("manifest-")) === 1,
+      "the next merge starts a fresh manifest set")
   }
 
   // regression: a crash between staging and swap orphans the __compact-*
