@@ -363,7 +363,7 @@ object Llm {
   // up to 128 independent bits).
   private val hexDigits = "0123456789abcdef"
 
-  private def simhashFrame(s: SparkSession, dir: String, bits: Int): DataFrame = {
+  private[graft] def simhashFrame(s: SparkSession, dir: String, bits: Int): DataFrame = {
     val words = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         explode(expr(s"array_distinct($toksExpr)")).as("w"))
@@ -422,8 +422,8 @@ object Llm {
     * clusters — like this testdata — the distinct stage dominates and
     * pair banding is a net loss, so single-segment stays.)
     */
-  private def simhashBandPairs(sim: DataFrame, numSegs: Int, segBits: Int,
-                               maxHamming: Int): DataFrame = {
+  private[graft] def simhashBandPairs(sim: DataFrame, numSegs: Int, segBits: Int,
+                                      maxHamming: Int): DataFrame = {
     require(numSegs > maxHamming, "pigeonhole needs more segments than allowed errors")
     val mask = (1L << segBits) - 1
     val bands = sim.select(col("doc_id"), col("lang"), col("simhash"),
