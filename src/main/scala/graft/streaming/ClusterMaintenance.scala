@@ -1,0 +1,152 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.core.Staging
+import graft.operators.Components
+import graft.queries.Llm
+import graft.sinks.Sinks
+
+/** Streaming near-dup CLUSTER maintenance — the loop that was open
+  * between `Components.merge` (batch incremental clustering) and the
+  * streaming near-dup gate (`NearDup.flagAgainstIndex`): a `foreachBatch`
+  * sink that folds each micro-batch's verified pairs into a persisted
+  * labeling, so the cluster table stays current as documents arrive
+  * instead of waiting for the next batch re-cluster.
+  *
+  * Persisted state under `statePath` (q76's persisted-index architecture,
+  * extended with the labeling):
+  *  - `bands/` — append-only MinHash band index (`Llm.bandIndexOf`
+  *    columns); the batch never re-shingles the corpus,
+  *  - `toks/`  — append-only distinct-token table (the q49 shape) for
+  *    exact-Jaccard verification,
+  *  - `labels/` — the (id, comp) labeling, republished per batch through
+  *    `Sinks.snapshotPublish` (readers see complete-old or complete-new).
+  *
+  * Per-batch cost scales with the delta: the batch's bands are computed
+  * map-only (`NearDup.bands`, bit-parity with the batch index), candidate
+  * generation is the delta-vs-index band equi-join plus the delta's
+  * self-join (both keyed, never all-pairs), verification reuses the
+  * shared `Llm.jaccardScore` core, and the label fold is
+  * `Components.merge` — the old labeling enters as diameter-2 star
+  * edges, so convergence never re-walks edge history. The streamed
+  * labeling is IDENTICAL to one batch re-cluster of the full corpus
+  * (StreamingSpec pins it): band values, exactly-once emission, and the
+  * Jaccard threshold are all the batch code paths, and merge == full
+  * re-cluster is pinned by ComponentsSpec.
+  *
+  * Replay safety: `foreachBatch` redelivers a batch after a crash.
+  * State writes are ordered appends-then-publish; a replayed append
+  * duplicates index/token rows, which duplicates candidate EDGES but
+  * cannot change connectivity (Components is a fixpoint over the edge
+  * SET), and the self-pair filter below keeps a replayed delta (now
+  * visible in the index) from emitting doc==doc edges. Duplicated state
+  * rows are storage, not correctness — the next compaction/re-cluster
+  * reclaims them.
+  */
+object ClusterMaintenance {
+
+  private def bandsPath(state: String) = s"$state/bands"
+  private def toksPath(state: String) = s"$state/toks"
+  private def labelsPath(state: String) = s"$state/labels"
+
+  /** Fold one micro-batch of documents (`doc_id`, `text`) into the
+    * persisted clustering state. Callable directly for batch ingests;
+    * [[sink]] wires it as the foreachBatch of a stream. */
+  def foldBatch(batch: DataFrame, statePath: String,
+                threshold: Double = 0.5): Unit = {
+    val spark = batch.sparkSession
+    val fs = new Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // the delta's own artifacts, staged once — the band expression and
+    // the tokenizer each run one time however many joins consume them
+    val deltaBands = Staging.stage(NearDup.bands(batch))
+    val deltaToks = Staging.stage(batch.select(col("doc_id"),
+      expr(s"array_distinct(${Llm.toksExpr})").as("toks")))
+
+    // delta-vs-delta candidates: the batch's internal band self-join,
+    // same exactly-once lowest-agreeing-band emission as batch q46
+    val a = deltaBands.select(col("doc_id").as("doc_a"), col("band"),
+      col("bucket"), col("b0").as("b0_a"))
+    val b = deltaBands.select(col("doc_id").as("doc_b"), col("band"),
+      col("bucket"), col("b0").as("b0_b"))
+    val ddCand = a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(col("band") === 0 || col("b0_a") =!= col("b0_b"))
+      .select("doc_a", "doc_b")
+    val ddScored = ddCand
+      .join(deltaToks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
+        Seq("doc_a"))
+      .join(deltaToks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
+        Seq("doc_b"))
+    val dd = Llm.jaccardScore(ddScored, "toks_a", "toks_b", threshold)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+
+    // delta-vs-corpus candidates: band equi-join against the persisted
+    // index, verified against the persisted token table (q76's join)
+    val dc =
+      if (!fs.exists(new Path(bandsPath(statePath)))) dd.limit(0)
+      else {
+        val idx = spark.read.parquet(bandsPath(statePath))
+        val corpusToks = spark.read.parquet(toksPath(statePath))
+        val cand = deltaBands.select(col("doc_id").as("delta_id"), col("band"),
+            col("bucket"), col("b0").as("b0_d"))
+          .join(idx.select(col("doc_id").as("corpus_id"), col("band"),
+            col("bucket"), col("b0").as("b0_c")), Seq("band", "bucket"))
+          .filter(col("band") === 0 || col("b0_d") =!= col("b0_c"))
+          // a replayed batch is already in the index; never self-pair
+          .filter(col("delta_id") =!= col("corpus_id"))
+          .select("delta_id", "corpus_id")
+        val scored = cand
+          .join(deltaToks.select(col("doc_id").as("delta_id"),
+            col("toks").as("toks_d")), Seq("delta_id"))
+          .join(corpusToks.select(col("doc_id").as("corpus_id"),
+            col("toks").as("toks_c")), Seq("corpus_id"))
+        Llm.jaccardScore(scored, "toks_d", "toks_c", threshold)
+          .select(col("delta_id").as("src"), col("corpus_id").as("dst"))
+      }
+
+    val edges = Staging.stage(dd.unionByName(dc))
+
+    // appends BEFORE the label publish (see replay note in the docstring)
+    deltaBands.write.mode("append").parquet(bandsPath(statePath))
+    deltaToks.write.mode("append").parquet(toksPath(statePath))
+
+    if (!edges.isEmpty) {
+      val lp = labelsPath(statePath)
+      val newLabels =
+        if (Sinks.snapshotExists(spark, lp))
+          Components.merge(Sinks.readSnapshot(spark, lp), edges)
+        else Components.connected(edges)
+      Sinks.snapshotPublish(newLabels, lp)
+    }
+  }
+
+  /** Wire [[foldBatch]] as the foreachBatch sink of a streaming document
+    * frame. AvailableNow by default — drain what's there and stop — the
+    * same trigger discipline as the partitioned streaming sync. */
+  def sink(stream: DataFrame, statePath: String, checkpointDir: String,
+           threshold: Double = 0.5,
+           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        foldBatch(batch, statePath, threshold)
+      }
+      .start()
+
+  /** The current labeling (empty if no pairs have been verified yet). */
+  def labels(spark: SparkSession, statePath: String): DataFrame = {
+    val lp = labelsPath(statePath)
+    if (Sinks.snapshotExists(spark, lp)) Sinks.readSnapshot(spark, lp)
+    else {
+      import spark.implicits._
+      Seq.empty[(Long, Long)].toDF("id", "comp")
+    }
+  }
+}

@@ -157,4 +157,43 @@ class StreamingSpec extends SparkSpec {
     q2.awaitTermination(120000)
     assert(spark.read.parquet(snap).count() === expected)
   }
+
+  // streaming cluster maintenance: micro-batch ingests folded through
+  // ClusterMaintenance must land on EXACTLY the labeling one batch
+  // re-cluster of the full corpus produces (q73's edges + connected)
+  test("streamed ingests produce the same near-dup labeling as one batch re-cluster") {
+    import graft.streaming.ClusterMaintenance
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+
+    // three ingest "pages": one parquet file each, so maxFilesPerTrigger=1
+    // replays them as three micro-batches (in whatever order the source
+    // lists them — parity must not depend on arrival order)
+    val in = Files.createTempDirectory("cm-in").toString
+    (0 until 3).foreach { i =>
+      docs.filter(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("append").parquet(in)
+    }
+    val state = Files.createTempDirectory("cm-state").toString
+    val ckpt = Files.createTempDirectory("cm-ckpt").toString
+
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = ClusterMaintenance.sink(stream, state, ckpt)
+    assert(q.awaitTermination(180000), "stream did not drain in time")
+
+    val streamed = ClusterMaintenance.labels(spark, state)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.Components
+      .connected(graft.queries.Llm.jaccardEdgesOf(docs), "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "fixture must contain near-dup pairs")
+    assert(streamed === batch)
+
+    // redelivered batch (crash replay): the fold is connectivity-idempotent
+    ClusterMaintenance.foldBatch(docs.filter(col("doc_id") % 3 === 0), state)
+    val replayed = ClusterMaintenance.labels(spark, state)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(replayed === batch, "replaying an ingest must not change the labeling")
+  }
 }
