@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import graft.core.Tables
+import graft.lineage.{Lineage, RunTelemetry}
 import graft.pipelines.{CorpusPipeline, SnapshotSync}
 import graft.queries.{Llm, Relational}
 
@@ -16,14 +17,22 @@ object SparkEntry {
     * lineage stamp → MERGE upsert → cursor advance — on sf0.001. The
     * second flagship composition, the LLM corpus-preparation pipeline
     * (gate → dedup → near-dup collapse → decontaminate → mix → pack),
-    * runs alongside it and prints its staged row-count report to the run
-    * log; the returned frame stays the sync result the driver smokes. */
+    * runs alongside it with its staged row counts recorded into the same
+    * RunTelemetry struct the sync reports through (one report stream per
+    * run, the reference's workflow-monitoring shape); the returned frame
+    * stays the sync result the driver smokes. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
     val docs = Tables.load(spark, dir, "documents")
     val bench = docs.filter(col("doc_id") < 10).select("doc_id", "text")
-    val (_, report) = CorpusPipeline.run(docs, bench)
-    report.foreach(r => println(s"[entry] corpus ${r.stage} rows=${r.rowsOut}"))
+    val telemetry = RunTelemetry.attach(spark, Lineage.newRunId())
+    try {
+      val (_, report) = CorpusPipeline.run(docs, bench)
+      report.foreach(r => telemetry.record(s"corpus:${r.stage}", r.rowsOut))
+      telemetry.summaryLines
+        .filter(_.contains("action=corpus:"))
+        .foreach(l => println(s"[run-report] $l"))
+    } finally telemetry.detach()
     SnapshotSync.run(spark, dir)
   }
 

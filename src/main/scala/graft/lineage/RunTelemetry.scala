@@ -71,6 +71,15 @@ final class RunTelemetry private (spark: SparkSession, runId: String)
   override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
     captured.add(RunReport(runId, s"$funcName:failed", -1L, -1L))
 
+  /** Record an externally-computed fact into the same report stream the
+    * listener feeds — e.g. a composed pipeline's per-stage row counts,
+    * which are produced by the pipeline's own staged counts rather than
+    * by one materializing action the listener could attribute. Rides the
+    * same [[RunReport]] struct, [[reportFrame]], and [[summaryLines]] as
+    * listener-captured actions. */
+  def record(action: String, rows: Long, elapsedMs: Long = -1L): Unit =
+    captured.add(RunReport(runId, action, rows, elapsedMs))
+
   def reports: Seq[RunReport] = captured.asScala.toSeq
 
   /** Listener events arrive asynchronously; wait until the captured set

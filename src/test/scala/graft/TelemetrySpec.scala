@@ -60,5 +60,27 @@ class TelemetrySpec extends SparkSpec {
     val lines = out.toString.linesIterator.filter(_.startsWith("[run-report]")).toSeq
     assert(lines.nonEmpty, "expected [run-report] lines from the flagship run")
     assert(lines.exists(_.matches(".*rows=\\d+.*elapsed=\\d+ms.*")))
+    // the second flagship (corpus pipeline) reports through the same
+    // telemetry struct — every stage rides a [run-report] line, not a
+    // bare println
+    val stages = Seq("gate_scrub", "exact_dedup", "neardup_collapse",
+      "decontaminate", "temperature_sample", "seq_packing")
+    stages.foreach { st =>
+      assert(lines.exists(_.matches(s".*action=corpus:$st rows=\\d+.*")),
+        s"missing corpus stage report for $st in: ${lines.take(8)}")
+    }
+  }
+
+  test("record() rides the same struct as listener-captured actions") {
+    val t = RunTelemetry.attach(spark, "run-3")
+    try {
+      t.record("corpus:gate_scrub", 151L)
+      val r = t.reports.find(_.action == "corpus:gate_scrub").get
+      assert(r.runId === "run-3" && r.rows === 151L)
+      val row = t.reportFrame.filter(col("action") === "corpus:gate_scrub")
+        .select("rows").collect().head
+      assert(row.getLong(0) === 151L)
+      assert(t.summaryLines.exists(_.contains("action=corpus:gate_scrub rows=151")))
+    } finally t.detach()
   }
 }
