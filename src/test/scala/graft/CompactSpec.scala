@@ -129,14 +129,18 @@ class CompactSpec extends SparkSpec {
     val writes = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       // suites share one SparkSession and sbt runs them in parallel, so
-      // count only THIS test's writes (by output path) — an unfiltered
-      // count picks up any concurrent suite's parquet write and
-      // overshoots
+      // count only THIS test's COMPACTION writes: the batch rewrite is
+      // the only writer into a __compact-* staging dir under tmp. A
+      // tmp-only filter also matched this test's own setup appends —
+      // listener events are delivered async, so under full-suite load
+      // the last setup append's event could land after registration and
+      // overshoot the count by one.
       override def onSuccess(funcName: String,
                              qe: org.apache.spark.sql.execution.QueryExecution,
                              durationNs: Long): Unit = qe.logical match {
         case c: org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationCommand
-            if c.outputPath.toString.contains(tmp) =>
+            if c.outputPath.toString.contains(tmp) &&
+              c.outputPath.toString.contains("__compact-") =>
           writes.incrementAndGet()
         case _ => ()
       }
