@@ -993,6 +993,56 @@ object Llm {
             GROUP BY s.doc_id HAVING count(*) >= 2
             ORDER BY doc_id"""))
 
+  /** Bloom-filter decontamination — the scale path when the exclusion
+    * set outgrows q65's broadcast. q65 hash-joins the corpus's shingles
+    * against a broadcast benchmark set, which is right while the
+    * benchmark is an eval suite (10³–10⁴ shingles) but wrong once the
+    * exclusion set is corpus-sized (held-out training splits, licensed-
+    * content blocklists: 10⁸+ shingles — the broadcast would be tens of
+    * GB of strings). The trade: a Bloom filter over xxhash64'd shingle
+    * hashes (~1.2 bytes per excluded item at 1% fpp) probed per corpus
+    * shingle by Spark's own codegen'd `BloomFilterMightContain`
+    * ([[graft.plans.BloomProbe]]) — the whole gate is ONE map-only
+    * filter over the corpus scan: no join, no shuffle, no broadcast of
+    * the exclusion strings.
+    *
+    * Error is one-sided: a doc the exact gate drops is ALWAYS dropped
+    * here too (a Bloom filter has no false negatives, so every truly
+    * shared shingle probes true), while a clean doc is over-dropped only
+    * if ≥ `minShared` of its shingles false-positive independently —
+    * P ≲ C(n_shingles, minShared) · fpp^minShared, negligible at the
+    * default fpp. The filter is built DISTRIBUTED (partial filters
+    * OR-merged on the driver by `stat.bloomFilter`) in one pass over the
+    * benchmark; both build and probe go through the same spark-sketch
+    * implementation so putLong/mightContainLong agree bit-for-bit.
+    *
+    * @return the docs KEPT (complement of the dropped set), like the
+    *         streaming gate — the corpus pipeline's consumption shape */
+  def bloomDecontaminationKept(docs: DataFrame, benchmark: DataFrame,
+                               minShared: Int = 2,
+                               fpp: Double = 0.001): DataFrame = {
+    val spark = docs.sparkSession
+    graft.plans.BloomProbe.register(spark)
+    val hl = shingleHashes(benchmark).filter(col("h").isNotNull)
+      .select(xxhash64(col("h")).as("hl")).distinct()
+    val expected = math.max(1L, hl.count())
+    val bf = hl.stat.bloomFilter("hl", expected, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    // the serialized filter rides the plan as ONE folded binary constant
+    // (unbase64 of a literal), evaluated zero times per row
+    val bfCol = unbase64(lit(java.util.Base64.getEncoder.encodeToString(bytes)))
+    // count the doc's DISTINCT shingles that might be excluded (same
+    // distinct-shingle semantics as q65); a doc with no shingles (null
+    // text) cannot be contaminated — coalesce keeps it
+    val shared = size(filter(expr(shingleHashArrayExpr),
+      h => call_function("bloom_might_contain", bfCol, xxhash64(h))))
+    docs.filter(coalesce(shared < minShared, lit(true)))
+  }
+
   // ---- deterministic stratified sampling --------------------------------
   // Per-stratum downsampling at reproducible rates: keep a doc when the
   // first hex digit of md5(text) falls under the stratum's digit budget

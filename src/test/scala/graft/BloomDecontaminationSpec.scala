@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.queries.Llm
+
+/** Bloom-filter decontamination (`Llm.bloomDecontaminationKept`) — the
+  * fixed-memory scale path behind exact q65.
+  *
+  * Properties pinned:
+  *  - one-sided error: the bloom gate NEVER keeps a doc the exact gate
+  *    drops, at any fpp (a Bloom filter has no false negatives);
+  *  - at the default tight fpp it matches the exact gate on the fixture
+  *    (the build is seed-fixed, so this is deterministic);
+  *  - the gate is one map-only filter: no join, no exchange of the
+  *    corpus side (the whole point vs the broadcast join);
+  *  - no-shingle (null-text) docs are kept, matching q65's semantics
+  *    where a doc with no shingle rows can never reach the threshold.
+  */
+class BloomDecontaminationSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def fixture = {
+    val docs = Tables.load(spark, sf, "documents")
+    (docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10))
+  }
+
+  private def exactKept: Set[Long] = {
+    val (corpus, _) = fixture
+    val flagged = SparkEntry.queries("q65_decontaminate")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    corpus.select("doc_id").collect().map(_.getLong(0)).toSet -- flagged
+  }
+
+  test("one-sided error: bloom-kept is a subset of exact-kept even at loose fpp") {
+    val (corpus, bench) = fixture
+    val kept = Llm.bloomDecontaminationKept(corpus, bench, fpp = 0.05)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = exactKept
+    assert(exact.nonEmpty && exact.size < corpus.count(),
+      "fixture must have both kept and dropped docs")
+    assert((kept -- exact).isEmpty,
+      s"bloom gate kept docs the exact gate drops: ${(kept -- exact).take(5)}")
+  }
+
+  test("at a tight fpp the bloom gate matches exact q65 on the fixture") {
+    // at the default fpp=1e-3 a doc with exactly minShared-1 REAL shared
+    // shingles is one false-positive probe away from the threshold, so
+    // exact equality is only sound when fpp makes any false positive
+    // vanishingly unlikely (~2e4 probes x 1e-8; the build is seed-fixed,
+    // so this is deterministic, not flaky)
+    val (corpus, bench) = fixture
+    val kept = Llm.bloomDecontaminationKept(corpus, bench, fpp = 1e-8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === exactKept)
+  }
+
+  test("over-dropped docs at default fpp each sit at the threshold boundary") {
+    // a doc with ZERO truly-shared shingles needs >= minShared
+    // simultaneous false positives (P ~ (n_shingles*fpp)^minShared) —
+    // every doc the bloom gate over-drops must have >= 1 real shared
+    // shingle, i.e. the error concentrates on threshold-boundary docs
+    val (corpus, bench) = fixture
+    val kept = Llm.bloomDecontaminationKept(corpus, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val overDropped = exactKept -- kept
+    if (overDropped.nonEmpty) {
+      val sh = Llm.shingleHashes(Tables.load(spark, sf, "documents"))
+      val benchH = sh.filter(col("doc_id") < 10).select("h").distinct()
+      val realShared = sh.filter(col("doc_id").isin(overDropped.toSeq: _*))
+        .join(benchH, Seq("h"))
+        .groupBy("doc_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      overDropped.foreach { id =>
+        assert(realShared.getOrElse(id, 0L) >= 1L,
+          s"doc $id was over-dropped with zero truly-shared shingles")
+      }
+    }
+  }
+
+  test("the gate is map-only: no join and no exchange in the plan") {
+    val (corpus, bench) = fixture
+    val plan = Llm.bloomDecontaminationKept(corpus, bench)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"gate must not join:\n$plan")
+    assert(!plan.contains("Exchange"), s"gate must not shuffle:\n$plan")
+  }
+
+  test("a doc with no shingles (null text) is kept") {
+    import spark.implicits._
+    val (_, bench) = fixture
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, "spark rows fast table"))
+      .toDF("doc_id", "text")
+    val kept = Llm.bloomDecontaminationKept(docs, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L), "null-text doc can never be contaminated")
+    assert(kept.contains(2L))
+  }
+}
