@@ -95,10 +95,15 @@ object NearDup {
       stream: DataFrame,
       benchHashes: Array[String],
       minShared: Int = 2): DataFrame =
-    stream.filter(
+    // coalesce: a null-text doc has a NULL shingle array, so the size
+    // comparison is NULL and a bare filter would DROP it — but the batch
+    // gate (q65) produces no shingle rows for such a doc and keeps it. A
+    // doc with no shingles can never be contaminated; keep it.
+    stream.filter(coalesce(
       size(array_intersect(
         typedLit(benchHashes.toSeq),
-        expr(Llm.shingleHashArrayExpr))) < minShared)
+        expr(Llm.shingleHashArrayExpr))) < minShared,
+      lit(true)))
 
   /** Flag stream docs that are near-dups of the indexed corpus.
     *

@@ -41,6 +41,21 @@ class NearDupStreamSpec extends SparkSpec {
     assert(batch.exists(_._1 == 1L), "the null-text doc must still produce bands")
   }
 
+  test("streaming decontamination keeps a null-text doc (batch q65 parity)") {
+    // no fixture doc has null text, so the end-to-end parity test below
+    // cannot catch this: a null-text doc's shingle array is NULL, the
+    // size comparison is NULL, and an un-coalesced filter would DROP a
+    // doc the batch gate keeps (q65 emits no shingle rows for it)
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val bench = NearDup.benchmarkShingleHashes(docs.filter(col("doc_id") < 10))
+    val frame = Seq((1L, null.asInstanceOf[String]), (2L, "spark rows fast table"))
+      .toDF("doc_id", "text")
+    val kept = NearDup.decontaminateStream(frame, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L))
+  }
+
   test("streaming decontamination drops exactly the docs batch q65 flags") {
     val docs = Tables.load(spark, sf, "documents")
     val bench = NearDup.benchmarkShingleHashes(docs.filter(col("doc_id") < 10))
