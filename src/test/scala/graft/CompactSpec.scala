@@ -170,6 +170,82 @@ class CompactSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  // the census prefers the Spark schema JSON embedded in footer
+  // key-value metadata over the raw parquet MessageType conversion —
+  // the MessageType round-trip would silently strip column metadata
+  // (and UDT/char/varchar info) from the rewritten files
+  test("column metadata embedded in footers survives the rewrite") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact-meta").toString
+    val snap = s"$tmp/snap"
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("comment", "unit price").build()
+    (1 to 6).foreach { i =>
+      Seq((s"k$i", "a", i.toDouble)).toDF("id", "y", "v")
+        .withMetadata("v", meta)
+        .write.partitionBy("y").mode("append").parquet(snap)
+    }
+    assert(Compact.partitions(spark, snap, maxFilesPerPartition = 4) === Seq("y=a"))
+    val field = spark.read.parquet(snap).schema("v")
+    assert(field.metadata.contains("comment") &&
+      field.metadata.getString("comment") === "unit price",
+      s"column metadata must survive the rewrite, got: ${field.metadata}")
+    assert(spark.read.parquet(snap).count() === 6)
+  }
+
+  // batch grouping normalizes nullability/metadata: a dir whose census
+  // came through the single-footer fast path and one that paid the
+  // mergeSchema fallback (footers differing only in field metadata)
+  // describe logically identical data and must share ONE write job
+  test("fast-path and mergeSchema-censused dirs of identical layout share a batch") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact-norm").toString
+    val snap = s"$tmp/snap"
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("comment", "metered").build()
+    // y=a: uniform footers -> fast path
+    (1 to 6).foreach { i =>
+      Seq((s"a$i", "a", i.toDouble)).toDF("id", "y", "v")
+        .write.partitionBy("y").mode("append").parquet(snap)
+    }
+    // y=b: same columns/types, but footers disagree in metadata only
+    // (one write carries a column comment) -> mergeSchema fallback
+    (1 to 3).foreach { i =>
+      Seq((s"b$i", "b", i.toDouble)).toDF("id", "y", "v")
+        .write.partitionBy("y").mode("append").parquet(snap)
+    }
+    (4 to 6).foreach { i =>
+      Seq((s"b$i", "b", i.toDouble)).toDF("id", "y", "v")
+        .withMetadata("v", meta)
+        .write.partitionBy("y").mode("append").parquet(snap)
+    }
+
+    val writes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = qe.logical match {
+        case c: org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationCommand
+            if c.outputPath.toString.contains(tmp) &&
+              c.outputPath.toString.contains("__compact-") =>
+          writes.incrementAndGet()
+        case _ => ()
+      }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val rewritten = Compact.partitions(spark, snap, maxFilesPerPartition = 4)
+      assert(rewritten.toSet === Set("y=a", "y=b"))
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (writes.get() < 1 && System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(500)
+      assert(writes.get() === 1,
+        "logically identical dirs must not split into separate batches")
+      assert(spark.read.parquet(snap).count() === 12)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   // a batch unions partition dirs, so dirs written across a schema
   // evolution must not be merged into one frame: each partition keeps
   // exactly its own layout
