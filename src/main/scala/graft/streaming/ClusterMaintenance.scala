@@ -140,6 +140,31 @@ object ClusterMaintenance {
       }
       .start()
 
+  /** Compact the append-only state tables. Each micro-batch appends one
+    * small file set to `bands/` and `toks/`, so a long-lived stream
+    * accrues the classic small-file problem, and an at-least-once
+    * redelivery leaves duplicate rows. Rewrite both through the atomic
+    * snapshot swap ([[Sinks.snapshotSwap]]: readers see complete-old or
+    * complete-new), deduplicating exact rows — duplicates arise ONLY
+    * from replay (band/token rows are deterministic per doc), so
+    * `distinct` restores the exactly-once state. The labels snapshot
+    * republishes whole per batch and needs no compaction. Run between
+    * drains (AvailableNow) or on a maintenance schedule, like the
+    * snapshot compaction. */
+  def compactState(spark: SparkSession, statePath: String,
+                   targetFileBytes: Long = 128L << 20): Unit = {
+    val fs = new Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(bandsPath(statePath), toksPath(statePath)).foreach { p =>
+      if (fs.exists(new Path(p))) {
+        val bytes = fs.getContentSummary(new Path(p)).getLength
+        val files = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+        Sinks.snapshotSwap(
+          spark.read.parquet(p).distinct().repartition(files), p)
+      }
+    }
+  }
+
   /** The current labeling (empty if no pairs have been verified yet). */
   def labels(spark: SparkSession, statePath: String): DataFrame = {
     val lp = labelsPath(statePath)

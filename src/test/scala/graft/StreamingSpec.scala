@@ -195,5 +195,23 @@ class StreamingSpec extends SparkSpec {
     val replayed = ClusterMaintenance.labels(spark, state)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(replayed === batch, "replaying an ingest must not change the labeling")
+
+    // state compaction: 4 folds appended 4 file sets to bands/ and the
+    // replay duplicated third-0's rows — compacting dedups and shrinks
+    // to the byte-targeted file count without changing what a later
+    // fold sees
+    def bandFiles = new java.io.File(s"$state/bands").listFiles()
+      .count(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+    val bandsBefore = spark.read.parquet(s"$state/bands").count()
+    val filesBefore = bandFiles
+    ClusterMaintenance.compactState(spark, state)
+    assert(bandFiles === 1, s"tiny state must compact to one file, had $filesBefore")
+    val bands = spark.read.parquet(s"$state/bands")
+    assert(bands.count() < bandsBefore, "replay duplicates are removed")
+    assert(bands.count() === bands.distinct().count())
+    ClusterMaintenance.foldBatch(docs.filter(col("doc_id") % 3 === 1), state)
+    val afterCompact = ClusterMaintenance.labels(spark, state)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterCompact === batch, "a fold against compacted state is unchanged")
   }
 }
