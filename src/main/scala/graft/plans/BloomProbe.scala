@@ -28,5 +28,21 @@ object BloomProbe {
         "bloom_might_contain",
         { exprs: Seq[Expression] => BloomFilterMightContain(exprs(0), exprs(1)) },
         "built-in")
+    // the build side of the same runtime-filter pair: a
+    // TypedImperativeAggregate whose partial buffers are per-partition
+    // Bloom filters OR-merged upward — the filter is built DISTRIBUTED
+    // and reaches the probe as an uncorrelated scalar subquery (the
+    // mechanism Spark's own InjectRuntimeFilter uses), never as a
+    // driver-collected plan literal. Subqueries are rejected inside
+    // higher-order-function lambdas (UNSUPPORTED_SUBQUERY_EXPRESSION_
+    // CATEGORY.HIGHER_ORDER_FUNCTION), so consumers probe at exploded
+    // row granularity, not per-array.
+    if (!registry.functionExists(FunctionIdentifier("bloom_filter_agg")))
+      registry.createOrReplaceTempFunction(
+        "bloom_filter_agg",
+        { exprs: Seq[Expression] =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            exprs(0), exprs(1), exprs(2)) },
+        "built-in")
   }
 }

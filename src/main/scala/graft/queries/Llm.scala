@@ -997,14 +997,18 @@ object Llm {
     * set outgrows q65's broadcast. q65 hash-joins the corpus's shingles
     * against a broadcast benchmark set, which is right while the
     * benchmark is an eval suite (10³–10⁴ shingles) but wrong once the
-    * exclusion set is corpus-sized (held-out training splits, licensed-
-    * content blocklists: 10⁸+ shingles — the broadcast would be tens of
-    * GB of strings). The trade: a Bloom filter over xxhash64'd shingle
-    * hashes (~1.2 bytes per excluded item at 1% fpp) probed per corpus
-    * shingle by Spark's own codegen'd `BloomFilterMightContain`
+    * exclusion set outgrows it (held-out training splits, licensed-
+    * content blocklists — the broadcast would be GBs of strings). The
+    * trade: a Bloom filter over xxhash64'd shingle hashes (~1.2 bytes
+    * per excluded item at 1% fpp) probed per corpus shingle by Spark's
+    * own codegen'd `BloomFilterMightContain`
     * ([[graft.plans.BloomProbe]]) — the whole gate is ONE map-only
     * filter over the corpus scan: no join, no shuffle, no broadcast of
-    * the exclusion strings.
+    * the exclusion strings. The serialized filter rides the plan as a
+    * folded binary constant, which is the right shape up to ~10⁷
+    * excluded items (tens of MB of plan constant); past that use
+    * [[bloomDecontaminationKeptLarge]], whose filter never enters the
+    * plan text at all.
     *
     * Error is one-sided: a doc the exact gate drops is ALWAYS dropped
     * here too (a Bloom filter has no false negatives, so every truly
@@ -1041,6 +1045,56 @@ object Llm {
     val shared = size(filter(expr(shingleHashArrayExpr),
       h => call_function("bloom_might_contain", bfCol, xxhash64(h))))
     docs.filter(coalesce(shared < minShared, lit(true)))
+  }
+
+  /** [[bloomDecontaminationKept]] for exclusion sets too large to ride
+    * the plan as a constant (10⁸+ shingles): the filter is built by the
+    * DISTRIBUTED `bloom_filter_agg` (per-partition partial filters
+    * OR-merged upward) and reaches the probe as an uncorrelated scalar
+    * subquery — exactly the mechanism Spark's own runtime join-filter
+    * rewrite uses at this scale, evaluated once per query, never
+    * embedded in the plan text and never round-tripped through a
+    * `collect`. Spark rejects subqueries inside higher-order-function
+    * lambdas, so the probe runs at exploded (doc_id, shingle) rows:
+    * one linear map-side explode, the probe filter drops all but true
+    * hits + fpp noise, the per-doc count aggregates map-side, and the
+    * flagged-doc list anti-joins back (small side — flagged docs).
+    * Same one-sided error as the literal variant; fpp also bounds the
+    * shuffled probe-survivor volume at corpus scale. Filters beyond
+    * Spark's runtime-bloom size confs need
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`maxNumBits`
+    * raised — disclosed rather than silently capped. */
+  def bloomDecontaminationKeptLarge(docs: DataFrame, benchmark: DataFrame,
+                                    minShared: Int = 2,
+                                    fpp: Double = 0.001): DataFrame = {
+    val spark = docs.sparkSession
+    graft.plans.BloomProbe.register(spark)
+    val hl = shingleHashes(benchmark).filter(col("h").isNotNull)
+      .select(xxhash64(col("h")).as("hl")).distinct()
+    val n = math.max(1L, hl.count())
+    val numBits = math.max(64L,
+      math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val benchView = s"graft_bloom_bench_$tag"
+    val shView = s"graft_bloom_sh_$tag"
+    hl.createOrReplaceTempView(benchView)
+    shingleHashes(docs).filter(col("h").isNotNull)
+      .createOrReplaceTempView(shView)
+    // temp views are inlined into the plan at analysis time, so they
+    // can be dropped as soon as the frame is built
+    val flagged = spark.sql(
+      s"""SELECT doc_id FROM $shView
+          WHERE bloom_might_contain(
+            (SELECT bloom_filter_agg(hl, CAST($n AS BIGINT), CAST($numBits AS BIGINT))
+             FROM $benchView),
+            xxhash64(h))
+          GROUP BY doc_id
+          HAVING count(*) >= $minShared""")
+    spark.catalog.dropTempView(benchView)
+    spark.catalog.dropTempView(shView)
+    // a doc with no shingle rows (null text) never reaches `flagged`
+    // and is kept by the anti-join — q65 parity without a coalesce
+    docs.join(flagged, Seq("doc_id"), "left_anti")
   }
 
   // ---- deterministic stratified sampling --------------------------------

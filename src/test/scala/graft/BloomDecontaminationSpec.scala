@@ -88,6 +88,50 @@ class BloomDecontaminationSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"gate must not shuffle:\n$plan")
   }
 
+  test("large-set variant: subquery-built filter matches exact q65 at tight fpp") {
+    // the filter is built by the distributed bloom_filter_agg and
+    // reaches the probe as a scalar subquery — same one-sided error
+    // model as the literal variant, so the same equality bar applies
+    val (corpus, bench) = fixture
+    val kept = Llm.bloomDecontaminationKeptLarge(corpus, bench, fpp = 1e-8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === exactKept)
+  }
+
+  test("large-set variant: bloom-kept is a subset of exact-kept at loose fpp") {
+    val (corpus, bench) = fixture
+    val kept = Llm.bloomDecontaminationKeptLarge(corpus, bench, fpp = 0.05)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((kept -- exactKept).isEmpty)
+  }
+
+  test("large-set variant: the filter reaches the probe as a scalar subquery") {
+    // the literal variant embeds the serialized filter as a folded
+    // binary constant; the subquery variant must instead carry a
+    // scalar-subquery reference to the distributed bloom_filter_agg
+    // build — the plan shape that scales past plan-constant sizes
+    val (corpus, bench) = fixture
+    val plan = Llm.bloomDecontaminationKeptLarge(corpus, bench)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("scalar-subquery") || plan.contains("Subquery"),
+      s"expected a scalar subquery in:\n${plan.take(2000)}")
+    assert(plan.contains("bloom_filter_agg") || plan.contains("bloomfilteraggregate") ||
+      plan.toLowerCase.contains("bloomfilter"),
+      s"expected the distributed filter build in:\n${plan.take(2000)}")
+    assert(!plan.contains("unbase64"),
+      "the subquery variant must not fold a serialized filter constant")
+  }
+
+  test("large-set variant: a null-text doc is kept (no shingle rows to flag)") {
+    import spark.implicits._
+    val (_, bench) = fixture
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, "spark rows fast table"))
+      .toDF("doc_id", "text")
+    val kept = Llm.bloomDecontaminationKeptLarge(docs, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L))
+  }
+
   test("a doc with no shingles (null text) is kept") {
     import spark.implicits._
     val (_, bench) = fixture
