@@ -185,10 +185,13 @@ object Components {
     * aggregations + two joins per round instead of one) never touches the
     * full edge list. Each iterate is staged for the same reason the
     * contraction levels are; convergence ("the edge set is a star
-    * forest") is the observation that in a star forest no node is both a
-    * leaf (appears as `id` — both operations emit edges oriented
-    * child→root, id > nbr) and a root (appears as `nbr`), checked with a
-    * semi-join + `isEmpty` probe on the staged iterate.
+    * forest") requires two facts about the staged iterate, each an
+    * `isEmpty` probe: no node is both a leaf (appears as `id` — both
+    * operations emit edges oriented child→root, id > nbr) and a root
+    * (appears as `nbr`), AND no leaf carries edges to more than one
+    * root. The second clause is load-bearing: the orientation check
+    * alone accepts near-fixpoints where a node still points at two
+    * roots, which would double-label it and split its component.
     *
     * Returns (`id`, `comp`) covering every node of `edges` (both
     * operations preserve the node set and component structure — an edge
@@ -225,7 +228,16 @@ object Components {
     while (!stars) {
       e = smallStar(largeStar(e))
       rounds += 1
-      stars = e.join(e.select(col("id").as("nbr")).distinct(), Seq("nbr"), "left_semi").isEmpty
+      // a star forest needs BOTH conditions: no node appears as a child
+      // AND a root (edges are oriented child→root, so a root must never
+      // reappear as an `id`), and every child hangs off exactly ONE root.
+      // The first alone accepts a state where a node still carries edges
+      // to two different roots — the final union would then label that
+      // node twice and report one component under two ids. Rows of `e`
+      // are distinct, so >1 row per id ⟺ >1 distinct root per id.
+      stars =
+        e.groupBy("id").agg(count(lit(1)).as("k")).filter(col("k") > 1).isEmpty &&
+        e.join(e.select(col("id").as("nbr")).distinct(), Seq("nbr"), "left_semi").isEmpty
       // 2^100-node components do not exist; a failure to converge here is
       // a bug in the operations, not a property of any input graph
       if (!stars && rounds >= 100)

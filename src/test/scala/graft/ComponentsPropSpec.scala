@@ -49,16 +49,18 @@ class ComponentsPropSpec extends SparkSpec {
   }
 
   test("star-fallback labels match union-find on seeded random graphs") {
-    // maxRounds = 1 forces nearly every graph through the
-    // large-star/small-star fallback after one contraction level — the
+    // small maxRounds forces nearly every graph through the
+    // large-star/small-star fallback after 0–1 contraction levels — the
     // same union-find parity bar as the fast path, over shapes no
-    // hand-written fixture enumerates
+    // hand-written fixture enumerates. Alternating 0 and 1 covers both
+    // fallback entry points (repMap null vs composed); the deterministic
+    // split-roots regression lives in ComponentsSpec.
     val rnd = new Random(2027)
-    for (i <- 1 to 8) {
+    for (i <- 1 to 12) {
       val n = 8 + rnd.nextInt(18)
       val edges = List.fill(n)(
         (rnd.nextInt(26).toLong, rnd.nextInt(26).toLong))
-      val got = Components.connected(edges.toDF("src", "dst"), maxRounds = 1)
+      val got = Components.connected(edges.toDF("src", "dst"), maxRounds = i % 2)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got === model(edges), s"iteration $i: edges=$edges")
     }

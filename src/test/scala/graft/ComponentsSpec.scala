@@ -70,6 +70,24 @@ class ComponentsSpec extends SparkSpec {
       ((1L to 10L).map(_ -> 1L) ++ Seq(50L, 51L, 52L).map(_ -> 50L)).toMap)
   }
 
+  test("star fallback does not stop at a near-fixpoint with split roots") {
+    // Regression: the original convergence probe checked only that no
+    // node appears as both child and root, which accepts a state where
+    // a node still carries edges to TWO different roots — on this graph
+    // with maxRounds = 0 the fallback then labeled node 12 with both 4
+    // and 10 and reported one component under two ids. The strengthened
+    // probe (exactly one root per child) must keep iterating until the
+    // genuine star forest.
+    val g = Seq(12L -> 54L, 14L -> 42L, 16L -> 23L, 16L -> 50L, 23L -> 10L,
+      23L -> 43L, 27L -> 14L, 27L -> 16L, 27L -> 42L, 27L -> 54L, 40L -> 4L,
+      40L -> 12L, 50L -> 56L, 56L -> 44L)
+    val nodes = g.flatMap(p => Seq(p._1, p._2)).distinct
+    // the whole graph is one component; its minimum is 4
+    val expected = nodes.map(_ -> 4L).toMap
+    assert(labels2(g, maxRounds = 0) === expected)
+    assert(labels2(g, maxRounds = 20) === expected, "fast path agrees")
+  }
+
   test("level-0-converged cluster keeps its label while a deep one contracts") {
     // A dense triangle {50,51,52} collapses entirely in the level-0
     // min-merge: its representative never enters the contracted graph,
