@@ -1060,10 +1060,16 @@ object Llm {
     * hits + fpp noise, the per-doc count aggregates map-side, and the
     * flagged-doc list anti-joins back (small side — flagged docs).
     * Same one-sided error as the literal variant; fpp also bounds the
-    * shuffled probe-survivor volume at corpus scale. Filters beyond
-    * Spark's runtime-bloom size confs need
+    * shuffled probe-survivor volume at corpus scale. Spark's
+    * `BloomFilterAggregate` silently `Math.min`-clamps the requested
+    * numItems/numBits to the session's
     * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`maxNumBits`
-    * raised — disclosed rather than silently capped. */
+    * (4M / 67M by default) — at the exclusion-set scale this tier
+    * exists for, a clamped filter saturates (<1 bit per item), nearly
+    * every doc accrues ≥ `minShared` false positives, and the gate
+    * would silently drop most of the CLEAN corpus. So the maxima are
+    * raised (upward only, session-scoped) to the sizes the fpp math
+    * computed, BEFORE the lazily-evaluated aggregate can read them. */
   def bloomDecontaminationKeptLarge(docs: DataFrame, benchmark: DataFrame,
                                     minShared: Int = 2,
                                     fpp: Double = 0.001): DataFrame = {
@@ -1074,6 +1080,14 @@ object Llm {
     val n = math.max(1L, hl.count())
     val numBits = math.max(64L,
       math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // the clamp is applied inside BloomFilterAggregate via SQLConf.get
+    // at execution time, so the raised values must outlive this call
+    // (the returned frame is lazy) — upward-only, never tightened
+    val itemsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    if (spark.conf.get(itemsConf).toLong < n) spark.conf.set(itemsConf, n.toString)
+    if (spark.conf.get(bitsConf).toLong < numBits)
+      spark.conf.set(bitsConf, numBits.toString)
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")
     val benchView = s"graft_bloom_bench_$tag"
     val shView = s"graft_bloom_sh_$tag"
@@ -1096,6 +1110,47 @@ object Llm {
     // and is kept by the anti-join — q65 parity without a coalesce
     docs.join(flagged, Seq("doc_id"), "left_anti")
   }
+
+  // Oracle rows for both Bloom tiers. At fpp = 1e-8 a false positive is
+  // vanishingly unlikely (~2·10⁴ probes × 1e-8 per run) and the
+  // spark-sketch build is seed-fixed, so the kept set deterministically
+  // equals the exact gate's complement (BloomDecontaminationSpec pins
+  // the equality on this fixture) — the exact-gate SQL is therefore a
+  // valid DuckDB oracle for the probabilistic operator.
+  private val bloomKeptOracleSql =
+    s"""WITH b AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        shl AS (SELECT doc_id, list_distinct($shingleSql) AS shingles FROM b),
+        shx AS (SELECT doc_id, md5(unnest(shingles)) AS h FROM shl),
+        bench AS (SELECT DISTINCT h FROM shx WHERE doc_id < 10),
+        flagged AS (
+          SELECT s.doc_id FROM shx s JOIN bench USING (h)
+          WHERE s.doc_id >= 10
+          GROUP BY s.doc_id HAVING count(*) >= 2)
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE doc_id >= 10 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+        ORDER BY doc_id"""
+
+  private val bloomDecontam = Q(
+    "q80_bloom_decontam",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      bloomDecontaminationKept(docs.filter(col("doc_id") >= 10),
+          docs.filter(col("doc_id") < 10), fpp = 1e-8)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some(bloomKeptOracleSql))
+
+  private val bloomDecontamLarge = Q(
+    "q81_bloom_decontam_large",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      bloomDecontaminationKeptLarge(docs.filter(col("doc_id") >= 10),
+          docs.filter(col("doc_id") < 10), fpp = 1e-8)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some(bloomKeptOracleSql))
 
   // ---- deterministic stratified sampling --------------------------------
   // Per-stratum downsampling at reproducible rates: keep a doc when the
@@ -1361,6 +1416,36 @@ object Llm {
   private def docClusters(s: SparkSession, dir: String): DataFrame =
     clustersOf(jaccardEdges(s, dir))
 
+  // Streamed cluster maintenance as an oracle row: two successive
+  // foldBatch ingests over a doc_id split of the corpus must land on
+  // EXACTLY the labels of one batch re-cluster of the full verified
+  // edge set. StreamingSpec pins stream == batch in-process; this row
+  // makes the same equality driver-visible against the DuckDB
+  // recursive-CTE clustering oracle (q73's CTE chain — the fold and
+  // the batch path share band values, exactly-once emission, and the
+  // Jaccard threshold, so the edge SETS are identical and clustering
+  // a star over ingest 1's labels plus ingest 2's edges converges to
+  // the same min-label fixpoint). Each invocation folds into a FRESH
+  // temp state dir so the query is re-runnable (bench passes) without
+  // replay semantics entering the comparison.
+  private val incrementalClusters = Q(
+    "q82_incremental_clusters",
+    (s, dir) => {
+      val state = java.nio.file.Files
+        .createTempDirectory("graft_q82_state").toString
+      val docs = t(s, dir, "documents")
+      graft.streaming.ClusterMaintenance.foldBatch(
+        docs.filter(col("doc_id") < 250), state)
+      graft.streaming.ClusterMaintenance.foldBatch(
+        docs.filter(col("doc_id") >= 250), state)
+      graft.streaming.ClusterMaintenance.labels(s, state)
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $minhashSigSqlCte, $minhashBandsSqlCte,
+            $jaccardEdgesSqlCte, $clusterSqlCte
+            SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"""))
+
   private val dupClusters = Q(
     "q73_dup_clusters",
     (s, dir) => docClusters(s, dir).orderBy("doc_id"),
@@ -1504,8 +1589,9 @@ object Llm {
     minhashSignatures, minhashPairs, jaccardPairs, simhash, simhashPairs,
     simhashWidePairs, cosineTopK, embedBuckets, annTopK, embedNearDup,
     ivfTopK, rollingFp, multimodalMeta, qualityScore, piiScrub, corpusFilter,
-    vocabDf, decontaminate, stratifiedSample, sourceMix,
+    vocabDf, decontaminate, bloomDecontam, bloomDecontamLarge,
+    stratifiedSample, sourceMix,
     seqPacking, lengthCurriculum, tfidfTopTerms, repetition,
     dupClusters, dedupSurvivors, incrementalDedup, temperatureMix,
-    unigramLogprob, simhashClusters)
+    unigramLogprob, simhashClusters, incrementalClusters)
 }

@@ -122,6 +122,33 @@ class BloomDecontaminationSpec extends SparkSpec {
       "the subquery variant must not fold a serialized filter constant")
   }
 
+  test("large-set variant: tightened runtime-bloom clamps are raised, not obeyed") {
+    // BloomFilterAggregate Math.min-clamps requested numItems/numBits to
+    // the session's runtime.bloomFilter maxima with no warning. A
+    // saturated filter (<1 bit/item) false-positives on nearly every
+    // probe and the gate silently drops the clean corpus — so the gate
+    // must raise the maxima to its computed sizes before executing.
+    // Simulate the production regime by tightening the confs below the
+    // fixture's needs and assert exact-gate parity still holds.
+    val itemsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (oldItems, oldBits) = (spark.conf.get(itemsConf), spark.conf.get(bitsConf))
+    try {
+      spark.conf.set(itemsConf, "16")
+      spark.conf.set(bitsConf, "64")
+      val (corpus, bench) = fixture
+      val kept = Llm.bloomDecontaminationKeptLarge(corpus, bench, fpp = 1e-8)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept === exactKept,
+        "clamped filter saturated — the gate must raise the bloom maxima")
+      assert(spark.conf.get(itemsConf).toLong > 16L, "maxNumItems was not raised")
+      assert(spark.conf.get(bitsConf).toLong > 64L, "maxNumBits was not raised")
+    } finally {
+      spark.conf.set(itemsConf, oldItems)
+      spark.conf.set(bitsConf, oldBits)
+    }
+  }
+
   test("large-set variant: a null-text doc is kept (no shingle rows to flag)") {
     import spark.implicits._
     val (_, bench) = fixture
