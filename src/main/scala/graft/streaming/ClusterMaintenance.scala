@@ -128,15 +128,27 @@ object ClusterMaintenance {
 
   /** Wire [[foldBatch]] as the foreachBatch sink of a streaming document
     * frame. AvailableNow by default — drain what's there and stop — the
-    * same trigger discipline as the partitioned streaming sync. */
+    * same trigger discipline as the partitioned streaming sync.
+    *
+    * Every `compactEvery`-th micro-batch also runs [[compactState]]
+    * (cadenced on the checkpointed batchId, so the schedule survives
+    * restarts): without it a long-lived stream accretes one small file
+    * set per batch until an operator intervenes. The compaction runs
+    * INSIDE the foreachBatch callback — micro-batches execute serially,
+    * so no fold ever races the swap, and the next fold reads the
+    * compacted state through the atomic snapshot pointer. Pass 0 to
+    * disable (an external maintenance schedule owns it instead). */
   def sink(stream: DataFrame, statePath: String, checkpointDir: String,
            threshold: Double = 0.5,
-           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+           trigger: Trigger = Trigger.AvailableNow(),
+           compactEvery: Int = 8): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldBatch(batch, statePath, threshold)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactState(batch.sparkSession, statePath)
       }
       .start()
 
@@ -148,9 +160,10 @@ object ClusterMaintenance {
     * complete-new), deduplicating exact rows — duplicates arise ONLY
     * from replay (band/token rows are deterministic per doc), so
     * `distinct` restores the exactly-once state. The labels snapshot
-    * republishes whole per batch and needs no compaction. Run between
-    * drains (AvailableNow) or on a maintenance schedule, like the
-    * snapshot compaction. */
+    * republishes whole per batch and needs no compaction. [[sink]]
+    * schedules this every `compactEvery` micro-batches; it can also run
+    * between drains (AvailableNow) or on an external maintenance
+    * schedule, like the snapshot compaction. */
   def compactState(spark: SparkSession, statePath: String,
                    targetFileBytes: Long = 128L << 20): Unit = {
     val fs = new Path(statePath)

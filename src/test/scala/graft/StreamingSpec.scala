@@ -214,4 +214,43 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(afterCompact === batch, "a fold against compacted state is unchanged")
   }
+
+  test("sink-scheduled compaction keeps the state file count bounded") {
+    import graft.streaming.ClusterMaintenance
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+
+    // 6 single-file ingest pages → 6 micro-batches; compactEvery = 2
+    // runs the cadence 3 times (batch ids 1, 3, 5 — the LAST batch
+    // included, so the drained state ends compacted)
+    val in = Files.createTempDirectory("cmc-in").toString
+    (0 until 6).foreach { i =>
+      docs.filter(col("doc_id") % 6 === i).coalesce(1)
+        .write.mode("append").parquet(in)
+    }
+    val state = Files.createTempDirectory("cmc-state").toString
+    val ckpt = Files.createTempDirectory("cmc-ckpt").toString
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = ClusterMaintenance.sink(stream, state, ckpt, compactEvery = 2)
+    assert(q.awaitTermination(240000), "stream did not drain in time")
+
+    // without the cadence 6 folds leave >= 6 append file sets; with it
+    // the surviving state is the byte-targeted compact file (one at this
+    // scale) — bounded no matter how many micro-batches the stream ran
+    def partFiles(dir: String) = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+    assert(partFiles(s"$state/bands") === 1,
+      "bands state must end compacted to the byte-targeted file count")
+    assert(partFiles(s"$state/toks") === 1,
+      "toks state must end compacted to the byte-targeted file count")
+
+    val streamed = ClusterMaintenance.labels(spark, state)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.Components
+      .connected(graft.queries.Llm.jaccardEdgesOf(docs), "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch,
+      "the compaction cadence must not change the labeling")
+  }
 }
