@@ -23,9 +23,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - the search API's GT-cursor filter group -> `SupportsPushDownFilters`:
   *    a `updated_at > cursor` predicate is claimed at planning time and
   *    pages wholly below the cursor are never fetched;
-  *  - the HTTP GET itself is stubbed with a deterministic generator (no
-  *    egress in this environment) — `PagedPartitionReader.fetchPage` is
-  *    the single seam where a real client would go.
+  *  - the HTTP fetch is a pluggable seam: with an `endpoint` option the
+  *    reader GETs `<endpoint>?after=<token>&limit=<pageSize>` per page
+  *    and parses the reference's page shape (`results` array +
+  *    `paging.next.after` — hubspotoop.py:58-80); without one it falls
+  *    back to a deterministic in-process generator (no egress in this
+  *    environment). PagedRestSourceSpec exercises the HTTP path against
+  *    a loopback `HttpServer`, proving pagination and the GT-cursor
+  *    pushdown skip unfetched pages over real HTTP.
   *
   * Usage: `spark.read.format("graft.sources.PagedRestSource")
   *   .option("pages", 10).option("pageSize", 100).load()`.
@@ -38,7 +43,8 @@ class PagedRestSource extends TableProvider {
                         properties: util.Map[String, String]): Table = {
     // user-facing reader options arrive with original casing here
     val opts = new CaseInsensitiveStringMap(properties)
-    new PagedTable(opts.getInt("pages", 10), opts.getInt("pageSize", 100))
+    new PagedTable(opts.getInt("pages", 10), opts.getInt("pageSize", 100),
+      Option(opts.get("endpoint")))
   }
 }
 
@@ -57,17 +63,18 @@ object PagedRestSource {
   val lastPlannedPages = new AtomicInteger(0)
 }
 
-private class PagedTable(pages: Int, pageSize: Int) extends Table with SupportsRead {
+private class PagedTable(pages: Int, pageSize: Int, endpoint: Option[String])
+    extends Table with SupportsRead {
   override def name(): String = s"paged_rest(pages=$pages, pageSize=$pageSize)"
   override def schema(): StructType = PagedRestSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedScanBuilder(pages, pageSize)
+    new PagedScanBuilder(pages, pageSize, endpoint)
 }
 
-private class PagedScanBuilder(pages: Int, pageSize: Int)
+private class PagedScanBuilder(pages: Int, pageSize: Int, endpoint: Option[String])
     extends ScanBuilder with SupportsPushDownFilters {
 
   private var cursorMicros: Long = Long.MinValue
@@ -97,10 +104,11 @@ private class PagedScanBuilder(pages: Int, pageSize: Int)
       java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
         cursorMicros / 1000000L, (cursorMicros % 1000000L) * 1000L))))
 
-  override def build(): Scan = new PagedScan(pages, pageSize, cursorMicros)
+  override def build(): Scan = new PagedScan(pages, pageSize, cursorMicros, endpoint)
 }
 
-private class PagedScan(pages: Int, pageSize: Int, cursorMicros: Long)
+private class PagedScan(pages: Int, pageSize: Int, cursorMicros: Long,
+                        endpoint: Option[String])
     extends Scan with Batch {
   override def readSchema(): StructType = PagedRestSource.schema
   override def toBatch: Batch = this
@@ -118,7 +126,8 @@ private class PagedScan(pages: Int, pageSize: Int, cursorMicros: Long)
       val pageMax = PagedRestSource.T0Micros +
         ((p + 1L) * pageSize - 1) * PagedRestSource.StepMicros
       pageMax > cursorMicros
-    }.map(p => PagePartition(p, pageSize, cursorMicros): InputPartition).toArray
+    }.map(p => PagePartition(p, pageSize, cursorMicros, endpoint): InputPartition)
+      .toArray
     PagedRestSource.lastPlannedPages.set(planned.length)
     planned
   }
@@ -130,16 +139,55 @@ private class PagedScan(pages: Int, pageSize: Int, cursorMicros: Long)
     }
 }
 
-private case class PagePartition(page: Int, pageSize: Int, cursorMicros: Long)
+private case class PagePartition(page: Int, pageSize: Int, cursorMicros: Long,
+                                 endpoint: Option[String])
     extends InputPartition
 
-/** One "HTTP fetch" per partition; deterministic stub records. */
+/** One HTTP fetch per partition. With an endpoint the page comes over
+  * real HTTP in the reference's shape (`?after=<token>&limit=<n>` GET,
+  * `results` + `paging.next.after` response — hubspotoop.py:58-80);
+  * without one it is the deterministic in-process generator. Both paths
+  * re-check the cursor per record: the server-side filter is a page
+  * PRUNE, and a page straddling the cursor still serves rows below it. */
 private class PagedPartitionReader(p: PagePartition)
     extends PartitionReader[InternalRow] {
 
-  // fetchPage: a real implementation would GET
-  // `/crm/v3/objects/...?after=<pageToken>` here (hubspotoop.py:58-64).
-  private val rows: Iterator[InternalRow] =
+  // fetchPage over the wire: GET `<endpoint>?after=<pageToken>&limit=<n>`
+  // (hubspotoop.py:58-64 — the after token addresses the page start; the
+  // partition-per-page plan makes tokens deterministic so pages fetch in
+  // parallel instead of the reference's serial token chain). Wrapped in
+  // the same backoff discipline as the reference's client
+  // (test/hubspot/retry.py:6-42): transient HTTP failures retry inside
+  // the partition instead of failing the task and re-running the page
+  // through Spark's coarser task-level retry.
+  private def httpPage(endpoint: String): Iterator[InternalRow] = {
+    val after = p.page.toLong * p.pageSize
+    val body = graft.functions.Retry.withBackoff(maxRetries = 3, baseDelayMs = 200) {
+      val conn = java.net.URI.create(s"$endpoint?after=$after&limit=${p.pageSize}")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("GET")
+      conn.setConnectTimeout(5000)
+      conn.setReadTimeout(15000)
+      try {
+        val is = conn.getInputStream
+        try scala.io.Source.fromInputStream(is, "UTF-8").mkString
+        finally is.close()
+      } finally conn.disconnect()
+    }
+    val results = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(body).get("results")
+    (0 until results.size()).iterator.flatMap { i =>
+      val r = results.get(i)
+      val inst = java.time.Instant.parse(r.get("updatedAt").asText())
+      val ts = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+      if (ts > p.cursorMicros)
+        Some(InternalRow(r.get("id").asText().toLong, ts,
+          UTF8String.fromString(r.get("payload").asText())))
+      else None
+    }
+  }
+
+  private def syntheticPage(): Iterator[InternalRow] =
     (0 until p.pageSize).iterator.flatMap { i =>
       val id = p.page.toLong * p.pageSize + i
       val ts = PagedRestSource.T0Micros + id * PagedRestSource.StepMicros
@@ -147,6 +195,9 @@ private class PagedPartitionReader(p: PagePartition)
         Some(InternalRow(id, ts, UTF8String.fromString(s"""{"seq": $id}""")))
       else None
     }
+
+  private val rows: Iterator[InternalRow] =
+    p.endpoint.map(httpPage).getOrElse(syntheticPage())
 
   private var current: InternalRow = _
   override def next(): Boolean =
