@@ -22,6 +22,26 @@ object CountingLocalFs {
   val listed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }
 
+/** RawLocalFileSystem that fires a one-shot callback right after the
+  * manifest dir is listed — the deterministic stand-in for a MERGE
+  * committing its manifest WHILE the census runs (after the census's
+  * one listing, before it consumes what it read). */
+class InjectingLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "ifs"
+  override def getUri: java.net.URI = java.net.URI.create("ifs:///")
+  override def listStatus(f: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] = {
+    val r = super.listStatus(f)
+    if (f.toUri.getPath.endsWith("_graft_manifest")) {
+      val cb = InjectingLocalFs.onManifestList.getAndSet(null)
+      if (cb != null) cb.run()
+    }
+    r
+  }
+}
+object InjectingLocalFs {
+  val onManifestList = new java.util.concurrent.atomic.AtomicReference[Runnable](null)
+}
+
 class CompactSpec extends SparkSpec {
   import spark.implicits._
 
@@ -366,6 +386,68 @@ class CompactSpec extends SparkSpec {
 
     assert(Compact.partitionsFromManifests(spark, snap, maxFilesPerPartition = 4)
       === Seq.empty, "manifests are consumed — a second run has nothing to read")
+  }
+
+  // concurrent-writer discipline: the census consumes exactly the
+  // manifest files it LISTED; a manifest committed while it runs (a
+  // concurrent MERGE) must survive untouched and drive the NEXT run
+  test("a manifest written mid-census survives and is processed next run") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact-race").toString
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.ifs.impl", classOf[InjectingLocalFs].getName)
+    val snap = s"ifs:$tmp/snap"
+    (1 to 6).foreach { i =>
+      Seq((s"a$i", "a", i.toDouble), (s"b$i", "b", i.toDouble))
+        .toDF("id", "y", "v").write.partitionBy("y").mode("append").parquet(snap)
+    }
+    Compact.writeManifest(spark, snap, Seq("y=a"))
+
+    // armed: the "concurrent MERGE" commits its y=b manifest the moment
+    // the census finishes its one listing of the manifest dir
+    InjectingLocalFs.onManifestList.set(new Runnable {
+      override def run(): Unit = Compact.writeManifest(spark, snap, Seq("y=b"))
+    })
+    val firstRun = Compact.partitionsFromManifests(spark, snap, maxFilesPerPartition = 4)
+    assert(firstRun === Seq("y=a"), "the census must only see the pre-listed manifest")
+    assert(InjectingLocalFs.onManifestList.get() == null, "the injection must have fired")
+
+    val survivors = new java.io.File(s"$tmp/snap/_graft_manifest").listFiles()
+      .count(_.getName.startsWith("manifest-"))
+    assert(survivors === 1,
+      "the mid-census manifest must survive the census's by-name consumption")
+
+    val secondRun = Compact.partitionsFromManifests(spark, snap, maxFilesPerPartition = 4)
+    assert(secondRun === Seq("y=b"), "the surviving manifest drives the next run")
+    val hashes = TestFiles.partFileHashes(s"$tmp/snap")
+    assert(hashes.keys.count(_.startsWith("y=a/")) === 1)
+    assert(hashes.keys.count(_.startsWith("y=b/")) === 1)
+    assert(spark.read.parquet(snap).count() === 12, "every row survives both runs")
+  }
+
+  // the manifest names a partition, not a snapshot of its contents: a
+  // MERGE that re-touches a manifest-listed partition between census
+  // runs is compacted at its CURRENT state — the over-approximation the
+  // write-before-publish ordering promises (single WRITER per partition
+  // is assumed; readers and the census compose through the atomic swap)
+  test("census compacts the current state of a partition re-touched since its manifest") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact-retouch").toString
+    val snap = s"$tmp/snap"
+    (1 to 5).foreach { i =>
+      Seq((s"a$i", "a", i.toDouble))
+        .toDF("id", "y", "v").write.partitionBy("y").mode("append").parquet(snap)
+    }
+    Compact.writeManifest(spark, snap, Seq("y=a"))
+    // a later MERGE appends to the same partition; its own manifest write
+    // crashed (worst case) — the earlier manifest must still cover it
+    Seq(("a6", "a", 6.0)).toDF("id", "y", "v")
+      .write.partitionBy("y").mode("append").parquet(snap)
+
+    val rewritten = Compact.partitionsFromManifests(spark, snap, maxFilesPerPartition = 4)
+    assert(rewritten === Seq("y=a"))
+    assert(TestFiles.partFileHashes(snap).keys.count(_.startsWith("y=a/")) === 1,
+      "all six files — including the post-manifest append — compact together")
+    assert(spark.read.parquet(snap).collect().map(_.getString(0)).toSet
+      === (1 to 6).map(i => s"a$i").toSet)
   }
 
   // end-to-end: the partitioned MERGE records manifests; manifest-driven
