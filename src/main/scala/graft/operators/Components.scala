@@ -86,12 +86,22 @@ object Components {
     *   remaining residue is handed to the diameter-independent
     *   large-star/small-star fallback ([[starConverge]]) instead of
     *   spending more full-residue levels (or, as before round 8,
-    *   throwing). */
+    *   throwing).
+    * @param observe level telemetry hook, `(stage, edgeRows) => Unit`:
+    *   called once per contraction level with the residue edge count
+    *   (counted off the STAGED frame — a scan of materialized blocks,
+    *   not a recompute), plus once if the star fallback engages. Wire it
+    *   to `RunTelemetry.record` to make a production deep-graph incident
+    *   diagnosable (which level stopped shrinking, how big the residue
+    *   was). None — the default — costs zero: no counts are computed. */
   def connected(
       edges: DataFrame,
       src: String = "src",
       dst: String = "dst",
-      maxRounds: Int = 20): DataFrame = {
+      maxRounds: Int = 20,
+      observe: Option[(String, Long) => Unit] = None): DataFrame = {
+    def report(stage: String)(rows: => Long): Unit =
+      observe.foreach(_(stage, rows))
     // stage the caller's edge pipeline ONCE — every consumer below
     // (symmetrized min-merge, contraction joins) re-scans the staged
     // frame, not the (possibly expensive) upstream computation
@@ -122,6 +132,7 @@ object Components {
 
     val labels = minMerge(e0)
     var e = contract(e0, labels)
+    report("components:level0_residue_edges")(e.count())
     // Cumulative representative relabeling, kept in CONTRACTED space:
     // (rep, next) over the level-1 edge nodes. Contracted node sets only
     // shrink (every level's labels are drawn from the previous level's
@@ -143,9 +154,11 @@ object Components {
           .select(col("rep"), coalesce(col("next2"), col("next")).as("next")))
       e = contract(e, l)
       level += 1
+      report(s"components:level${level}_residue_edges")(e.count())
       done = e.isEmpty
     }
     if (!done) {
+      report("components:star_fallback_residue_edges")(e.count())
       // deep-graph fallback: the residue's diameter outlived the
       // contraction budget. starConverge labels every residue node with
       // its component minimum in polylog rounds; that labeling composes
@@ -267,8 +280,10 @@ object Components {
       newEdges: DataFrame,
       src: String = "src",
       dst: String = "dst",
-      maxRounds: Int = 20): DataFrame = {
+      maxRounds: Int = 20,
+      observe: Option[(String, Long) => Unit] = None): DataFrame = {
     val star = labels.select(col("id").as(src), col("comp").as(dst))
-    connected(star.union(newEdges.select(col(src), col(dst))), src, dst, maxRounds)
+    connected(star.union(newEdges.select(col(src), col(dst))), src, dst,
+      maxRounds, observe)
   }
 }

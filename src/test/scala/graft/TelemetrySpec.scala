@@ -71,6 +71,33 @@ class TelemetrySpec extends SparkSpec {
     }
   }
 
+  test("components level telemetry reports residue sizes through the run report") {
+    import spark.implicits._
+    val t = RunTelemetry.attach(spark, "run-4")
+    try {
+      // an 8-node path needs several contraction levels; each level's
+      // residue edge count lands in the report, strictly shrinking to 0
+      val edges = (1L to 7L).map(i => i -> (i + 1)).toDF("src", "dst")
+      graft.operators.Components
+        .connected(edges, observe = Some((st, n) => t.record(st, n)))
+        .count()
+      val levels = t.reports.filter(_.action.startsWith("components:level"))
+        .sortBy(_.action)
+      assert(levels.nonEmpty, "each contraction level must report")
+      assert(levels.map(_.rows) === levels.map(_.rows).sorted.reverse,
+        s"residue must shrink monotonically: ${levels.map(r => r.action -> r.rows)}")
+      assert(levels.last.rows === 0L, "the final level's residue is empty")
+      assert(t.summaryLines.exists(_.contains("components:level0_residue_edges")))
+
+      // the star fallback's engagement is visible too
+      graft.operators.Components.connected(edges, maxRounds = 0,
+        observe = Some((st, n) => t.record(st, n)))
+        .count()
+      assert(t.reports.exists(r =>
+        r.action == "components:star_fallback_residue_edges" && r.rows > 0))
+    } finally t.detach()
+  }
+
   test("record() rides the same struct as listener-captured actions") {
     val t = RunTelemetry.attach(spark, "run-3")
     try {
