@@ -1152,6 +1152,34 @@ object Llm {
     },
     Some(bloomKeptOracleSql))
 
+  // Contamination PROVENANCE: q65 answers "is this doc contaminated";
+  // audit and takedown need "leaked from WHICH benchmark doc, how
+  // badly" — the (corpus doc, benchmark doc, shared-shingle count)
+  // pair table. Same plan shape as q65 (broadcast benchmark side, the
+  // corpus side never shuffles before the map-side partial count), just
+  // grouped by the pair instead of the corpus doc alone; output volume
+  // is bounded by true contamination, not corpus size.
+  private val decontamProvenance = Q(
+    "q83_decontam_provenance",
+    (s, dir) => {
+      val sh = shingleHashes(t(s, dir, "documents"))
+      val bench = sh.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("bench_id"), col("h"))
+      sh.filter(col("doc_id") >= 10)
+        .join(broadcast(bench), Seq("h"))
+        .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy("doc_id", "bench_id")
+    },
+    Some(s"""WITH b AS (SELECT doc_id, $toksSql AS toks FROM documents),
+            shl AS (SELECT doc_id, list_distinct($shingleSql) AS shingles FROM b),
+            shx AS (SELECT doc_id, md5(unnest(shingles)) AS h FROM shl)
+            SELECT s.doc_id, x.doc_id AS bench_id, count(*) AS n_shared
+            FROM shx s JOIN shx x ON s.h = x.h
+            WHERE s.doc_id >= 10 AND x.doc_id < 10
+            GROUP BY s.doc_id, x.doc_id HAVING count(*) >= 2
+            ORDER BY s.doc_id, bench_id"""))
+
   // ---- deterministic stratified sampling --------------------------------
   // Per-stratum downsampling at reproducible rates: keep a doc when the
   // first hex digit of md5(text) falls under the stratum's digit budget
@@ -1381,6 +1409,49 @@ object Llm {
             FROM x JOIN c USING (token) CROSS JOIN n
             GROUP BY doc_id ORDER BY doc_id"""))
 
+  // Bigram conditional log-probability — the n>1 step past q78's
+  // unigram model, the score behind fluency/perplexity-style quality
+  // filters: avg log p(w_i | w_{i-1}) with MLE counts estimated from
+  // the corpus itself (every doc bigram exists in the corpus counts by
+  // construction, so the estimate needs no smoothing and stays
+  // oracle-exact). Scale shape: the bigram table is staged ONCE and
+  // feeds all three consumers; both count aggregations are map-side
+  // partial (one row per distinct bigram/context per partition on the
+  // wire); the joins are keyed equi-joins with NO mandated broadcast —
+  // at corpus scale the bigram vocabulary dwarfs memory and must be
+  // allowed to hash-join. Docs with fewer than 2 tokens have no bigrams
+  // and drop out, exactly as the oracle's join semantics do.
+  private val bigramLogprob = Q(
+    "q84_bigram_logprob",
+    (s, dir) => {
+      val bi = Staging.stage(t(s, dir, "documents")
+        .withColumn("toks", expr(toksExpr))
+        .select(col("doc_id"), explode(expr(
+          """zip_with(slice(toks, 1, greatest(size(toks)-1, 0)),
+                      slice(toks, 2, greatest(size(toks)-1, 0)),
+                      (a, b) -> struct(a AS w1, b AS w2))""")).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
+      val cnts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      val ctx = bi.groupBy("w1").agg(count(lit(1)).as("ctx_cnt"))
+      bi.join(cnts, Seq("w1", "w2")).join(ctx, Seq("w1"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+          round(avg(log(col("cnt").cast("double") / col("ctx_cnt"))), 6)
+            .as("avg_logp"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH b AS (SELECT doc_id, $toksSql AS toks FROM documents),
+            x AS (SELECT doc_id, unnest(toks) AS w,
+                    generate_subscripts(toks, 1) AS i FROM b),
+            g AS (SELECT a.doc_id, a.w AS w1, c.w AS w2
+                  FROM x a JOIN x c ON a.doc_id = c.doc_id AND c.i = a.i + 1),
+            cn AS (SELECT w1, w2, count(*) AS cnt FROM g GROUP BY w1, w2),
+            cx AS (SELECT w1, count(*) AS ctx_cnt FROM g GROUP BY w1)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              round(avg(ln(CAST(cnt AS DOUBLE) / ctx_cnt)), 6) AS avg_logp
+            FROM g JOIN cn USING (w1, w2) JOIN cx USING (w1)
+            GROUP BY doc_id ORDER BY doc_id"""))
+
   // ---- near-dup clustering: pairs → connected components → survivors ---
   // The pair queries (q46/q49/q51) stop at edges, but dedup needs the
   // TRANSITIVE closure: A~B and B~C must collapse into one cluster even
@@ -1590,8 +1661,8 @@ object Llm {
     simhashWidePairs, cosineTopK, embedBuckets, annTopK, embedNearDup,
     ivfTopK, rollingFp, multimodalMeta, qualityScore, piiScrub, corpusFilter,
     vocabDf, decontaminate, bloomDecontam, bloomDecontamLarge,
-    stratifiedSample, sourceMix,
+    decontamProvenance, stratifiedSample, sourceMix,
     seqPacking, lengthCurriculum, tfidfTopTerms, repetition,
     dupClusters, dedupSurvivors, incrementalDedup, temperatureMix,
-    unigramLogprob, simhashClusters, incrementalClusters)
+    unigramLogprob, bigramLogprob, simhashClusters, incrementalClusters)
 }
