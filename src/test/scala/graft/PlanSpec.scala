@@ -191,6 +191,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian in unigram scoring:\n$p")
   }
 
+  test("q83 provenance broadcasts the benchmark side, never a cartesian") {
+    val p = planOf(q("q83_decontam_provenance"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark shingle side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "pair generation must stay a keyed equi-join")
+    assert(p.contains("partial_count"),
+      "the per-pair count must combine map-side before the shuffle")
+  }
+
+  test("q84 bigram counts partial-aggregate map-side; joins keyed, no broadcast mandate") {
+    val df = q("q84_bigram_logprob")
+    val analyzed = df.queryExecution.analyzed.toString
+    // the count/context joins must not HINT a broadcast — at corpus scale
+    // the bigram vocabulary dwarfs executor memory, so the plan must be
+    // allowed to resolve to a shuffled hash join (AQE may still pick
+    // broadcast at this test scale; the MANDATE is what must be absent)
+    assert(!analyzed.contains("UnresolvedHint") && !analyzed.contains("hints=[broadcast"),
+      s"bigram joins must not mandate a broadcast:\n${analyzed.take(1500)}")
+    val p = planOf(df)
+    assert(p.contains("partial_count"),
+      s"bigram counts must combine map-side before the shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), "all joins stay keyed")
+  }
+
   test("q74 survivor anti-join is a hash join on doc_id, never a nested loop") {
     // fixture precondition: with zero dominated docs AQE's empty-relation
     // propagation legitimately erases the anti-join, so the plan shape
