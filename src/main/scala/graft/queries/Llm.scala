@@ -1202,6 +1202,30 @@ object Llm {
               (CASE WHEN lang = 'en' THEN '8' ELSE '4' END)
             ORDER BY doc_id"""))
 
+  // Exact-COUNT sampling: q66 keeps a deterministic RATE; a training
+  // run often needs exactly N examples ("take 100k docs, uniformly,
+  // reproducibly"). Ordering by a per-row hash and taking N is a
+  // uniform sample that re-selects the SAME rows on re-run (the hash
+  // input includes the unique doc_id, so the order is a total order
+  // with no ties) and is plan-cheap: hash-order + limit is
+  // TakeOrderedAndProject — a bounded per-partition heap merged once
+  // at the driver, never a global sort of the corpus.
+  private val exactSample = Q(
+    "q85_exact_sample",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("h",
+          md5(concat_ws("|", col("doc_id").cast("string"), col("text"))))
+        .orderBy("h")
+        .limit(120)
+        .select("doc_id", "lang", "source", "h")
+        .orderBy("doc_id"),
+    Some("""WITH hx AS (
+              SELECT doc_id, lang, source,
+                md5(concat_ws('|', CAST(doc_id AS VARCHAR), text)) AS h
+              FROM documents ORDER BY h LIMIT 120)
+            SELECT doc_id, lang, source, h FROM hx ORDER BY doc_id"""))
+
   // ---- source-mix balancing: rates to hit a target distribution --------
   // The mixing stage: per-source doc counts and the per-source sampling
   // rate that equalizes the mix (rate = min_count / count). The aggregate
@@ -1661,7 +1685,7 @@ object Llm {
     simhashWidePairs, cosineTopK, embedBuckets, annTopK, embedNearDup,
     ivfTopK, rollingFp, multimodalMeta, qualityScore, piiScrub, corpusFilter,
     vocabDf, decontaminate, bloomDecontam, bloomDecontamLarge,
-    decontamProvenance, stratifiedSample, sourceMix,
+    decontamProvenance, stratifiedSample, exactSample, sourceMix,
     seqPacking, lengthCurriculum, tfidfTopTerms, repetition,
     dupClusters, dedupSurvivors, incrementalDedup, temperatureMix,
     unigramLogprob, bigramLogprob, simhashClusters, incrementalClusters)

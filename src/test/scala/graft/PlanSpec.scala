@@ -216,6 +216,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "all joins stay keyed")
   }
 
+  test("q85 exact sample takes ordered — never a global sort of the corpus") {
+    val p = planOf(q("q85_exact_sample"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"hash-order + limit must be a bounded heap, not a global sort:\n$p")
+  }
+
   test("q74 survivor anti-join is a hash join on doc_id, never a nested loop") {
     // fixture precondition: with zero dominated docs AQE's empty-relation
     // propagation legitimately erases the anti-join, so the plan shape
