@@ -58,6 +58,12 @@ object ClusterMaintenance {
     * [[sink]] wires it as the foreachBatch of a stream. */
   def foldBatch(batch: DataFrame, statePath: String,
                 threshold: Double = 0.5): Unit = {
+    // a ProcessingTime trigger delivers an EMPTY micro-batch every idle
+    // interval; folding one would append a zero-row file set to bands/
+    // and toks/ each time — a small-file leak no compaction cadence can
+    // outrun on a mostly-idle stream. Nothing to index, nothing to pair:
+    // skip entirely (the isEmpty probe is a LocalLimit(1) scan).
+    if (batch.isEmpty) return
     val spark = batch.sparkSession
     val fs = new Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

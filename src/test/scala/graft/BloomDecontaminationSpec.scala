@@ -22,17 +22,21 @@ class BloomDecontaminationSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.01"
 
-  private def fixture = {
-    val docs = Tables.load(spark, sf, "documents")
+  private def fixtureAt(dir: String) = {
+    val docs = Tables.load(spark, dir, "documents")
     (docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10))
   }
 
-  private def exactKept: Set[Long] = {
-    val (corpus, _) = fixture
-    val flagged = SparkEntry.queries("q65_decontaminate")(spark, sf)
+  private def fixture = fixtureAt(sf)
+
+  private def exactKeptAt(dir: String): Set[Long] = {
+    val (corpus, _) = fixtureAt(dir)
+    val flagged = SparkEntry.queries("q65_decontaminate")(spark, dir)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     corpus.select("doc_id").collect().map(_.getLong(0)).toSet -- flagged
   }
+
+  private def exactKept: Set[Long] = exactKeptAt(sf)
 
   test("one-sided error: bloom-kept is a subset of exact-kept even at loose fpp") {
     val (corpus, bench) = fixture
@@ -48,13 +52,34 @@ class BloomDecontaminationSpec extends SparkSpec {
   test("at a tight fpp the bloom gate matches exact q65 on the fixture") {
     // at the default fpp=1e-3 a doc with exactly minShared-1 REAL shared
     // shingles is one false-positive probe away from the threshold, so
-    // exact equality is only sound when fpp makes any false positive
-    // vanishingly unlikely (~2e4 probes x 1e-8; the build is seed-fixed,
-    // so this is deterministic, not flaky)
+    // exact equality is only sound when false positives are genuinely
+    // improbable. A single spark-sketch filter CANNOT deliver that —
+    // its realized fpp floors at ~5e-5 regardless of the request (the
+    // 32-bit double-hashing probe sequence collides pairwise at small
+    // bit sizes) — so below the floor the gate ANDs two filters over
+    // independently-salted keys; the build is seed-fixed, so this is
+    // deterministic, not flaky
     val (corpus, bench) = fixture
     val kept = Llm.bloomDecontaminationKept(corpus, bench, fpp = 1e-8)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept === exactKept)
+  }
+
+  test("sf0.1 regression: tight-fpp parity survives 17x the probe volume (both tiers)") {
+    // the single-filter gate PASSED this suite at sf0.01 and silently
+    // over-dropped 13 threshold-boundary docs at sf0.1 (~3.5e5 probes x
+    // the ~5e-5 spark-sketch floor); the double-filter probe must hold
+    // exact-gate parity at the larger fixture, where the floor's false
+    // positives are no longer a rounding error
+    val big = "/root/testdata/sf0.1"
+    val (corpus, bench) = fixtureAt(big)
+    val exact = exactKeptAt(big)
+    val keptLit = Llm.bloomDecontaminationKept(corpus, bench, fpp = 1e-8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptLit === exact, "literal tier must match exact q65 at sf0.1")
+    val keptLarge = Llm.bloomDecontaminationKeptLarge(corpus, bench, fpp = 1e-8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptLarge === exact, "subquery tier must match exact q65 at sf0.1")
   }
 
   test("over-dropped docs at default fpp each sit at the threshold boundary") {

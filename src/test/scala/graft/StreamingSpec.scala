@@ -215,6 +215,29 @@ class StreamingSpec extends SparkSpec {
     assert(afterCompact === batch, "a fold against compacted state is unchanged")
   }
 
+  test("an empty micro-batch folds to a no-op: no state files, labels unchanged") {
+    import graft.streaming.ClusterMaintenance
+    import spark.implicits._
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val state = Files.createTempDirectory("cme-state").toString
+    ClusterMaintenance.foldBatch(docs.limit(60), state)
+    val before = ClusterMaintenance.labels(spark, state)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def stateFiles = new java.io.File(s"$state/bands").listFiles()
+      .count(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+    val filesBefore = stateFiles
+
+    // a ProcessingTime stream delivers one of these per idle interval —
+    // each must leave zero trace, or an idle stream leaks small files
+    ClusterMaintenance.foldBatch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), state)
+
+    assert(stateFiles === filesBefore, "an empty fold must append no state files")
+    val after = ClusterMaintenance.labels(spark, state)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after === before, "an empty fold must not republish labels")
+  }
+
   test("sink-scheduled compaction keeps the state file count bounded") {
     import graft.streaming.ClusterMaintenance
     val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
