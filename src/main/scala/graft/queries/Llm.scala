@@ -1723,6 +1723,234 @@ object Llm {
             $clusterSqlCte
             SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"""))
 
+  // ---- SemDeDup: semantic dedup over centroid cells --------------------
+  // Embedding-space deduplication in the published SemDeDup shape (Abbas
+  // et al. 2023, arXiv:2303.09540): partition the corpus into centroid
+  // cells (q57's IVF assignment — broadcast tiny centroids against one
+  // scan), find cosine-≥-τ pairs WITHIN each cell, collapse them into
+  // groups (transitive closure, the same Components machinery as q73),
+  // and keep one representative per group — the member FARTHEST from its
+  // cell centroid (the paper's choice: the least-typical exemplar
+  // carries the most information; ties break on vec_id). Differs from
+  // q54 (LSH-bucket near-dup) in both candidate generation — cells adapt
+  // to the data distribution, buckets are oblivious — and in emitting a
+  // per-group survivor decision, not just pairs. Scale shape: the
+  // all-pairs term is CONFINED to a cell (occupancy ≈ N/k, the k knob
+  // makes it bounded — production k grows with N), the pair join is a
+  // cell equi-join, never corpus-wide all-pairs; clustering pays
+  // contracted-residue costs only; survivor choice is one window over
+  // group_id, partitioned by a high-cardinality key.
+  private val semDedupTau = 0.4
+
+  /** Cell assignment, staged: every vector labeled with its nearest
+    * centroid cell and its similarity to that centroid. Exposed to
+    * PlanSpec separately from q86 because staging truncates the final
+    * frame's lineage — the pair join's plan shape is only assertable on
+    * the sub-pipeline. */
+  private[graft] def semDedupCells(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorDot.register(s)
+    val emb = t(s, dir, "embeddings")
+      .withColumn("norm", sqrt(expr(dotExpr.format("embedding", "embedding"))))
+    val cents = emb.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+        col("norm").as("cnorm"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cent_id"))
+    Staging.stage(emb.crossJoin(broadcast(cents))
+      .withColumn("sim",
+        expr(dotExpr.format("embedding", "cvec")) / (col("norm") * col("cnorm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        col("cent_id").as("cell"), col("sim").as("cent_sim")))
+  }
+
+  /** Within-cell cosine-≥-τ pairs off the staged cell table — a cell
+    * equi-join, never corpus-wide all-pairs (PlanSpec pins it). */
+  private[graft] def semDedupPairs(cells: DataFrame): DataFrame = {
+    val a = cells.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
+      col("norm").as("na"), col("cell"))
+    val b = cells.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
+      col("norm").as("nb"), col("cell"))
+    a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("score", expr(dotExpr.format("va", "vb")) / (col("na") * col("nb")))
+      .filter(col("score") >= semDedupTau)
+      .select("vec_a", "vec_b")
+  }
+
+  private val semDedup = Q(
+    "q86_semdedup",
+    (s, dir) => {
+      val cells = semDedupCells(s, dir)
+      val comps = Components.connected(semDedupPairs(cells), src = "vec_a", dst = "vec_b")
+        .select(col("id").as("vec_id"), col("comp"))
+      val kw = Window.partitionBy(col("group_id")).orderBy(col("cent_sim").asc, col("vec_id"))
+      cells.join(comps, Seq("vec_id"), "left")
+        .withColumn("group_id", coalesce(col("comp"), col("vec_id")))
+        .withColumn("rn", row_number().over(kw))
+        .select(col("vec_id"), col("cell"), col("group_id"),
+          (col("rn") === 1).as("kept"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH RECURSIVE
+            e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings),
+            en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+            c AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
+                  FROM en WHERE vec_id BETWEEN 1 AND 8),
+            r AS (SELECT en.vec_id, en.v, en.norm, c.cent_id,
+                    list_dot_product(en.v, c.cv) / (en.norm * c.cnorm) AS sim,
+                    row_number() OVER (PARTITION BY en.vec_id
+                      ORDER BY list_dot_product(en.v, c.cv) / (en.norm * c.cnorm) DESC,
+                               c.cent_id) AS rk
+                  FROM en, c),
+            cells AS (SELECT vec_id, v, norm, cent_id AS cell, sim AS cent_sim
+                      FROM r WHERE rk = 1),
+            jp AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+                   FROM cells a JOIN cells b
+                     ON a.cell = b.cell AND a.vec_id < b.vec_id
+                   WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= $semDedupTau),
+            $clusterSqlCte,
+            g AS (SELECT cells.vec_id, cells.cell, cells.cent_sim,
+                    COALESCE(clusters.cluster_id, cells.vec_id) AS group_id
+                  FROM cells LEFT JOIN clusters ON cells.vec_id = clusters.doc_id)
+            SELECT vec_id, cell, group_id,
+              (row_number() OVER (PARTITION BY group_id
+                 ORDER BY cent_sim, vec_id) = 1) AS kept
+            FROM g ORDER BY vec_id"""))
+
+  // ---- duplicated-substring span coverage ------------------------------
+  // The span-level view of exact duplication (Lee et al. 2021,
+  // "Deduplicating Training Data Makes Language Models Better",
+  // arXiv:2107.06499): a doc that survives document-level dedup can
+  // still be 40% boilerplate shared with other docs. Per doc, the
+  // fraction of token positions covered by some k-token gram that also
+  // appears in ANOTHER document (cross-doc duplication — within-doc
+  // repetition is q75's axis). The suffix-array construction the paper
+  // uses is replaced by the production-distributable equivalent:
+  // positional k-gram explode + gram equi-join (the Dolma/CCNet-family
+  // shape). Scale: the gram table is linear in corpus tokens and
+  // map-generated; "appears in >1 doc" is min(doc_id) ≠ max(doc_id) —
+  // a map-side-partial aggregate, NOT a count-distinct; coverage
+  // re-explodes only the DUPLICATED gram hits (near-dup-bounded, not
+  // corpus-bounded) and the k× position fan-out is a constant factor.
+  private val spanK = 5
+
+  private val dupSpans = Q(
+    "q87_dup_spans",
+    (s, dir) => {
+      val toks = Staging.stage(t(s, dir, "documents")
+        .select(col("doc_id"), expr(toksExpr).as("toks")))
+      val grams = toks
+        .select(col("doc_id"), explode(expr(
+          s"""CASE WHEN size(toks) >= $spanK
+                THEN transform(sequence(1, size(toks) - ${spanK - 1}),
+                  i -> struct(i AS pos, concat_ws(' ', slice(toks, i, $spanK)) AS gram))
+                ELSE array() END""")).as("g"))
+        .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+      val dupGrams = grams.groupBy("gram")
+        .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+        .filter(col("d0") =!= col("d1"))
+        .select("gram")
+      val covered = grams.join(dupGrams, Seq("gram"))
+        .select(col("doc_id"),
+          explode(expr(s"sequence(pos, pos + ${spanK - 1})")).as("p"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("p")).as("dup_positions"))
+      toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+        .join(covered, Seq("doc_id"), "left")
+        .withColumn("dup_positions", coalesce(col("dup_positions"), lit(0L)))
+        .withColumn("dup_frac",
+          when(col("n_toks") > 0,
+            round(col("dup_positions").cast("double") / col("n_toks"), 6))
+            .otherwise(lit(0.0)))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH b AS (SELECT doc_id, $toksSql AS toks FROM documents),
+            g AS (SELECT doc_id, u.i AS pos,
+                    array_to_string(list_slice(toks, u.i, u.i + ${spanK - 1}), ' ') AS gram
+                  FROM b, unnest(range(1, len(toks) - ${spanK - 2})) AS u(i)),
+            d AS (SELECT gram FROM g GROUP BY gram
+                  HAVING min(doc_id) <> max(doc_id)),
+            cov AS (SELECT g.doc_id, u2.p
+                    FROM g JOIN d USING (gram),
+                      unnest(range(g.pos, g.pos + $spanK)) AS u2(p)),
+            cp AS (SELECT doc_id, count(DISTINCT p) AS dup_positions
+                   FROM cov GROUP BY doc_id)
+            SELECT b.doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+              CAST(COALESCE(cp.dup_positions, 0) AS BIGINT) AS dup_positions,
+              CASE WHEN len(toks) > 0
+                THEN round(CAST(COALESCE(cp.dup_positions, 0) AS DOUBLE) / len(toks), 6)
+                ELSE 0.0 END AS dup_frac
+            FROM b LEFT JOIN cp ON b.doc_id = cp.doc_id
+            ORDER BY b.doc_id"""))
+
+  // ---- DSIR-style hashed-feature importance weights --------------------
+  // Data selection by importance resampling (Xie et al. 2023,
+  // arXiv:2302.03169): score each doc by how much more likely its
+  // content is under a TARGET-domain n-gram model than under the raw
+  // corpus model, estimated over HASHED bigram features. The hashing is
+  // the scale move that separates this from q78/q84's open-vocabulary
+  // LMs: both models live in a FIXED 256-bucket table regardless of
+  // corpus size (web-scale bigram vocabularies are 10⁹+ rows and must
+  // hash-join; these stay broadcastable forever — the explicit
+  // broadcast below is safe by construction, not by measurement).
+  // Target domain = the `lang = 'en'` slice; add-1 smoothing over the
+  // bucket space keeps every log defined; docs with < 2 tokens have no
+  // features and drop out, the same join semantics as q84. `selected`
+  // thresholds the ROUNDED score at 0 (doc looks more target-like than
+  // raw-like) so the boolean compares stably across engines.
+  private val dsirBuckets = 256
+
+  private val dsirWeights = Q(
+    "q88_dsir_weights",
+    (s, dir) => {
+      val feats = Staging.stage(t(s, dir, "documents")
+        .withColumn("toks", expr(toksExpr))
+        .select(col("doc_id"), col("lang"), explode(expr(
+          """zip_with(slice(toks, 1, greatest(size(toks)-1, 0)),
+                      slice(toks, 2, greatest(size(toks)-1, 0)),
+                      (a, b) -> concat(a, ' ', b))""")).as("bg"))
+        .select(col("doc_id"), col("lang"),
+          substring(md5(col("bg")), 1, 2).as("b")))
+      val tgt = feats.filter(col("lang") === "en")
+        .groupBy("b").agg(count(lit(1)).as("cnt_t"))
+      val raw = feats.groupBy("b").agg(count(lit(1)).as("cnt_r"))
+      val nt = tgt.agg(sum(col("cnt_t")).as("n_t"))
+      val nr = raw.agg(sum(col("cnt_r")).as("n_r"))
+      feats
+        .join(broadcast(raw), Seq("b"))
+        .join(broadcast(tgt), Seq("b"), "left")
+        .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+        .withColumn("lr",
+          log((coalesce(col("cnt_t"), lit(0L)) + lit(1.0)) /
+              (col("n_t") + lit(dsirBuckets.toDouble))) -
+          log((col("cnt_r") + lit(1.0)) / (col("n_r") + lit(dsirBuckets.toDouble))))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_feats"),
+          round(avg(col("lr")), 6).as("avg_logratio"))
+        .withColumn("selected", col("avg_logratio") > 0)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+            x AS (SELECT doc_id, lang, unnest(toks) AS w,
+                    generate_subscripts(toks, 1) AS i FROM t0),
+            f AS (SELECT a.doc_id, a.lang,
+                    substr(md5(a.w || ' ' || c.w), 1, 2) AS b
+                  FROM x a JOIN x c ON a.doc_id = c.doc_id AND c.i = a.i + 1),
+            tc AS (SELECT b, count(*) AS cnt_t FROM f WHERE lang = 'en' GROUP BY b),
+            rc AS (SELECT b, count(*) AS cnt_r FROM f GROUP BY b),
+            nt AS (SELECT sum(cnt_t) AS n_t FROM tc),
+            nr AS (SELECT sum(cnt_r) AS n_r FROM rc),
+            sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                     round(avg(
+                       ln((COALESCE(cnt_t, 0) + 1.0) / (n_t + $dsirBuckets.0)) -
+                       ln((cnt_r + 1.0) / (n_r + $dsirBuckets.0))), 6) AS avg_logratio
+                   FROM f JOIN rc USING (b) LEFT JOIN tc USING (b)
+                   CROSS JOIN nt CROSS JOIN nr
+                   GROUP BY doc_id)
+            SELECT doc_id, n_feats, avg_logratio, (avg_logratio > 0) AS selected
+            FROM sc ORDER BY doc_id"""))
+
   val queries: Seq[Q] = Seq(
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
     minhashSignatures, minhashPairs, jaccardPairs, simhash, simhashPairs,
@@ -1732,5 +1960,6 @@ object Llm {
     decontamProvenance, stratifiedSample, exactSample, sourceMix,
     seqPacking, lengthCurriculum, tfidfTopTerms, repetition,
     dupClusters, dedupSurvivors, incrementalDedup, temperatureMix,
-    unigramLogprob, bigramLogprob, simhashClusters, incrementalClusters)
+    unigramLogprob, bigramLogprob, simhashClusters, incrementalClusters,
+    semDedup, dupSpans, dsirWeights)
 }

@@ -222,6 +222,42 @@ class PlanSpec extends SparkSpec {
       s"hash-order + limit must be a bounded heap, not a global sort:\n$p")
   }
 
+  test("q86 semdedup pair join is keyed on the cell, never corpus-wide all-pairs") {
+    // the staged cell table truncates q86's final lineage, so the pair
+    // join's shape is asserted on the sub-pipeline it actually lives in
+    val p = planOf(graft.queries.Llm.semDedupPairs(
+      graft.queries.Llm.semDedupCells(spark, sf)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"no all-pairs join in pair generation:\n$p")
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[cell#".r
+      .findFirstIn(p).isDefined,
+      s"pair generation must equi-join on the cell key:\n$p")
+    // and the full query never degrades to a cartesian anywhere
+    assert(!planOf(q("q86_semdedup")).contains("CartesianProduct"))
+  }
+
+  test("q87 dup-span detection partial-aggregates map-side, no count-distinct on grams") {
+    val df = q("q87_dup_spans")
+    val analyzed = df.queryExecution.analyzed.toString
+    // the gram table is corpus-sized at web scale — the dup-gram join must
+    // not HINT a broadcast (AQE may still choose one at test scale)
+    assert(!analyzed.contains("UnresolvedHint") && !analyzed.contains("hints=[broadcast"),
+      s"gram join must not mandate a broadcast:\n${analyzed.take(1500)}")
+    val p = planOf(df)
+    assert(p.contains("partial_min") && p.contains("partial_max"),
+      s"cross-doc detection must be min/max partial aggregation, not count-distinct:\n$p")
+    assert(!p.contains("CartesianProduct"), "all joins stay keyed")
+  }
+
+  test("q88 dsir feature tables broadcast — fixed bucket space, safe by construction") {
+    val p = planOf(q("q88_dsir_weights"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 256-bucket model tables must broadcast:\n$p")
+    assert(p.contains("partial_count"),
+      s"bucket counts must combine map-side before the shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), "scalar totals ride broadcast joins only")
+  }
+
   test("q74 survivor anti-join is a hash join on doc_id, never a nested loop") {
     // fixture precondition: with zero dominated docs AQE's empty-relation
     // propagation legitimately erases the anti-join, so the plan shape
