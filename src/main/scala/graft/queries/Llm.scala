@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Staging
 import graft.functions.F
-import graft.operators.Components
+import graft.operators.{Components, GlobalRank}
 import Q.t
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
@@ -1951,6 +1951,65 @@ object Llm {
             SELECT doc_id, n_feats, avg_logratio, (avg_logratio > 0) AS selected
             FROM sc ORDER BY doc_id"""))
 
+  // ---- reproducible corpus shuffle (contiguous global rank) ------------
+  // Training reads the corpus in a shuffled-but-reproducible order: rank
+  // every doc by a seeded hash (doc_id in the hash input makes the order
+  // total, so re-runs rank identically) and emit a CONTIGUOUS global
+  // position. The naive row_number() OVER (ORDER BY h) is a
+  // single-partition window — the one shape this engine bans on data
+  // rows — so the rank comes from operators/GlobalRank: distributed
+  // range-partition sort + per-partition count offsets + a window keyed
+  // on the range-partition id. The oracle IS the naive window (DuckDB
+  // can afford it); both sides agree because offset + local position
+  // reconstructs exactly the global order position.
+  private val corpusShuffle = Q(
+    "q89_corpus_shuffle",
+    (s, dir) =>
+      GlobalRank.withRank(
+        t(s, dir, "documents").withColumn("h",
+          md5(concat_ws("|", col("doc_id").cast("string"), col("text")))),
+        col("h"), "rank")
+        .select(col("doc_id"), col("h"), col("rank"))
+        .orderBy("doc_id"),
+    Some("""WITH hx AS (SELECT doc_id,
+                md5(concat_ws('|', CAST(doc_id AS VARCHAR), text)) AS h
+              FROM documents)
+            SELECT doc_id, h,
+              CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS rank
+            FROM hx ORDER BY doc_id"""))
+
+  // ---- per-stratum exact-count sampling --------------------------------
+  // q85 takes exactly N docs corpus-wide; a training mixture more often
+  // needs exactly N PER SOURCE ("10k docs from each feed, uniformly,
+  // reproducibly"). Hash-order row_number per source — the window is
+  // partitioned on a high-cardinality-enough key (one state counter per
+  // source per task, never a global collapse), the sample is
+  // deterministic for the same reason q85's is (doc_id seeds the hash),
+  // and the filter discards everything past N before any further stage.
+  private val perSourceN = 12
+
+  private val perSourceSample = Q(
+    "q90_per_source_sample",
+    (s, dir) => {
+      val w = Window.partitionBy("source").orderBy("h")
+      t(s, dir, "documents")
+        .withColumn("h",
+          md5(concat_ws("|", col("doc_id").cast("string"), col("text"))))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= perSourceN)
+        .select("doc_id", "source", "h", "rk")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH hx AS (SELECT doc_id, source,
+                md5(concat_ws('|', CAST(doc_id AS VARCHAR), text)) AS h
+              FROM documents),
+            r AS (SELECT doc_id, source, h,
+                    CAST(row_number() OVER (PARTITION BY source ORDER BY h)
+                      AS BIGINT) AS rk
+                  FROM hx)
+            SELECT doc_id, source, h, rk FROM r
+            WHERE rk <= $perSourceN ORDER BY doc_id"""))
+
   val queries: Seq[Q] = Seq(
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
     minhashSignatures, minhashPairs, jaccardPairs, simhash, simhashPairs,
@@ -1961,5 +2020,5 @@ object Llm {
     seqPacking, lengthCurriculum, tfidfTopTerms, repetition,
     dupClusters, dedupSurvivors, incrementalDedup, temperatureMix,
     unigramLogprob, bigramLogprob, simhashClusters, incrementalClusters,
-    semDedup, dupSpans, dsirWeights)
+    semDedup, dupSpans, dsirWeights, corpusShuffle, perSourceSample)
 }

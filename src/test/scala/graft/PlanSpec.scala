@@ -258,6 +258,46 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "scalar totals ride broadcast joins only")
   }
 
+  test("q89 global rank range-partitions; the data window is keyed, never one task") {
+    // the order pass is staged (so counts scan materialized blocks, not a
+    // second sort) — its distributed-sort shape asserts on the sub-plan
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+      .withColumn(
+        "h",
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.concat_ws(
+            "|",
+            org.apache.spark.sql.functions.col("doc_id").cast("string"),
+            org.apache.spark.sql.functions.col("text"))))
+    val sortPlan = planOf(graft.operators.GlobalRank.sortedWithPid(
+      docs, org.apache.spark.sql.functions.col("h"), 4))
+    assert(sortPlan.contains("rangepartitioning(h"),
+      s"the order pass must be a distributed range-partition sort:\n$sortPlan")
+    val p = planOf(q("q89_corpus_shuffle"))
+    assert("row_number\\(\\) windowspecdefinition\\(graft_pid#\\d+".r
+      .findFirstIn(p).isDefined,
+      s"the data row_number must be partitioned by the range-partition id:\n$p")
+    // the only single-partition collapse allowed is the offsets cumsum,
+    // which runs over one row per range partition, never over data rows
+    // (count within the final plan — the AQE string repeats the shape in
+    // its "Initial Plan" section)
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    assert(finalPlan.split("Exchange SinglePartition").length - 1 <= 1,
+      s"only the collapsed offsets frame may single-partition:\n$p")
+    // staging must leave exactly ONE scan of the corpus in the whole
+    // query — the materialized sorted blocks feed both branches
+    assert(finalPlan.split("FileScan parquet").length - 1 <= 1,
+      s"the counts branch must not re-scan and re-sort the corpus:\n$p")
+  }
+
+  test("q90 per-source sample windows per source — no global collapse") {
+    val p = planOf(q("q90_per_source_sample"))
+    assert("windowspecdefinition\\(source#\\d+".r.findFirstIn(p).isDefined,
+      s"row_number must be partitioned by source:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"nothing in the sample may collapse to one task:\n$p")
+  }
+
   test("q74 survivor anti-join is a hash join on doc_id, never a nested loop") {
     // fixture precondition: with zero dominated docs AQE's empty-relation
     // propagation legitimately erases the anti-join, so the plan shape
