@@ -2010,6 +2010,106 @@ object Llm {
             SELECT doc_id, source, h, rk FROM r
             WHERE rk <= $perSourceN ORDER BY doc_id"""))
 
+  // ---- leakage-safe split assignment -----------------------------------
+  // Train/valid/test assignment that can never leak a near-duplicate
+  // across splits: the split is a deterministic hash of the doc's
+  // near-dup CLUSTER id (q73's collapse), not of the doc itself, so
+  // every member of a cluster lands in the same split by construction —
+  // the standard fix for the eval-contamination mode where a test doc's
+  // near-twin sits in train. Unpaired docs hash their own id (each is
+  // its own singleton group). Split rates ride the first md5 hex digit
+  // (q66's machinery): < 'c' → train (12/16), < 'e' → valid (2/16),
+  // else test. Beyond the clustering itself this is one left join and a
+  // map — the assignment adds nothing to the collapse's scale cost.
+  private val leakageSafeSplits = Q(
+    "q91_leakage_safe_splits",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.join(docClusters(s, dir), Seq("doc_id"), "left")
+        .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("hd",
+          substring(md5(concat(lit("split|"), col("group_id").cast("string"))), 1, 1))
+        .withColumn("split",
+          when(col("hd") < "c", "train")
+            .when(col("hd") < "e", "valid")
+            .otherwise("test"))
+        .select("doc_id", "group_id", "split")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $minhashSigSqlCte, $minhashBandsSqlCte,
+            $jaccardEdgesSqlCte, $clusterSqlCte,
+            g AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS group_id
+                  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id),
+            sg AS (SELECT doc_id, group_id,
+                     substr(md5('split|' || CAST(group_id AS VARCHAR)), 1, 1) AS hd
+                   FROM g)
+            SELECT doc_id, group_id,
+              CASE WHEN hd < 'c' THEN 'train'
+                   WHEN hd < 'e' THEN 'valid'
+                   ELSE 'test' END AS split
+            FROM sg ORDER BY doc_id"""))
+
+  // ---- duplicated-span REMOVAL (the q87 report's action) ---------------
+  // Lee et al.'s transformation, not just its diagnosis: drop every
+  // token position covered by a cross-doc-duplicated k-gram and
+  // reassemble the surviving text in original token order. Scale
+  // shape: the
+  // gram/coverage stages are exactly q87's (linear gram table, partial
+  // min/max dup test, coverage bounded by duplicated hits); the
+  // reassembly is one per-doc aggregation of (pos, token) structs
+  // sorted inside the row (array_sort on the collected struct array —
+  // collect_list order is partition-dependent, the sort makes the
+  // result deterministic), never a corpus-wide sort.
+  private val dupSpanScrub = Q(
+    "q92_dup_span_scrub",
+    (s, dir) => {
+      val toks = Staging.stage(t(s, dir, "documents")
+        .select(col("doc_id"), expr(toksExpr).as("toks")))
+      val pos = toks.select(col("doc_id"),
+        posexplode(col("toks")).as(Seq("p0", "w")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("w"))
+      val grams = toks
+        .select(col("doc_id"), explode(expr(
+          s"""CASE WHEN size(toks) >= $spanK
+                THEN transform(sequence(1, size(toks) - ${spanK - 1}),
+                  i -> struct(i AS pos, concat_ws(' ', slice(toks, i, $spanK)) AS gram))
+                ELSE array() END""")).as("g"))
+        .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+      val dupGrams = grams.groupBy("gram")
+        .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+        .filter(col("d0") =!= col("d1"))
+        .select("gram")
+      val covered = grams.join(dupGrams, Seq("gram"))
+        .select(col("doc_id"),
+          explode(expr(s"sequence(pos, pos + ${spanK - 1})")).as("pos"))
+        .distinct()
+      pos.join(covered, Seq("doc_id", "pos"), "left_anti")
+        .groupBy("doc_id")
+        .agg(collect_list(struct(col("pos"), col("w"))).as("kept"))
+        .select(col("doc_id"),
+          expr("concat_ws(' ', transform(array_sort(kept), x -> x.w))")
+            .as("scrubbed"),
+          size(col("kept")).cast("long").as("n_kept"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH b AS (SELECT doc_id, $toksSql AS toks FROM documents),
+            p AS (SELECT doc_id, u.i AS pos, toks[u.i] AS w
+                  FROM b, unnest(range(1, len(toks) + 1)) AS u(i)),
+            g AS (SELECT doc_id, u.i AS pos,
+                    array_to_string(list_slice(toks, u.i, u.i + ${spanK - 1}), ' ') AS gram
+                  FROM b, unnest(range(1, len(toks) - ${spanK - 2})) AS u(i)),
+            d AS (SELECT gram FROM g GROUP BY gram
+                  HAVING min(doc_id) <> max(doc_id)),
+            cov AS (SELECT DISTINCT g.doc_id, u2.p
+                    FROM g JOIN d USING (gram),
+                      unnest(range(g.pos, g.pos + $spanK)) AS u2(p)),
+            k AS (SELECT p.doc_id, p.pos, p.w FROM p
+                  LEFT JOIN cov ON p.doc_id = cov.doc_id AND p.pos = cov.p
+                  WHERE cov.p IS NULL)
+            SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS scrubbed,
+              CAST(count(*) AS BIGINT) AS n_kept
+            FROM k GROUP BY doc_id ORDER BY doc_id"""))
+
   val queries: Seq[Q] = Seq(
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
     minhashSignatures, minhashPairs, jaccardPairs, simhash, simhashPairs,
@@ -2020,5 +2120,6 @@ object Llm {
     seqPacking, lengthCurriculum, tfidfTopTerms, repetition,
     dupClusters, dedupSurvivors, incrementalDedup, temperatureMix,
     unigramLogprob, bigramLogprob, simhashClusters, incrementalClusters,
-    semDedup, dupSpans, dsirWeights, corpusShuffle, perSourceSample)
+    semDedup, dupSpans, dsirWeights, corpusShuffle, perSourceSample,
+    leakageSafeSplits, dupSpanScrub)
 }
