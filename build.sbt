@@ -1,6 +1,8 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "data_pipeline_bigqueryspark"
+// Surface deprecations at every compile — the build is kept warning-free
+ThisBuild / scalacOptions += "-deprecation"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything

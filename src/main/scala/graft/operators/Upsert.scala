@@ -47,7 +47,7 @@ object Upsert {
             pk: Seq[String], cursor: String): DataFrame = {
     val keyCols = pk.map(col)
     val dedupedSrc = dedupLatest(source, pk, cursor)
-      .select(target.columns.map(col): _*) // align column order with target
+      .select(target.columns.toIndexedSeq.map(col): _*) // align column order with target
     // WHEN MATCHED AND t.cursor != s.cursor / WHEN NOT MATCHED:
     // keep only source rows that are new, or whose cursor changed. The
     // __matched marker distinguishes "not matched" (insert) from "matched

@@ -544,7 +544,7 @@ object Llm {
     * to DuckDB's list_dot_product. */
   private def bucketCol(planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val pl = array(p.map(lit): _*)
+      val pl = array(p.toIndexedSeq.map(lit): _*)
       val dot = call_function("vector_dot", col("embedding"), pl)
       when(dot > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _).cast("long")

@@ -86,14 +86,19 @@ private class PagedScanBuilder(pages: Int, pageSize: Int, endpoint: Option[Strin
       case GreaterThan("updated_at", _) => true
       case _ => false
     }
-    pushed.foreach { case GreaterThan(_, v) =>
-      val micros = v match {
-        case t: java.sql.Timestamp => t.getTime * 1000L
-        case i: java.time.Instant =>
-          i.getEpochSecond * 1000000L + i.getNano / 1000L
-        case _ => Long.MinValue
-      }
-      cursorMicros = math.max(cursorMicros, micros)
+    // `pushed` contains only GreaterThan by the partition above; the
+    // wildcard arm keeps the match total (a MatchError here would kill
+    // planning, not surface as a readable bug)
+    pushed.foreach {
+      case GreaterThan(_, v) =>
+        val micros = v match {
+          case t: java.sql.Timestamp => t.getTime * 1000L
+          case i: java.time.Instant =>
+            i.getEpochSecond * 1000000L + i.getNano / 1000L
+          case _ => Long.MinValue
+        }
+        cursorMicros = math.max(cursorMicros, micros)
+      case _ => ()
     }
     rest
   }
