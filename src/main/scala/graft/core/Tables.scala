@@ -52,24 +52,34 @@ object Tables {
 
   private def loadRaw(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 rejects
-      // outright (PARQUET_TYPE_ILLEGAL). Read nanos as long, then floor to
-      // microseconds — the same truncation Spark applies to ns elsewhere.
-      // The conf is set once at session build by GraftSession (all
-      // engine-owned sessions); this guarded set is the fallback for
-      // externally-owned sessions. It deliberately flips a false to
-      // true: `events` is UNREADABLE without the conf (hard
-      // PARQUET_TYPE_ILLEGAL), so any session that reaches this loader
-      // has opted into the nanos handling — and "was it explicitly set?"
-      // is unknowable here anyway (getOption surfaces the registered
-      // default, not absence).
+      // `events.ts` has shipped as two different physical types across
+      // testdata generations: INT64 TIMESTAMP(NANOS) — which Spark 4
+      // rejects outright (PARQUET_TYPE_ILLEGAL) unless nanos are read as
+      // long — and plain TIMESTAMP(MICROS). The loader owns the
+      // normalization either way: downstream code sees one logical
+      // contract (`ts TIMESTAMP_NTZ`, the registry's declaration),
+      // whichever file generation is on disk. The nanos conf is set once
+      // at session build by GraftSession (all engine-owned sessions);
+      // this guarded set is the fallback for externally-owned sessions —
+      // harmless for micros files, required before the scan for nanos
+      // files ("was it explicitly set?" is unknowable here anyway:
+      // getOption surfaces the registered default, not absence).
       if (!spark.conf.getOption(NanosConf).contains("true"))
         spark.conf.set(NanosConf, "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000"))
-            .cast("timestamp_ntz"))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // nanos-as-long generation: floor to microseconds, the same
+          // truncation Spark applies to ns elsewhere
+          df.withColumn("ts",
+            timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        case _ =>
+          // native timestamp generation: session-less parquet micros read
+          // as NTZ already; the cast is a no-op there and pins the
+          // contract if a future generation ships TIMESTAMP_LTZ
+          df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view — the stand-in for the reference's
