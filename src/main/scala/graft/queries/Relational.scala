@@ -205,19 +205,26 @@ object Relational {
 
   // ---- N1/F8/F10: association edges with md5 surrogate keys ------------
   // (ref: hubspot_association_bigquery.py:66-79)
-  private def edgeFrame(s: SparkSession, dir: String): DataFrame =
+  // The surrogate md5 and the constant edge type are FUNCTIONS of the
+  // natural key (l_orderkey, l_partkey), so the dedup exchanges below
+  // shuffle only the two longs (~16 B/row) and the derived columns are
+  // stamped on after — hashing the 32-char md5 through the widest
+  // shuffle would roughly triple its bytes for zero semantic gain.
+  private def edgeKeys(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"), col("l_shipdate"))
-      .withColumn("type", lit("contains"))
+
+  private def stampEdge(df: DataFrame): DataFrame =
+    df.withColumn("type", lit("contains"))
       .withColumn("association_id",
         F.surrogateKey(col("l_orderkey"), col("type"), col("l_partkey")))
+      .select("association_id", "l_orderkey", "type", "l_partkey")
 
   private val md5Edges = Q(
     "q12_md5_edges",
     (s, dir) =>
-      edgeFrame(s, dir)
-        .select("association_id", "l_orderkey", "type", "l_partkey")
-        .distinct()
+      stampEdge(
+        edgeKeys(s, dir).select("l_orderkey", "l_partkey").distinct())
         .orderBy("association_id"),
     Some("""SELECT DISTINCT
               md5(CAST(l_orderkey AS VARCHAR) || '|contains|' || CAST(l_partkey AS VARCHAR)) AS association_id,
@@ -232,11 +239,12 @@ object Relational {
       // "id first seen at-or-after the cutoff" == min(shipdate) >= cutoff,
       // which folds the two-scan anti-join into one scan + one aggregation
       // (same result as the NOT EXISTS oracle, half the I/O)
-      edgeFrame(s, dir)
-        .groupBy("association_id", "l_orderkey", "type", "l_partkey")
-        .agg(min(col("l_shipdate")).as("__first_seen"))
-        .filter(col("__first_seen") >= lit("1999-01-01").cast("timestamp"))
-        .drop("__first_seen")
+      stampEdge(
+        edgeKeys(s, dir)
+          .groupBy("l_orderkey", "l_partkey")
+          .agg(min(col("l_shipdate")).as("__first_seen"))
+          .filter(col("__first_seen") >= lit("1999-01-01").cast("timestamp"))
+          .drop("__first_seen"))
         .orderBy("association_id")
     },
     Some("""WITH e AS (
