@@ -1489,36 +1489,120 @@ object Llm {
   // at corpus scale the bigram vocabulary dwarfs memory and must be
   // allowed to hash-join. Docs with fewer than 2 tokens have no bigrams
   // and drop out, exactly as the oracle's join semantics do.
+  /** Per-doc bigram-LM score (doc_id, n_bigrams, avg_logp) — the shared
+    * producer behind q84 (the raw scores) and q93 (CCNet-style
+    * perplexity bucketing over them). */
+  private def bigramScores(s: SparkSession, dir: String): DataFrame = {
+    val bi = Staging.stage(t(s, dir, "documents")
+      .withColumn("toks", expr(toksExpr))
+      .select(col("doc_id"), explode(expr(
+        """zip_with(slice(toks, 1, greatest(size(toks)-1, 0)),
+                    slice(toks, 2, greatest(size(toks)-1, 0)),
+                    (a, b) -> struct(a AS w1, b AS w2))""")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
+    val cnts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val ctx = bi.groupBy("w1").agg(count(lit(1)).as("ctx_cnt"))
+    bi.join(cnts, Seq("w1", "w2")).join(ctx, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(avg(log(col("cnt").cast("double") / col("ctx_cnt"))), 6)
+          .as("avg_logp"))
+  }
+
+  /** The q84 score pipeline as oracle CTEs, ending in
+    * `sc(doc_id, n_bigrams, avg_logp)`. */
+  private val bigramScoreSqlCte =
+    s"""b AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       x AS (SELECT doc_id, unnest(toks) AS w,
+               generate_subscripts(toks, 1) AS i FROM b),
+       g AS (SELECT a.doc_id, a.w AS w1, c.w AS w2
+             FROM x a JOIN x c ON a.doc_id = c.doc_id AND c.i = a.i + 1),
+       cn AS (SELECT w1, w2, count(*) AS cnt FROM g GROUP BY w1, w2),
+       cx AS (SELECT w1, count(*) AS ctx_cnt FROM g GROUP BY w1),
+       sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                round(avg(ln(CAST(cnt AS DOUBLE) / ctx_cnt)), 6) AS avg_logp
+              FROM g JOIN cn USING (w1, w2) JOIN cx USING (w1)
+              GROUP BY doc_id)"""
+
   private val bigramLogprob = Q(
     "q84_bigram_logprob",
+    (s, dir) => bigramScores(s, dir).orderBy("doc_id"),
+    Some(s"""WITH $bigramScoreSqlCte
+            SELECT doc_id, n_bigrams, avg_logp FROM sc ORDER BY doc_id"""))
+
+  // ---- CCNet-style perplexity bucketing --------------------------------
+  // Head/middle/tail corpus tiers by language-model score per language
+  // (Wenzek et al., "CCNet", arXiv:1911.00359 §4.3 — CCNet ranks each
+  // language's documents by Wikipedia-LM perplexity and cuts the corpus
+  // into thirds; the head feeds high-quality training mixes). The
+  // in-corpus bigram LM (q84) stands in for the external KenLM.
+  //
+  // Scale shape — the naive form is `ntile(3) OVER (PARTITION BY lang
+  // ORDER BY score)`, a per-language GLOBAL sort whose biggest language
+  // is most of the corpus in one reducer. Instead the cutoffs come from
+  // a bounded deterministic sample (q85's md5-order machinery, N per
+  // language), where the tercile boundary values are read off by rank —
+  // a DISCRETE percentile, chosen over interpolation so both engines
+  // compare against bit-identical cutoff values. The cutoff table is one
+  // row per language — bounded by the language inventory, broadcastable
+  // by construction (q88's argument) — and the corpus-wide pass is a
+  // broadcast join + two comparisons, map-only. Only scored docs (≥2
+  // tokens, q84's domain) are bucketed.
+  private val pplSampleN = 300
+
+  private val perplexityBuckets = Q(
+    "q93_perplexity_buckets",
     (s, dir) => {
-      val bi = Staging.stage(t(s, dir, "documents")
-        .withColumn("toks", expr(toksExpr))
-        .select(col("doc_id"), explode(expr(
-          """zip_with(slice(toks, 1, greatest(size(toks)-1, 0)),
-                      slice(toks, 2, greatest(size(toks)-1, 0)),
-                      (a, b) -> struct(a AS w1, b AS w2))""")).as("bg"))
-        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
-      val cnts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
-      val ctx = bi.groupBy("w1").agg(count(lit(1)).as("ctx_cnt"))
-      bi.join(cnts, Seq("w1", "w2")).join(ctx, Seq("w1"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).cast("long").as("n_bigrams"),
-          round(avg(log(col("cnt").cast("double") / col("ctx_cnt"))), 6)
-            .as("avg_logp"))
+      val scored = Staging.stage(
+        bigramScores(s, dir)
+          .join(t(s, dir, "documents").select("doc_id", "lang"), Seq("doc_id")))
+      val wh = Window.partitionBy("lang").orderBy("h")
+      val sample = scored
+        .withColumn("h", md5(col("doc_id").cast("string")))
+        .withColumn("srk", row_number().over(wh))
+        .filter(col("srk") <= pplSampleN)
+      val wr = Window.partitionBy("lang")
+        .orderBy(col("avg_logp").desc, col("doc_id"))
+      val cuts = sample
+        .withColumn("r", row_number().over(wr))
+        .withColumn("c", count(lit(1)).over(Window.partitionBy("lang")))
+        .groupBy("lang")
+        .agg(
+          max(when(col("r") === ceil(col("c") / lit(3.0)), col("avg_logp")))
+            .as("head_cut"),
+          max(when(col("r") === ceil(col("c") * 2 / lit(3.0)), col("avg_logp")))
+            .as("mid_cut"))
+      scored.join(broadcast(cuts), Seq("lang"))
+        .withColumn("bucket",
+          when(col("avg_logp") >= col("head_cut"), lit("head"))
+            .when(col("avg_logp") >= col("mid_cut"), lit("middle"))
+            .otherwise(lit("tail")))
+        .select("doc_id", "lang", "avg_logp", "bucket")
         .orderBy("doc_id")
     },
-    Some(s"""WITH b AS (SELECT doc_id, $toksSql AS toks FROM documents),
-            x AS (SELECT doc_id, unnest(toks) AS w,
-                    generate_subscripts(toks, 1) AS i FROM b),
-            g AS (SELECT a.doc_id, a.w AS w1, c.w AS w2
-                  FROM x a JOIN x c ON a.doc_id = c.doc_id AND c.i = a.i + 1),
-            cn AS (SELECT w1, w2, count(*) AS cnt FROM g GROUP BY w1, w2),
-            cx AS (SELECT w1, count(*) AS ctx_cnt FROM g GROUP BY w1)
-            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-              round(avg(ln(CAST(cnt AS DOUBLE) / ctx_cnt)), 6) AS avg_logp
-            FROM g JOIN cn USING (w1, w2) JOIN cx USING (w1)
-            GROUP BY doc_id ORDER BY doc_id"""))
+    Some(s"""WITH $bigramScoreSqlCte,
+            sl AS (SELECT sc.doc_id, d.lang, sc.avg_logp
+                   FROM sc JOIN documents d USING (doc_id)),
+            smp AS (SELECT lang, doc_id, avg_logp,
+                      row_number() OVER (PARTITION BY lang
+                        ORDER BY md5(CAST(doc_id AS VARCHAR))) AS srk
+                    FROM sl),
+            rk AS (SELECT lang, avg_logp,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY avg_logp DESC, doc_id) AS r,
+                     count(*) OVER (PARTITION BY lang) AS c
+                   FROM smp WHERE srk <= $pplSampleN),
+            cuts AS (SELECT lang,
+                       max(CASE WHEN r = CAST(ceil(c / 3.0) AS BIGINT)
+                             THEN avg_logp END) AS head_cut,
+                       max(CASE WHEN r = CAST(ceil(c * 2 / 3.0) AS BIGINT)
+                             THEN avg_logp END) AS mid_cut
+                     FROM rk GROUP BY lang)
+            SELECT sl.doc_id, sl.lang, sl.avg_logp,
+              CASE WHEN sl.avg_logp >= c.head_cut THEN 'head'
+                   WHEN sl.avg_logp >= c.mid_cut THEN 'middle'
+                   ELSE 'tail' END AS bucket
+            FROM sl JOIN cuts c USING (lang) ORDER BY doc_id"""))
 
   // ---- near-dup clustering: pairs → connected components → survivors ---
   // The pair queries (q46/q49/q51) stop at edges, but dedup needs the
@@ -2121,5 +2205,5 @@ object Llm {
     dupClusters, dedupSurvivors, incrementalDedup, temperatureMix,
     unigramLogprob, bigramLogprob, simhashClusters, incrementalClusters,
     semDedup, dupSpans, dsirWeights, corpusShuffle, perSourceSample,
-    leakageSafeSplits, dupSpanScrub)
+    leakageSafeSplits, dupSpanScrub, perplexityBuckets)
 }

@@ -298,6 +298,16 @@ class PlanSpec extends SparkSpec {
       s"nothing in the sample may collapse to one task:\n$p")
   }
 
+  test("q93 cutoffs broadcast; every window is language-keyed, no global collapse") {
+    val p = planOf(q("q93_perplexity_buckets"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-language cutoff table (one row per language) must broadcast:\n$p")
+    assert("windowspecdefinition\\(lang#\\d+".r.findFirstIn(p).isDefined,
+      s"sample ranking must be partitioned by lang:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"bucketing must never collapse the corpus to one task (no global ntile):\n$p")
+  }
+
   test("q74 survivor anti-join is a hash join on doc_id, never a nested loop") {
     // fixture precondition: with zero dominated docs AQE's empty-relation
     // propagation legitimately erases the anti-join, so the plan shape
