@@ -794,6 +794,97 @@ object Llm {
             QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) <= 5
             ORDER BY query_id, score DESC, vec_id"""))
 
+  // ---- product-quantization ANN (ADC over packed codes) ----------------
+  // The compression tier of similarity search at 100 TB (Jégou et al.,
+  // "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+  // vectors are stored as m per-subspace codebook indices — here m=4
+  // subspaces of 16 dims over the 64-dim embeddings, k=8 centroids per
+  // subspace — and a query scans CODES, never raw floats, via
+  // asymmetric distance computation (ADC): one lookup table of
+  // query-to-centroid sub-distances per query, approx distance = sum of
+  // m table entries. 256 bytes of floats become m small ints per vector;
+  // the corpus pass reads the packed code table only.
+  //
+  // Codebook: the per-subspace slices of 8 fixed corpus vectors —
+  // deterministic the same way q57's centroids and q48's planes are, so
+  // the DuckDB oracle replays it exactly. Production trains codebooks
+  // with k-means over a sample offline (k=256, m=d/8); the encode/ADC
+  // machinery here is unchanged by where the codebook came from.
+  //
+  // Scale shape: encoding is one keyed window over (vector, subspace)
+  // groups of k rows against the BROADCAST codebook, paid once at index
+  // build; the packed table (vec_id, m codes) is built by one groupBy.
+  // At query time the per-query LUT (m*k entries each) broadcasts as a
+  // map column, the scan is map-only (aggregate lambda over the m codes
+  // — no join, no shuffle touches the corpus), and the N x Q candidate
+  // stream collapses map-side in the bounded-heap TopK aggregator:
+  // shuffle volume is queries x k rows, independent of corpus size.
+  private val pqTopK = Q(
+    "q94_pq_topk",
+    (s, dir) => {
+      graft.plans.VectorDot.register(s)
+      val sub = t(s, dir, "embeddings")
+        .select(col("vec_id"), explode(expr(
+          "transform(sequence(0, 3), i -> struct(i AS s, slice(embedding, 16*i+1, 16) AS sv))"))
+          .as("x"))
+        .select(col("vec_id"), col("x.s").as("sub"), col("x.sv").as("sv"))
+      val cb = sub.filter(col("vec_id").between(1, 8))
+        .select(col("sub"), col("vec_id").as("cent_id"), col("sv").as("cv"))
+      // ||a-b||^2 via dot products only — the identical float path the
+      // oracle's list_dot_product takes
+      val dists = Staging.stage(
+        sub.join(broadcast(cb), Seq("sub"))
+          .withColumn("d2",
+            expr(dotExpr.format("sv", "sv"))
+              - lit(2) * expr(dotExpr.format("sv", "cv"))
+              + expr(dotExpr.format("cv", "cv")))
+          .select(col("vec_id"), col("sub"), col("cent_id"), col("d2")))
+      val wc = Window.partitionBy("vec_id", "sub").orderBy(col("d2"), col("cent_id"))
+      val encoded = dists
+        .withColumn("rk", row_number().over(wc)).filter(col("rk") === 1)
+        .groupBy("vec_id")
+        .agg(sort_array(collect_list(struct(col("sub"), col("cent_id").as("code"))))
+          .as("codes"))
+      val lut = dists.filter(col("vec_id") < 5)
+        .groupBy(col("vec_id").as("query_id"))
+        .agg(map_from_entries(collect_list(
+          struct(col("sub") * lit(8) + col("cent_id"), col("d2")))).as("lutmap"))
+      val topk = graft.llm.TopK.topK(5)
+      encoded.crossJoin(broadcast(lut))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("nscore", -expr(
+          "aggregate(codes, 0D, (acc, c) -> acc + element_at(lutmap, c.sub * 8 + c.code))"))
+        .groupBy("query_id")
+        .agg(topk(col("vec_id"), col("nscore")).as("nn"))
+        .select(col("query_id"), explode(col("nn")).as("n"))
+        .select(col("query_id"), col("n.id").as("vec_id"),
+          round(-col("n.score"), 6).as("approx_dist"))
+        .orderBy(col("query_id"), col("approx_dist"), col("vec_id"))
+    },
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            st AS (SELECT unnest(generate_series(0, 3)) AS s),
+            sub AS (SELECT vec_id, s, v[16*s+1 : 16*s+16] AS sv FROM e CROSS JOIN st),
+            cb AS (SELECT s, vec_id AS cent_id, sv AS cv FROM sub
+                   WHERE vec_id BETWEEN 1 AND 8),
+            d AS (SELECT sub.vec_id, sub.s, cb.cent_id,
+                    list_dot_product(sub.sv, sub.sv)
+                      - 2 * list_dot_product(sub.sv, cb.cv)
+                      + list_dot_product(cb.cv, cb.cv) AS d2
+                  FROM sub JOIN cb ON sub.s = cb.s),
+            codes AS (SELECT vec_id, s, cent_id AS code FROM d
+                      QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                        ORDER BY d2, cent_id) = 1),
+            adc AS (SELECT l.vec_id AS query_id, c.vec_id, sum(l.d2) AS adist
+                    FROM codes c JOIN d l
+                      ON c.s = l.s AND c.code = l.cent_id AND l.vec_id < 5
+                        AND c.vec_id <> l.vec_id
+                    GROUP BY l.vec_id, c.vec_id)
+            SELECT query_id, vec_id, round(adist, 6) AS approx_dist FROM adc
+            QUALIFY row_number() OVER (PARTITION BY query_id
+              ORDER BY adist, vec_id) <= 5
+            ORDER BY query_id, approx_dist, vec_id"""))
+
   // ---- native-Expression rolling-hash fingerprint ----------------------
   // Exercises graft.plans.RollingFingerprint — the codegen'd Catalyst
   // Expression — end to end through SQL function resolution.
@@ -2205,5 +2296,5 @@ object Llm {
     dupClusters, dedupSurvivors, incrementalDedup, temperatureMix,
     unigramLogprob, bigramLogprob, simhashClusters, incrementalClusters,
     semDedup, dupSpans, dsirWeights, corpusShuffle, perSourceSample,
-    leakageSafeSplits, dupSpanScrub, perplexityBuckets)
+    leakageSafeSplits, dupSpanScrub, perplexityBuckets, pqTopK)
 }

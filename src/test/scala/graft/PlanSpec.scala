@@ -308,6 +308,16 @@ class PlanSpec extends SparkSpec {
       s"bucketing must never collapse the corpus to one task (no global ntile):\n$p")
   }
 
+  test("q94 ADC scan joins nothing but the broadcast LUT; top-k heap-aggregates") {
+    val p = planOf(q("q94_pq_topk"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the bounded query-LUT batch must ride a broadcast, never a shuffle join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"nothing in the PQ path may shuffle-join the corpus:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"the N x Q candidate stream must collapse in the bounded-heap aggregator:\n$p")
+  }
+
   test("q74 survivor anti-join is a hash join on doc_id, never a nested loop") {
     // fixture precondition: with zero dominated docs AQE's empty-relation
     // propagation legitimately erases the anti-join, so the plan shape
