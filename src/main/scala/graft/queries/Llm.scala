@@ -1877,6 +1877,58 @@ object Llm {
               round(pa / sum(pa) OVER (), 6) AS q
             FROM a ORDER BY source"""))
 
+  // ---- token-budget epoch allocation -----------------------------------
+  // The data-recipe step after q77's weights: given a training token
+  // budget B, turn per-source token counts and temperature weights into
+  // per-source REPEAT factors — epochs_i = (q_i * B) / tokens_i, capped
+  // at 4 epochs (repeating data much past ~4 epochs stops buying loss:
+  // Muennighoff et al., "Scaling Data-Constrained Language Models",
+  // arXiv:2305.16264). This is the table a sampler actually consumes
+  // when the budget exceeds low-resource sources: >1 means upsample by
+  // repetition, the cap is where repetition is acknowledged exhausted,
+  // and effective_tokens is the contribution after capping. Same scale
+  // shape as q67/q77: the corpus collapses to one row per source BEFORE
+  // the whole-frame windows, which then run over a handful of rows; the
+  // p -> q arithmetic stays unrounded through the identical IEEE-754
+  // chain in both engines and rounds only at emission.
+  private val budgetTokens = 200000
+  private val budgetEpochs = Q(
+    "q95_budget_epochs",
+    (s, dir) => {
+      val tot = Window.partitionBy()
+      t(s, dir, "documents")
+        .withColumn("n_toks", expr(s"size($toksExpr)").cast("long"))
+        .groupBy("source").agg(sum(col("n_toks")).as("n_tokens"))
+        .withColumn("p", col("n_tokens").cast("double") / sum(col("n_tokens")).over(tot))
+        .withColumn("pa", pow(col("p"), lit(0.7)))
+        .withColumn("q", col("pa") / sum(col("pa")).over(tot))
+        .withColumn("target_tokens", col("q") * lit(budgetTokens.toDouble))
+        .withColumn("epochs",
+          least(col("target_tokens") / col("n_tokens"), lit(4.0)))
+        .select(col("source"), col("n_tokens"),
+          round(col("q"), 6).as("q"),
+          round(col("target_tokens"), 2).as("target_tokens"),
+          round(col("epochs"), 6).as("epochs"),
+          round(col("epochs") * col("n_tokens"), 2).as("effective_tokens"))
+        .orderBy("source")
+    },
+    Some(s"""WITH d AS (SELECT source, $toksSql AS toks FROM documents),
+            c AS (SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+                  FROM d GROUP BY source),
+            w AS (SELECT source, n_tokens,
+                    CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS p
+                  FROM c),
+            a AS (SELECT source, n_tokens, power(p, 0.7) AS pa FROM w),
+            qq AS (SELECT source, n_tokens, pa / sum(pa) OVER () AS q FROM a),
+            tt AS (SELECT source, n_tokens, q, q * $budgetTokens AS target_tokens
+                   FROM qq)
+            SELECT source, n_tokens, round(q, 6) AS q,
+              round(target_tokens, 2) AS target_tokens,
+              round(least(target_tokens / n_tokens, 4.0), 6) AS epochs,
+              round(least(target_tokens / n_tokens, 4.0) * n_tokens, 2)
+                AS effective_tokens
+            FROM tt ORDER BY source"""))
+
   // ---- clustering over the SimHash edge set ----------------------------
   // Same collapse as q73, different edge generator: Hamming-verified
   // simhash pairs instead of Jaccard-verified MinHash pairs. The fixture
@@ -2296,5 +2348,5 @@ object Llm {
     dupClusters, dedupSurvivors, incrementalDedup, temperatureMix,
     unigramLogprob, bigramLogprob, simhashClusters, incrementalClusters,
     semDedup, dupSpans, dsirWeights, corpusShuffle, perSourceSample,
-    leakageSafeSplits, dupSpanScrub, perplexityBuckets, pqTopK)
+    leakageSafeSplits, dupSpanScrub, perplexityBuckets, pqTopK, budgetEpochs)
 }
