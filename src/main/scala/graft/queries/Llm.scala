@@ -856,15 +856,21 @@ object Llm {
         .agg(map_from_entries(collect_list(
           struct(col("sub") * lit(8) + col("cent_id"), col("d2")))).as("lutmap"))
       val topk = graft.llm.TopK.topK(5)
+      // the rank cut runs on the ROUNDED distance: the 4-term double sum
+      // has no specified accumulation order on the oracle side (hash-agg
+      // arrival order), so two equal-code candidates can land 1 ULP
+      // apart there while this side's sorted-array lambda makes them
+      // bit-identical — rounding before the cut collapses ULP noise so
+      // both engines break the tie on vec_id, not on summation order
       encoded.crossJoin(broadcast(lut))
         .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("nscore", -expr(
-          "aggregate(codes, 0D, (acc, c) -> acc + element_at(lutmap, c.sub * 8 + c.code))"))
+        .withColumn("nscore", -round(expr(
+          "aggregate(codes, 0D, (acc, c) -> acc + element_at(lutmap, c.sub * 8 + c.code))"), 6))
         .groupBy("query_id")
         .agg(topk(col("vec_id"), col("nscore")).as("nn"))
         .select(col("query_id"), explode(col("nn")).as("n"))
         .select(col("query_id"), col("n.id").as("vec_id"),
-          round(-col("n.score"), 6).as("approx_dist"))
+          (-col("n.score")).as("approx_dist"))
         .orderBy(col("query_id"), col("approx_dist"), col("vec_id"))
     },
     Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -881,14 +887,15 @@ object Llm {
             codes AS (SELECT vec_id, s, cent_id AS code FROM d
                       QUALIFY row_number() OVER (PARTITION BY vec_id, s
                         ORDER BY d2, cent_id) = 1),
-            adc AS (SELECT l.vec_id AS query_id, c.vec_id, sum(l.d2) AS adist
+            adc AS (SELECT l.vec_id AS query_id, c.vec_id,
+                      round(sum(l.d2), 6) AS approx_dist
                     FROM codes c JOIN d l
                       ON c.s = l.s AND c.code = l.cent_id AND l.vec_id < 5
                         AND c.vec_id <> l.vec_id
                     GROUP BY l.vec_id, c.vec_id)
-            SELECT query_id, vec_id, round(adist, 6) AS approx_dist FROM adc
+            SELECT query_id, vec_id, approx_dist FROM adc
             QUALIFY row_number() OVER (PARTITION BY query_id
-              ORDER BY adist, vec_id) <= 5
+              ORDER BY approx_dist, vec_id) <= 5
             ORDER BY query_id, approx_dist, vec_id"""))
 
   // ---- native-Expression rolling-hash fingerprint ----------------------
