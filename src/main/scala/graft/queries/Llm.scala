@@ -1942,6 +1942,99 @@ object Llm {
                 AS effective_tokens
             FROM tt ORDER BY source"""))
 
+  // ---- Gopher quality-rule battery --------------------------------------
+  // The published rule set behind large-corpus document filtering (Rae et
+  // al., "Scaling Language Models: ... Gopher", arXiv:2112.11446 §A1.1),
+  // reported per rule rather than as q60's blended score — production
+  // pipelines tune and audit rules individually, so the per-rule flags
+  // are the useful artifact: word count in [50, 100k], mean word length
+  // in [3, 10], symbol-to-word ratio (# and ...) < 0.1, < 90% of lines
+  // bullet-started, < 30% of lines ellipsis-ended, >= 80% of words with
+  // an alphabetic character, and >= 2 distinct common-English stopwords
+  // present. Map-only single-pass column arithmetic — at 100 TB this
+  // fuses into the scan like q60/q62. Lines are non-empty newline splits
+  // in BOTH engines (the engines disagree on trailing empty splits;
+  // filtering empties pins one definition).
+  private val gopherStops = "'the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'"
+  private val gopherRules = Q(
+    "q96_gopher_rules",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n_words", size(col("toks")).cast("long"))
+        .withColumn("mean_wl",
+          when(col("n_words") > 0,
+            length(array_join(col("toks"), "")).cast("double") / col("n_words"))
+            .otherwise(lit(0.0)))
+        .withColumn("n_sym",
+          (length(col("text")) - length(replace(col("text"), lit("#"), lit("")))).cast("double")
+            + (length(col("text")) - length(replace(col("text"), lit("..."), lit("")))) / lit(3.0))
+        .withColumn("lines",
+          expr("filter(split(text, '\\n'), x -> x <> '')"))
+        .withColumn("n_lines", greatest(size(col("lines")).cast("double"), lit(1.0)))
+        .withColumn("bullet_frac",
+          expr("CAST(size(filter(lines, x -> x LIKE '-%' OR x LIKE '*%')) AS DOUBLE)")
+            / col("n_lines"))
+        .withColumn("ellipsis_frac",
+          expr("CAST(size(filter(lines, x -> x LIKE '%...')) AS DOUBLE)") / col("n_lines"))
+        .withColumn("alpha_frac",
+          when(col("n_words") > 0,
+            expr("CAST(size(filter(toks, x -> x rlike '[a-zA-Z]')) AS DOUBLE)")
+              / col("n_words")).otherwise(lit(0.0)))
+        .withColumn("n_stops",
+          expr(s"size(filter(array($gopherStops), w -> array_contains(toks, w)))").cast("long"))
+        .withColumn("g_word_count", col("n_words").between(50, 100000))
+        .withColumn("g_mean_word_len", col("mean_wl") >= 3.0 && col("mean_wl") <= 10.0)
+        .withColumn("g_symbol_ratio",
+          when(col("n_words") > 0, col("n_sym") / col("n_words")).otherwise(lit(0.0)) < 0.1)
+        .withColumn("g_bullet_lines", col("bullet_frac") < 0.9)
+        .withColumn("g_ellipsis_lines", col("ellipsis_frac") < 0.3)
+        .withColumn("g_alpha_words", col("alpha_frac") >= 0.8)
+        .withColumn("g_stopwords", col("n_stops") >= 2)
+        .select(col("doc_id"), col("n_words"),
+          round(col("mean_wl"), 6).as("mean_word_len"),
+          col("g_word_count"), col("g_mean_word_len"), col("g_symbol_ratio"),
+          col("g_bullet_lines"), col("g_ellipsis_lines"), col("g_alpha_words"),
+          col("g_stopwords"),
+          (col("g_word_count") && col("g_mean_word_len") && col("g_symbol_ratio") &&
+            col("g_bullet_lines") && col("g_ellipsis_lines") && col("g_alpha_words") &&
+            col("g_stopwords")).as("gopher_pass"))
+        .orderBy("doc_id"),
+    Some(s"""WITH b AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+            m AS (SELECT doc_id,
+                    CAST(len(toks) AS BIGINT) AS n_words,
+                    CASE WHEN len(toks) > 0
+                      THEN CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks)
+                      ELSE 0.0 END AS mean_wl,
+                    CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+                      + (length(text) - length(replace(text, '...', ''))) / 3.0 AS n_sym,
+                    list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+                    list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')) AS alpha_toks,
+                    len(list_filter([$gopherStops],
+                      w -> list_contains(toks, w))) AS n_stops
+                  FROM b),
+            r AS (SELECT doc_id, n_words, mean_wl,
+                    n_words BETWEEN 50 AND 100000 AS g_word_count,
+                    mean_wl >= 3.0 AND mean_wl <= 10.0 AS g_mean_word_len,
+                    (CASE WHEN n_words > 0 THEN n_sym / n_words ELSE 0.0 END) < 0.1
+                      AS g_symbol_ratio,
+                    CAST(len(list_filter(lines, x -> x LIKE '-%' OR x LIKE '*%'))
+                        AS DOUBLE) / greatest(len(lines), 1) < 0.9 AS g_bullet_lines,
+                    CAST(len(list_filter(lines, x -> x LIKE '%...')) AS DOUBLE)
+                      / greatest(len(lines), 1) < 0.3 AS g_ellipsis_lines,
+                    (CASE WHEN n_words > 0
+                       THEN CAST(len(alpha_toks) AS DOUBLE) / n_words
+                       ELSE 0.0 END) >= 0.8 AS g_alpha_words,
+                    n_stops >= 2 AS g_stopwords
+                  FROM m)
+            SELECT doc_id, n_words, round(mean_wl, 6) AS mean_word_len,
+              g_word_count, g_mean_word_len, g_symbol_ratio, g_bullet_lines,
+              g_ellipsis_lines, g_alpha_words, g_stopwords,
+              (g_word_count AND g_mean_word_len AND g_symbol_ratio AND
+               g_bullet_lines AND g_ellipsis_lines AND g_alpha_words AND
+               g_stopwords) AS gopher_pass
+            FROM r ORDER BY doc_id"""))
+
   // ---- clustering over the SimHash edge set ----------------------------
   // Same collapse as q73, different edge generator: Hamming-verified
   // simhash pairs instead of Jaccard-verified MinHash pairs. The fixture
@@ -2361,5 +2454,6 @@ object Llm {
     dupClusters, dedupSurvivors, incrementalDedup, temperatureMix,
     unigramLogprob, bigramLogprob, simhashClusters, incrementalClusters,
     semDedup, dupSpans, dsirWeights, corpusShuffle, perSourceSample,
-    leakageSafeSplits, dupSpanScrub, perplexityBuckets, pqTopK, budgetEpochs)
+    leakageSafeSplits, dupSpanScrub, perplexityBuckets, pqTopK, budgetEpochs,
+    gopherRules)
 }
