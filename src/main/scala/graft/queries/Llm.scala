@@ -1046,6 +1046,54 @@ object Llm {
               md5(text) AS content_hash
             FROM documents ORDER BY doc_id"""))
 
+  // ---- multimodal: REAL header decode (PNG IHDR / JPEG SOF) ------------
+  // Closes the round-9 stub: dimensions come out of the payload bytes
+  // (graft.llm.Multimodal.parseDims — PNG's fixed-offset big-endian
+  // IHDR fields, ITU T.81's marker walk to SOF for JPEG), not a
+  // synthesized formula. The fixture ships no real media, so the query
+  // manufactures it deterministically: each doc becomes a valid PNG
+  // (even doc_id) or JPEG (odd) whose header encodes dimensions derived
+  // from doc_id, with the doc's UTF-8 text as the body. The oracle
+  // recomputes the expected dimensions arithmetically — any byte-level
+  // disagreement between builder and parser breaks the round-trip and
+  // the hash diverges. (A bug symmetric in builder AND parser is the
+  // one thing this oracle can't see; MultimodalSpec's golden fixtures —
+  // hand-written byte literals straight from the specs — pin byte order
+  // and the marker walk against that.) The declared kind is a sentinel
+  // ('media/raw'): the output kind comes from magic-byte DETECTION, so
+  // a parse failure surfaces as a kind mismatch, not silence. Scale
+  // shape: one typed mapPartitions over the corpus, map-only, no
+  // shuffle before the presentation sort.
+  private val multimodalDecode = Q(
+    "q97_multimodal_decode",
+    (s, dir) => {
+      import s.implicits._
+      import graft.llm.Multimodal
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val body = Option(text).getOrElse("").getBytes("UTF-8")
+          val w = (id * 37 % 2000 + 16).toInt
+          val h = (id * 59 % 1200 + 16).toInt
+          if (id % 2 == 0)
+            Multimodal.MediaRow(id, "media/raw", Multimodal.pngPayload(w, h, body))
+          else
+            Multimodal.MediaRow(id, "media/raw", Multimodal.jpegPayload(w, h, body))
+        }
+      Multimodal.decodeMeta(media)
+        .select(col("media_id").as("doc_id"), col("kind"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("byte_len"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+              CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS kind,
+              CAST(doc_id * 37 % 2000 + 16 AS BIGINT) AS width,
+              CAST(doc_id * 59 % 1200 + 16 AS BIGINT) AS height,
+              CAST(33 + COALESCE(octet_length(encode(text)), 0) AS BIGINT) AS byte_len
+            FROM documents ORDER BY doc_id"""))
+
   // ---- vocabulary building: document frequency, top-N ------------------
   // The vocab/BPE-prep stage of a training-data pipeline: distinct tokens
   // per doc, document frequency across the corpus, top-N. The classic
@@ -2354,21 +2402,25 @@ object Llm {
   // (q66's machinery): < 'c' → train (12/16), < 'e' → valid (2/16),
   // else test. Beyond the clustering itself this is one left join and a
   // map — the assignment adds nothing to the collapse's scale cost.
+  /** The split-assignment map shared by q91 (self-contained: re-clusters)
+    * and the production path (`ClusterMaintenance.splitsFromLabels`:
+    * consumes the persisted labeling). One left join + a md5 map —
+    * nothing beyond the clustering's own scale cost. */
+  private[graft] def splitAssign(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("hd",
+        substring(md5(concat(lit("split|"), col("group_id").cast("string"))), 1, 1))
+      .withColumn("split",
+        when(col("hd") < "c", "train")
+          .when(col("hd") < "e", "valid")
+          .otherwise("test"))
+      .select("doc_id", "group_id", "split")
+
   private val leakageSafeSplits = Q(
     "q91_leakage_safe_splits",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      docs.join(docClusters(s, dir), Seq("doc_id"), "left")
-        .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
-        .withColumn("hd",
-          substring(md5(concat(lit("split|"), col("group_id").cast("string"))), 1, 1))
-        .withColumn("split",
-          when(col("hd") < "c", "train")
-            .when(col("hd") < "e", "valid")
-            .otherwise("test"))
-        .select("doc_id", "group_id", "split")
-        .orderBy("doc_id")
-    },
+    (s, dir) =>
+      splitAssign(t(s, dir, "documents"), docClusters(s, dir)).orderBy("doc_id"),
     Some(s"""WITH RECURSIVE $minhashSigSqlCte, $minhashBandsSqlCte,
             $jaccardEdgesSqlCte, $clusterSqlCte,
             g AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS group_id
@@ -2447,7 +2499,8 @@ object Llm {
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
     minhashSignatures, minhashPairs, jaccardPairs, simhash, simhashPairs,
     simhashWidePairs, cosineTopK, embedBuckets, annTopK, embedNearDup,
-    ivfTopK, rollingFp, multimodalMeta, qualityScore, piiScrub, corpusFilter,
+    ivfTopK, rollingFp, multimodalMeta, multimodalDecode, qualityScore,
+    piiScrub, corpusFilter,
     vocabDf, decontaminate, bloomDecontam, bloomDecontamLarge,
     decontamProvenance, stratifiedSample, exactSample, sourceMix,
     seqPacking, lengthCurriculum, tfidfTopTerms, repetition,
