@@ -46,23 +46,13 @@ object CorpusPipeline {
       alpha: Double = 0.7,
       packBudget: Int = 512)
 
-  /** @param docs      corpus with doc_id/text/lang/source/n_chars
-    * @param benchmark  eval/benchmark docs (doc_id, text) to decontaminate
-    *                   against — assumed small enough to broadcast its
-    *                   distinct shingle-hash set (eval suites are)
-    * @return (packed corpus, per-stage row counts) */
-  def run(docs: DataFrame, benchmark: DataFrame, cfg: Config = Config())
-      : (DataFrame, Seq[StageReport]) = {
-    val report = Seq.newBuilder[StageReport]
-    def staged(name: String, df: DataFrame): DataFrame = {
-      val s = Staging.stage(df)
-      report += StageReport(name, s.count())
-      s
-    }
-
-    // 1. map-only gate + scrub, fused into one projection over the scan.
-    // Stopwords enter as literal Columns, never spliced into SQL text —
-    // a quote-bearing stopword must not be a parser injection point.
+  /** Stage 1: map-only gate + scrub, fused into one projection over the
+    * scan. Stopwords enter as literal Columns, never spliced into SQL
+    * text — a quote-bearing stopword must not be a parser injection
+    * point. Shared verbatim by the streaming fold
+    * (`graft.streaming.CorpusStream`), so stream and batch gate
+    * identically by construction. */
+  private[graft] def gateScrub(docs: DataFrame, cfg: Config): DataFrame = {
     val stopGate =
       if (cfg.stopwords.isEmpty) lit(true)
       else {
@@ -70,35 +60,42 @@ object CorpusPipeline {
         size(filter(col("toks"), x => array_contains(stopArr, x))) *
           cfg.stopwordDivisor > size(col("toks"))
       }
-    val gated = staged("gate_scrub", docs
+    docs
       .withColumn("toks", expr(Llm.toksExpr))
       .filter(col("n_chars").between(cfg.minChars, cfg.maxChars) && stopGate)
       .withColumn("text", F.redactPii(col("text")))
-      .drop("toks"))
+      .drop("toks")
+  }
 
-    // 2. exact dedup, deterministic first-wins per content hash
+  /** Stage 2: exact dedup, deterministic first-wins per content hash. */
+  private[graft] def exactDedup(gated: DataFrame): DataFrame = {
     val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    val exact = staged("exact_dedup", gated
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn"))
+    gated.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
 
-    // 3. near-dup collapse: verified edges → components → canonicals
-    val dominated = Components.connected(
-        Llm.jaccardEdgesOf(exact), src = "doc_a", dst = "doc_b")
-      .filter(col("id") =!= col("comp"))
-      .select(col("id").as("doc_id"))
+  /** Stages 3–6 over an exact-deduped corpus — the tail shared by the
+    * batch run (clusters computed in-plan) and the streaming finalize
+    * (clusters read from the maintained labeling): near-dup collapse
+    * from a (doc_id, cluster_id) frame, a pluggable decontamination
+    * gate, temperature sampling, sequence packing. Stage ORDER is the
+    * semantic contract: decontamination runs after the collapse (a
+    * contaminated survivor takes its whole cluster out of the corpus),
+    * so both callers inherit it from one definition. */
+  private[graft] def finish(
+      exact: DataFrame, clusters: DataFrame,
+      decontaminate: DataFrame => DataFrame, cfg: Config,
+      staged: (String, DataFrame) => DataFrame): DataFrame = {
+
+    // 3. near-dup collapse: every clustered doc except its canonical goes
+    val dominated = clusters
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
     val collapsed = staged("neardup_collapse",
       exact.join(dominated, Seq("doc_id"), "left_anti"))
 
-    // 4. decontamination against the broadcast benchmark shingle set
-    val benchSet = Llm.shingleHashes(benchmark).select("h").distinct()
-    val contaminated = Llm.shingleHashes(collapsed)
-      .join(broadcast(benchSet), Seq("h"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= cfg.contaminationShared)
-      .select("doc_id")
-    val clean = staged("decontaminate",
-      collapsed.join(contaminated, Seq("doc_id"), "left_anti"))
+    // 4. decontamination (gate implementation is the caller's)
+    val clean = staged("decontaminate", decontaminate(collapsed))
 
     // 5. temperature sampling: rates from the collapsed per-source
     // aggregate (a handful of rows — the whole-frame windows are
@@ -121,12 +118,47 @@ object CorpusPipeline {
 
     // 6. per-source sequence packing at the token budget
     val wp = Window.partitionBy("source").orderBy("doc_id")
-    val packed = staged("seq_packing", sampled
+    staged("seq_packing", sampled
       .withColumn("n_toks", expr(s"CAST(size(${Llm.toksExpr}) AS BIGINT)"))
       .withColumn("seq_id",
         floor((sum(col("n_toks")).over(wp) - col("n_toks")) /
           lit(cfg.packBudget)).cast("long")))
+  }
 
-    (packed, report.result())
+  /** @param docs      corpus with doc_id/text/lang/source/n_chars
+    * @param benchmark  eval/benchmark docs (doc_id, text) to decontaminate
+    *                   against — assumed small enough to broadcast its
+    *                   distinct shingle-hash set (eval suites are)
+    * @return (packed corpus, per-stage row counts) */
+  def run(docs: DataFrame, benchmark: DataFrame, cfg: Config = Config())
+      : (DataFrame, Seq[StageReport]) = {
+    val report = Seq.newBuilder[StageReport]
+    def staged(name: String, df: DataFrame): DataFrame = {
+      val s = Staging.stage(df)
+      report += StageReport(name, s.count())
+      s
+    }
+
+    val gated = staged("gate_scrub", gateScrub(docs, cfg))
+    val exact = staged("exact_dedup", exactDedup(gated))
+
+    // near-dup clusters: verified edges → components, in-plan
+    val clusters = Components.connected(
+        Llm.jaccardEdgesOf(exact), src = "doc_a", dst = "doc_b")
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+
+    // decontamination via the broadcast benchmark shingle set (the q65
+    // batch gate — right for any benchmark that fits a broadcast)
+    val decontaminate: DataFrame => DataFrame = { corpus =>
+      val benchSet = Llm.shingleHashes(benchmark).select("h").distinct()
+      val contaminated = Llm.shingleHashes(corpus)
+        .join(broadcast(benchSet), Seq("h"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= cfg.contaminationShared)
+        .select("doc_id")
+      corpus.join(contaminated, Seq("doc_id"), "left_anti")
+    }
+
+    (finish(exact, clusters, decontaminate, cfg, staged), report.result())
   }
 }

@@ -184,6 +184,19 @@ object ClusterMaintenance {
     }
   }
 
+  /** Production leakage-safe split assignment (the q91 transformation
+    * consuming the PERSISTED labeling instead of re-clustering): split =
+    * hash of the doc's near-dup cluster id, so near-twins can never
+    * straddle train/test, and the cluster table this reads is the one
+    * the streaming fold maintains — assignment cost is one left join
+    * against `labels/`, with no shingling or contraction in the plan.
+    * Parity with q91's self-contained output (after folding the same
+    * corpus) is pinned by SplitsFromLabelsSpec. */
+  def splitsFromLabels(docs: DataFrame, statePath: String): DataFrame =
+    graft.queries.Llm.splitAssign(docs,
+      labels(docs.sparkSession, statePath)
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id")))
+
   /** The current labeling (empty if no pairs have been verified yet). */
   def labels(spark: SparkSession, statePath: String): DataFrame = {
     val lp = labelsPath(statePath)

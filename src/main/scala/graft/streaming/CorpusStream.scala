@@ -1,0 +1,158 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.core.Staging
+import graft.pipelines.CorpusPipeline
+
+/** Streaming corpus preparation — `CorpusPipeline.run` as a foreachBatch
+  * fold, composing the streaming pieces the engine already verifies
+  * individually: the stage-1 gate+scrub (shared code with the batch
+  * pipeline), an exact-dedup fold over a persisted content-hash table,
+  * and `ClusterMaintenance` for incremental near-dup labeling. The
+  * corpus-global stages (collapse → decontaminate → mix → pack) run in
+  * [[finalize]] over the accumulated state through the SAME
+  * `CorpusPipeline.finish` the batch path uses — stream and batch can
+  * only diverge where their inputs do, and CorpusStreamSpec pins that
+  * they don't (split ingest == one batch run).
+  *
+  * State under `statePath`:
+  *  - `docs/`   — gated, scrubbed, exact-dedup-novel docs, append-only;
+  *  - `hashes/` — content hashes seen so far (the dedup probe table);
+  *  - `cluster/` — ClusterMaintenance's bands/toks/labels.
+  *
+  * Exact dedup here is FIRST-ARRIVAL-wins: a doc whose content hash is
+  * already in `hashes/` is dropped, so per-batch cost is one anti-join
+  * against the hash table (keyed, linear in the batch). When ingest
+  * order follows doc_id (an append-only feed's natural order — and the
+  * spec's split), first-arrival == the batch pipeline's first-id-wins
+  * exactly. An out-of-order backfill that needs min-id semantics
+  * retroactively is a batch re-run, not a stream — same posture as the
+  * reference's backfill path. Event-time `dedupStream`
+  * (dropDuplicatesWithinWatermark) is deliberately NOT the mechanism:
+  * corpus identity is content, not a key within a time window, and its
+  * watermark-evicted state would re-admit a duplicate arriving a month
+  * later — the persisted hash table is the unbounded-stream-safe exact
+  * store.
+  *
+  * Replay safety mirrors ClusterMaintenance: appends are idempotent in
+  * effect (a replayed batch re-appends rows; `finalize` collapses exact
+  * doc_id duplicates defensively, and duplicated hash rows only make
+  * the anti-join drop what it would drop anyway).
+  */
+object CorpusStream {
+
+  private def docsPath(state: String) = s"$state/docs"
+  private def hashesPath(state: String) = s"$state/hashes"
+  private def clusterPath(state: String) = s"$state/cluster"
+
+  /** Fold one micro-batch of raw documents into the corpus state. */
+  def foldBatch(batch: DataFrame, statePath: String,
+                cfg: CorpusPipeline.Config = CorpusPipeline.Config(),
+                threshold: Double = 0.5): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val fs = new Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // stage-1 gate+scrub — the batch pipeline's own code
+    val gated = CorpusPipeline.gateScrub(batch, cfg)
+      .withColumn("__h", md5(col("text")))
+    // within-batch first wins (deterministic), then drop already-seen
+    val w = Window.partitionBy("__h").orderBy("doc_id")
+    val firsts = gated.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val novel = Staging.stage(
+      if (!fs.exists(new Path(hashesPath(statePath)))) firsts
+      else firsts.join(spark.read.parquet(hashesPath(statePath)),
+        col("__h") === col("content_hash"), "left_anti"))
+
+    novel.select(col("__h").as("content_hash"))
+      .write.mode("append").parquet(hashesPath(statePath))
+    val docs = Staging.stage(novel.drop("__h"))
+    docs.write.mode("append").parquet(docsPath(statePath))
+    // incremental near-dup labeling over the SCRUBBED novel docs — the
+    // batch pipeline shingles scrubbed text too, so bands agree
+    ClusterMaintenance.foldBatch(docs, clusterPath(statePath), threshold)
+  }
+
+  /** Wire [[foldBatch]] as a foreachBatch sink (AvailableNow by default —
+    * the engine's drain-and-stop trigger discipline). Every
+    * `compactEvery`-th micro-batch also runs [[compactState]] — the
+    * ClusterMaintenance cadence, for the same reason: `docs/` and
+    * `hashes/` accrete one small file set per batch. Cadenced on the
+    * checkpointed batchId (survives restarts) and run INSIDE the serial
+    * foreachBatch callback, so no fold races the swap. Pass 0 to
+    * disable. */
+  def sink(stream: DataFrame, statePath: String, checkpointDir: String,
+           cfg: CorpusPipeline.Config = CorpusPipeline.Config(),
+           threshold: Double = 0.5,
+           trigger: Trigger = Trigger.AvailableNow(),
+           compactEvery: Int = 8): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatch(batch, statePath, cfg, threshold)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactState(batch.sparkSession, statePath)
+      }
+      .start()
+
+  /** Compact the append-only corpus state: `docs/` and `hashes/` rewrite
+    * through the atomic snapshot swap with exact-row dedup (duplicates
+    * arise ONLY from at-least-once replay — both tables are
+    * deterministic per doc — so `distinct` restores the exactly-once
+    * state), and the cluster state delegates to
+    * `ClusterMaintenance.compactState`. */
+  def compactState(spark: SparkSession, statePath: String,
+                   targetFileBytes: Long = 128L << 20): Unit = {
+    val fs = new Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(docsPath(statePath), hashesPath(statePath)).foreach { p =>
+      if (fs.exists(new Path(p))) {
+        val bytes = fs.getContentSummary(new Path(p)).getLength
+        val files = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+        graft.sinks.Sinks.snapshotSwap(
+          spark.read.parquet(p).distinct().repartition(files), p)
+      }
+    }
+    ClusterMaintenance.compactState(spark, clusterPath(statePath), targetFileBytes)
+  }
+
+  /** The corpus-global tail (collapse → decontaminate → temperature mix →
+    * packing) over the accumulated state: clusters come from the
+    * maintained labeling (no re-shingling), decontamination is the
+    * streaming gate (`NearDup.decontaminateStream` — a pure filter, so it
+    * applies to the static frame too), and the stage bodies are
+    * `CorpusPipeline.finish` verbatim.
+    * @return (packed corpus, per-stage row counts for stages 3–6) */
+  def finalize(spark: SparkSession, statePath: String,
+               benchHashes: Array[String],
+               cfg: CorpusPipeline.Config = CorpusPipeline.Config())
+      : (DataFrame, Seq[CorpusPipeline.StageReport]) = {
+    val report = Seq.newBuilder[CorpusPipeline.StageReport]
+    def staged(name: String, df: DataFrame): DataFrame = {
+      val s = Staging.stage(df)
+      report += CorpusPipeline.StageReport(name, s.count())
+      s
+    }
+    val fs = new Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(docsPath(statePath))),
+      s"no corpus state at $statePath — fold at least one batch first")
+    // dropDuplicates on doc_id: replayed appends duplicate identical rows
+    val exact = spark.read.parquet(docsPath(statePath)).dropDuplicates("doc_id")
+    val clusters = ClusterMaintenance.labels(spark, clusterPath(statePath))
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+    val decontaminate: DataFrame => DataFrame = corpus =>
+      NearDup.decontaminateStream(corpus, benchHashes,
+        cfg.contaminationShared.toInt)
+    (CorpusPipeline.finish(exact, clusters, decontaminate, cfg, staged),
+      report.result())
+  }
+}

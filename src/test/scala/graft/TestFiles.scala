@@ -18,4 +18,12 @@ object TestFiles {
         base.toPath.relativize(f.toPath).toString -> digest.map("%02x".format(_)).mkString
       }.toMap
   }
+
+  /** Number of parquet data files under `root` (recursive, part- files
+    * only) — the small-file-accretion metric compaction tests assert on. */
+  def parquetFileCount(root: String): Int = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+    walk(new java.io.File(root)).count(_.getName.startsWith("part-"))
+  }
 }
