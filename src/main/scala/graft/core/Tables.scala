@@ -74,11 +74,19 @@ object Tables {
           // truncation Spark applies to ns elsewhere
           df.withColumn("ts",
             timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-        case _ =>
-          // native timestamp generation: session-less parquet micros read
-          // as NTZ already; the cast is a no-op there and pins the
-          // contract if a future generation ships TIMESTAMP_LTZ
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // native micros generation, read as NTZ already; cast is a no-op
           df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+        case org.apache.spark.sql.types.TimestampType =>
+          // a future generation shipping TIMESTAMP_LTZ: pin the NTZ contract
+          df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+        case other =>
+          // any OTHER physical type (string, int32 date, …) is a testdata
+          // generation this loader has never seen: fail loudly instead of
+          // silently coercing to nulls through a catch-all cast
+          throw new IllegalStateException(
+            s"events.ts shipped as unexpected physical type $other — " +
+              "extend Tables.loadRaw's normalization for this generation")
       }
     } else spark.read.parquet(s"$dir/$name.parquet")
 

@@ -306,6 +306,12 @@ class PlanSpec extends SparkSpec {
       s"sample ranking must be partitioned by lang:\n$p")
     assert(!p.contains("Exchange SinglePartition"),
       s"bucketing must never collapse the corpus to one task (no global ntile):\n$p")
+    // the rank<=N sample filter must push into the window as a group
+    // limit: without it each language's FULL corpus sorts just to take
+    // the bounded sample, and the lang-keyed/no-collapse asserts above
+    // would still pass (ADVICE r9)
+    assert(p.contains("WindowGroupLimit"),
+      s"the bounded per-language sample must run as a WindowGroupLimit:\n$p")
   }
 
   test("q94 ADC scan joins nothing but the broadcast LUT; top-k heap-aggregates") {
@@ -316,6 +322,33 @@ class PlanSpec extends SparkSpec {
       s"nothing in the PQ path may shuffle-join the corpus:\n$p")
     assert(p.contains("ObjectHashAggregate"),
       s"the N x Q candidate stream must collapse in the bounded-heap aggregator:\n$p")
+  }
+
+  test("q97 multimodal decode is map-only: no join, no aggregate, one scan") {
+    // AQE's toString prints the initial plan after the final one — count
+    // scans in the FINAL plan only
+    val p = planOf(q("q97_multimodal_decode")).split("== Initial Plan ==").head
+    assert(p.split("FileScan parquet").length - 1 === 1,
+      s"one pass over the corpus:\n$p")
+    assert(!p.contains("Join") && !p.contains("Aggregate"),
+      s"header decode must not shuffle anything before the presentation sort:\n$p")
+  }
+
+  test("trained-codebook ADC keeps q94's scale shape (broadcast LUT, heap top-k)") {
+    import graft.llm.Pq
+    val vecs = graft.core.Tables.load(spark, sf, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val cb = Pq.trainCodebooks(vecs, m = 4, subDim = 16, k = 8, iters = 1)
+    val codes = Pq.encode(vecs, cb, m = 4, subDim = 16)
+    val queries = vecs.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+    val p = planOf(Pq.adcTopK(queries, codes, cb, m = 4, subDim = 16, k = 8, topK = 5))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the per-query LUT must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the coded corpus must never shuffle-join:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"candidates must collapse in the bounded-heap aggregator:\n$p")
   }
 
   test("q74 survivor anti-join is a hash join on doc_id, never a nested loop") {

@@ -1,0 +1,99 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Components
+import graft.queries.Llm
+
+/** The measured form of the 100 TB claim the dedup tier rests on:
+  * candidate generation is a bounded-occupancy band equi-join and
+  * clustering is contraction over its edges, so their shuffle volume
+  * grows LINEARLY in corpus size — never quadratically, the failure mode
+  * of all-pairs designs. PlanSpec pins the plan SHAPES; this spec pins
+  * the runtime metric: replicate the documents fixture 8× (each replica's
+  * tokens perturbed so replicas share no shingles — fresh buckets with
+  * the same occupancy profile, i.e. "more corpus", not "deeper
+  * clusters") and assert shuffle records/bytes written grow ~8×, with
+  * slack for fixed per-query overhead, not ~64×.
+  */
+class ShuffleGrowthSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Sum of shuffle write records/bytes across all tasks of `body`. */
+  private def measureShuffle(body: => Unit): (Long, Long) = {
+    val records = new AtomicLong
+    val bytes = new AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      // listener events are delivered async: poll until the counters are
+      // stable across a full interval (no private-API bus draining)
+      var prev = (-1L, -1L)
+      var cur = (records.get, bytes.get)
+      while (cur != prev) { Thread.sleep(400); prev = cur; cur = (records.get, bytes.get) }
+      cur
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** `k` disjoint replicas of the fixture: replica i offsets doc_ids and
+    * suffixes every token with a replica tag, so shingle sets (and thus
+    * minhash buckets) are disjoint across replicas while each replica
+    * keeps the original occupancy/cluster structure. */
+  private def corpus(k: Int): DataFrame = {
+    val base = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    (0 until k).map { i =>
+      if (i == 0) base
+      else base.select(
+        (col("doc_id") + lit(i * 100000L)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"$$1z$i").as("text"))
+    }.reduce(_ unionByName _)
+  }
+
+  test("band pair generation + verification shuffle grows ~linearly in corpus size") {
+    val (rec1, byt1) = measureShuffle {
+      Llm.jaccardEdgesOf(corpus(1)).count()
+    }
+    val (rec8, byt8) = measureShuffle {
+      Llm.jaccardEdgesOf(corpus(8)).count()
+    }
+    info(f"records 1x=$rec1 8x=$rec8 ratio=${rec8.toDouble / rec1}%.1f; " +
+      f"bytes 1x=$byt1 8x=$byt8 ratio=${byt8.toDouble / byt1}%.1f")
+    assert(rec1 > 0 && byt1 > 0, "the 1x run must actually shuffle")
+    // linear = 8x. Quadratic pair generation would be ~64x. The bound
+    // leaves 2x slack for partial-agg constants and replica skew.
+    assert(rec8 <= rec1 * 16, s"pair-gen shuffle records grew superlinearly: $rec1 -> $rec8")
+    assert(byt8 <= byt1 * 16, s"pair-gen shuffle bytes grew superlinearly: $byt1 -> $byt8")
+  }
+
+  test("contraction clustering shuffle grows ~linearly in corpus size") {
+    def cluster(k: Int): Unit = {
+      val edges = Llm.jaccardEdgesOf(corpus(k))
+      Components.connected(edges, src = "doc_a", dst = "doc_b").count()
+    }
+    val (rec1, byt1) = measureShuffle(cluster(1))
+    val (rec8, byt8) = measureShuffle(cluster(8))
+    info(f"records 1x=$rec1 8x=$rec8 ratio=${rec8.toDouble / rec1}%.1f; " +
+      f"bytes 1x=$byt1 8x=$byt8 ratio=${byt8.toDouble / byt1}%.1f")
+    assert(rec1 > 0 && byt1 > 0)
+    // the edge set is 8x the base edge set (replicas add no cross edges),
+    // so contraction work per level is 8x and level count is unchanged
+    // (cluster diameters are replica-local)
+    assert(rec8 <= rec1 * 16, s"contraction shuffle records grew superlinearly: $rec1 -> $rec8")
+    assert(byt8 <= byt1 * 16, s"contraction shuffle bytes grew superlinearly: $byt1 -> $byt8")
+  }
+}
