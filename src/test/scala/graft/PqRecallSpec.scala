@@ -87,6 +87,24 @@ class PqRecallSpec extends SparkSpec {
     assert(snapshot().toSeq === snapshot().toSeq)
   }
 
+  test("m=1 training is plain k-means: lower full-space distortion than fixed seeds") {
+    // the IVF-centroid trainer (q57's cell assignment) is the m=1 special
+    // case of the PQ trainer — one subspace spanning the whole vector
+    val (corpus, _, _) = fixture
+    def distortion(cb: org.apache.spark.sql.DataFrame): Double = {
+      val cents = cb.collect().map(_.getSeq[Double](2).toArray)
+      assert(cents.forall(_.length === dim))
+      corpus.map { case (_, v) =>
+        cents.map(c => v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum).min
+      }.sum / corpus.size
+    }
+    val dFixed = distortion(Pq.fixedCodebooks(df(corpus), m = 1, subDim = dim, k = k))
+    val dTrained = distortion(Pq.trainCodebooks(df(corpus), m = 1, subDim = dim, k = k, iters = 8))
+    info(f"full-space distortion fixed=$dFixed%.3f trained=$dTrained%.3f")
+    assert(dTrained < dFixed,
+      s"Lloyd iterations must reduce quantization distortion: $dTrained vs $dFixed")
+  }
+
   test("empty clusters keep their previous centroid (codebook stays m*k)") {
     val (corpus, _, _) = fixture
     val trained = Pq.trainCodebooks(df(corpus), m, subDim, k, iters = 8)
