@@ -108,6 +108,75 @@ object Multimodal {
     } else None
   }
 
+  /** Parse (sample_rate, channels, bits_per_sample, duration_ms) from a
+    * RIFF/WAVE header: chunk walk to "fmt " (channels LE u16 at data+2,
+    * rate LE u32 at +4, bits LE u16 at +14) and "data" (payload size →
+    * duration = bytes·1000 / byte-rate). Fixed-offset little-endian
+    * fields, same no-codec posture as [[parseDims]]. */
+  def parseWav(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) |
+      (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def cc(i: Int, s: String): Boolean = s.indices.forall(j => u8(i + j) == s(j))
+    if (b.length < 44 || !cc(0, "RIFF") || !cc(8, "WAVE")) None
+    else {
+      var i = 12
+      var fmt: Option[(Int, Int, Int)] = None
+      var dataLen = -1L
+      while ((fmt.isEmpty || dataLen < 0) && i + 8 <= b.length) {
+        val size = le32(i + 4)
+        if (cc(i, "fmt ") && i + 8 + 16 <= b.length)
+          fmt = Some((le32(i + 12).toInt, le16(i + 10), le16(i + 22)))
+        else if (cc(i, "data")) dataLen = size
+        // chunks pad to even; a corrupt 4 GB size field must end the walk,
+        // not wrap the Int cursor into an infinite loop
+        val step = 8L + size + (size & 1L)
+        if (step > b.length - i) i = b.length else i += step.toInt
+      }
+      fmt.collect { case (rate, ch, bits)
+          if dataLen >= 0 && rate > 0 && ch > 0 && bits > 0 =>
+        (rate, ch, bits, dataLen * 8000L / (rate.toLong * ch * bits))
+      }
+    }
+  }
+
+  /** Parse the presentation duration (ms) from an MP4/ISO-BMFF header: a
+    * top-level box walk (size BE u32 + fourcc) to `moov`, an inner walk
+    * to `mvhd`, then timescale/duration at the version-dependent fixed
+    * offsets (v0: u32s at +12/+16; v1: u32/u64 at +20/+24). */
+  def parseMp4DurationMs(b: Array[Byte]): Option[Long] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def be32(i: Int): Long = ((u8(i).toLong << 24) | (u8(i + 1) << 16) |
+      (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def cc(i: Int, s: String): Boolean = s.indices.forall(j => u8(i + j) == s(j))
+    var i = 0
+    var out: Option[Long] = None
+    while (out.isEmpty && i + 8 <= b.length) {
+      val size = be32(i)
+      if (size < 8 || i + size > b.length) return None
+      if (cc(i + 4, "moov")) {
+        var j = i + 8
+        val end = i + size.toInt
+        while (out.isEmpty && j + 8 <= end) {
+          val isize = be32(j)
+          if (isize < 8 || j + isize > end) return None
+          // v0 reads through j+28 (u32 duration), v1 through j+40 (u64)
+          if (cc(j + 4, "mvhd") && j + 28 <= end) {
+            val (ts, dur) =
+              if (u8(j + 8) == 1 && j + 40 <= end) (be32(j + 28), be64(j + 32))
+              else (be32(j + 20), be32(j + 24))
+            if (ts > 0) out = Some(dur * 1000L / ts)
+          }
+          j += isize.toInt
+        }
+      }
+      i += size.toInt
+    }
+    out
+  }
+
   /** Build a minimal-but-valid PNG header (signature + IHDR with a real
     * CRC32) followed by `body`. 33 header bytes; [[parseDims]] and any
     * standards-conforming reader agree on the dimensions. */
@@ -148,6 +217,67 @@ object Multimodal {
     buf.put(Array[Byte](1, 1, 0x11, 0))                       // 1 comp, 1:1, q0
     buf.put(body)
     buf.array()
+  }
+
+  /** Build a complete PCM WAV file (44-byte canonical header + silent
+    * sample data) — [[parseWav]] and any conforming reader agree on the
+    * format fields and duration. */
+  def wavPayload(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                 nSamples: Int): Array[Byte] = {
+    val dataLen = nSamples * channels * (bitsPerSample / 8)
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1)                                  // PCM
+    buf.putShort(channels.toShort).putInt(sampleRate)
+    buf.putInt(sampleRate * channels * (bitsPerSample / 8)) // byte rate
+    buf.putShort((channels * (bitsPerSample / 8)).toShort)  // block align
+    buf.putShort(bitsPerSample.toShort)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    buf.array()                                      // samples stay zero
+  }
+
+  /** Build a minimal ISO-BMFF header — `ftyp` plus a `moov` holding one
+    * spec-complete 108-byte v0 `mvhd` — carrying the given movie
+    * timescale/duration. 132 bytes. */
+  def mp4Payload(timescale: Int, durationUnits: Long): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(16 + 8 + 108) // big-endian default
+    buf.putInt(16).put("ftyp".getBytes("US-ASCII"))
+    buf.put("isom".getBytes("US-ASCII")).putInt(0)
+    buf.putInt(8 + 108).put("moov".getBytes("US-ASCII"))
+    buf.putInt(108).put("mvhd".getBytes("US-ASCII"))
+    buf.putInt(0)                                    // version 0 + flags
+    buf.putInt(0).putInt(0)                          // creation/modification
+    buf.putInt(timescale).putInt(durationUnits.toInt)
+    buf.putInt(0x00010000).putShort(0x0100.toShort)  // rate 1.0, volume 1.0
+    buf.array()                                      // reserved/matrix stay zero
+  }
+
+  case class AvMeta(media_id: Long, kind: String, byte_len: Long,
+                    sample_rate: Int, channels: Int, duration_ms: Long)
+
+  /** Audio/video metadata decode — the [[decodeMeta]] shape for the
+    * time-based containers: WAV format fields + duration, MP4 movie
+    * duration (no per-stream fields without a codec; -1 marks absence,
+    * never a synthesized value). */
+  def decodeAvMeta(media: Dataset[MediaRow]): Dataset[AvMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val len = r.payload.length.toLong
+        parseWav(r.payload) match {
+          case Some((rate, ch, _, dur)) =>
+            AvMeta(r.media_id, "audio/wav", len, rate, ch, dur)
+          case None => parseMp4DurationMs(r.payload) match {
+            case Some(dur) => AvMeta(r.media_id, "video/mp4", len, -1, -1, dur)
+            case None => AvMeta(r.media_id, r.kind, len, -1, -1, -1L)
+          }
+        }
+      }
+    }
   }
 
   /** Decode per-partition: real header parse ([[parseDims]]) for

@@ -1094,6 +1094,57 @@ object Llm {
               CAST(33 + COALESCE(octet_length(encode(text)), 0) AS BIGINT) AS byte_len
             FROM documents ORDER BY doc_id"""))
 
+  // ---- multimodal: audio/video header decode (WAV fmt / MP4 mvhd) ------
+  // q97's pattern for the time-based containers: each doc becomes a
+  // complete PCM WAV (even doc_id — format fields and duration ride the
+  // canonical 44-byte header, little-endian) or an ISO-BMFF header with
+  // a spec-complete v0 mvhd (odd — movie duration via the box walk,
+  // big-endian), parameters derived from doc_id so the oracle recomputes
+  // them arithmetically; every derivation divides exactly, so no
+  // floor-rounding seam exists between engines. Golden byte literals in
+  // MultimodalSpec again cover the builder/parser-symmetric blind spot.
+  // Scale shape: identical to q97 — one typed mapPartitions, map-only.
+  private val multimodalAv = Q(
+    "q98_multimodal_av",
+    (s, dir) => {
+      import s.implicits._
+      import graft.llm.Multimodal
+      val media = t(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          if (id % 2 == 0) {
+            val k = (id % 3 + 1).toInt
+            val ch = if (id % 4 == 0) 1 else 2
+            val n = (8 * k * (id % 50 + 1)).toInt
+            Multimodal.MediaRow(id, "media/raw",
+              Multimodal.wavPayload(8000 * k, ch, 16, n))
+          } else {
+            val units = (id * 7) % 10000 + 600
+            Multimodal.MediaRow(id, "media/raw", Multimodal.mp4Payload(500, units))
+          }
+        }
+      Multimodal.decodeAvMeta(media)
+        .select(col("media_id").as("doc_id"), col("kind"), col("byte_len"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("duration_ms"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+              CASE WHEN doc_id % 2 = 0 THEN 'audio/wav' ELSE 'video/mp4' END AS kind,
+              CAST(CASE WHEN doc_id % 2 = 0
+                THEN 44 + 8*(doc_id%3+1)*(doc_id%50+1)
+                     * (CASE WHEN doc_id%4=0 THEN 1 ELSE 2 END) * 2
+                ELSE 132 END AS BIGINT) AS byte_len,
+              CAST(CASE WHEN doc_id % 2 = 0 THEN 8000*(doc_id%3+1)
+                ELSE -1 END AS BIGINT) AS sample_rate,
+              CAST(CASE WHEN doc_id % 2 = 0
+                THEN (CASE WHEN doc_id%4=0 THEN 1 ELSE 2 END)
+                ELSE -1 END AS BIGINT) AS channels,
+              CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id%50+1
+                ELSE ((doc_id*7)%10000+600)*2 END AS BIGINT) AS duration_ms
+            FROM documents ORDER BY doc_id"""))
+
   // ---- vocabulary building: document frequency, top-N ------------------
   // The vocab/BPE-prep stage of a training-data pipeline: distinct tokens
   // per doc, document frequency across the corpus, top-N. The classic
@@ -2499,8 +2550,8 @@ object Llm {
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
     minhashSignatures, minhashPairs, jaccardPairs, simhash, simhashPairs,
     simhashWidePairs, cosineTopK, embedBuckets, annTopK, embedNearDup,
-    ivfTopK, rollingFp, multimodalMeta, multimodalDecode, qualityScore,
-    piiScrub, corpusFilter,
+    ivfTopK, rollingFp, multimodalMeta, multimodalDecode, multimodalAv,
+    qualityScore, piiScrub, corpusFilter,
     vocabDf, decontaminate, bloomDecontam, bloomDecontamLarge,
     decontamProvenance, stratifiedSample, exactSample, sourceMix,
     seqPacking, lengthCurriculum, tfidfTopTerms, repetition,

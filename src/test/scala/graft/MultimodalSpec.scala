@@ -78,6 +78,61 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseDims(vp8) === None)
   }
 
+  test("golden WAV: canonical 44-byte LE header yields format + duration") {
+    val wav = bytes(
+      'R', 'I', 'F', 'F', 0xa4, 0x3e, 0x00, 0x00,   // size 16036 (LE)
+      'W', 'A', 'V', 'E',
+      'f', 'm', 't', ' ', 0x10, 0x00, 0x00, 0x00,   // fmt, len 16
+      0x01, 0x00,                                   // PCM
+      0x01, 0x00,                                   // mono
+      0x40, 0x1f, 0x00, 0x00,                       // 8000 Hz (LE)
+      0x80, 0x3e, 0x00, 0x00,                       // byte rate 16000
+      0x02, 0x00, 0x10, 0x00,                       // block align 2, 16 bit
+      'd', 'a', 't', 'a', 0x80, 0x3e, 0x00, 0x00)   // data len 16000
+    // 16000 bytes at 16000 B/s = exactly one second
+    assert(Multimodal.parseWav(wav) === Some((8000, 1, 16, 1000L)))
+  }
+
+  test("golden MP4: mvhd v0 and v1 box walks yield the movie duration") {
+    val v0 = bytes(
+      0x00, 0x00, 0x00, 0x10, 'f', 't', 'y', 'p',   // ftyp, size 16
+      'i', 's', 'o', 'm', 0x00, 0x00, 0x00, 0x00,
+      0x00, 0x00, 0x00, 0x24, 'm', 'o', 'o', 'v',   // moov, size 36
+      0x00, 0x00, 0x00, 0x1c, 'm', 'v', 'h', 'd',   // mvhd, size 28 (thru duration)
+      0x00, 0x00, 0x00, 0x00,                       // version 0 + flags
+      0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, // ctime, mtime
+      0x00, 0x00, 0x02, 0x58,                       // timescale 600 (BE)
+      0x00, 0x00, 0x04, 0xb0)                       // duration 1200
+    assert(Multimodal.parseMp4DurationMs(v0) === Some(2000L))
+    val v1 = bytes(
+      0x00, 0x00, 0x00, 0x30, 'm', 'o', 'o', 'v',   // moov, size 48
+      0x00, 0x00, 0x00, 0x28, 'm', 'v', 'h', 'd',   // mvhd, size 40 (thru duration)
+      0x01, 0x00, 0x00, 0x00,                       // version 1
+      0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, // 64-bit times
+      0x00, 0x00, 0x03, 0xe8,                       // timescale 1000
+      0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x13, 0x88) // duration u64 5000
+    assert(Multimodal.parseMp4DurationMs(v1) === Some(5000L))
+  }
+
+  test("WAV/MP4 builders round-trip; decodeAvMeta marks opaque blobs -1") {
+    import spark.implicits._
+    assert(Multimodal.parseWav(Multimodal.wavPayload(44100, 2, 16, 44100))
+      === Some((44100, 2, 16, 1000L)))
+    assert(Multimodal.parseMp4DurationMs(Multimodal.mp4Payload(500, 1234L))
+      === Some(2468L))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "media/raw", Multimodal.wavPayload(8000, 1, 16, 800)),
+      Multimodal.MediaRow(2L, "media/raw", Multimodal.mp4Payload(600, 1200L)),
+      Multimodal.MediaRow(3L, "text/plain", "no container here".getBytes("UTF-8")))
+    val meta = Multimodal.decodeAvMeta(rows.toDS()).collect()
+      .map(m => m.media_id -> m).toMap
+    assert((meta(1L).kind, meta(1L).sample_rate, meta(1L).channels,
+      meta(1L).duration_ms) === (("audio/wav", 8000, 1, 100L)))
+    assert((meta(2L).kind, meta(2L).duration_ms) === (("video/mp4", 2000L)))
+    assert((meta(3L).kind, meta(3L).sample_rate, meta(3L).duration_ms)
+      === (("text/plain", -1, -1L)))
+  }
+
   test("unparseable payloads are None, never synthesized") {
     assert(Multimodal.parseDims("just some text".getBytes("UTF-8")) === None)
     assert(Multimodal.parseDims(Array.empty[Byte]) === None)

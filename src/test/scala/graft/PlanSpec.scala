@@ -334,6 +334,14 @@ class PlanSpec extends SparkSpec {
       s"header decode must not shuffle anything before the presentation sort:\n$p")
   }
 
+  test("q98 audio/video decode is map-only: no join, no aggregate, one scan") {
+    val p = planOf(q("q98_multimodal_av")).split("== Initial Plan ==").head
+    assert(p.split("FileScan parquet").length - 1 === 1,
+      s"one pass over the corpus:\n$p")
+    assert(!p.contains("Join") && !p.contains("Aggregate"),
+      s"container decode must not shuffle anything before the presentation sort:\n$p")
+  }
+
   test("trained-codebook ADC keeps q94's scale shape (broadcast LUT, heap top-k)") {
     import graft.llm.Pq
     val vecs = graft.core.Tables.load(spark, sf, "embeddings")
