@@ -203,6 +203,43 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.count() === 500)
   }
 
+  test("decodeMeta runs unchanged on a stream (typed mapPartitions is stream-capable)") {
+    val dir = java.nio.file.Files.createTempDirectory("media-stream-in").toString
+    val docs = Tables.load(spark, sf, "documents").limit(40)
+    Multimodal.asMediaTable(docs).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    import spark.implicits._
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir).as[Multimodal.MediaRow]
+    val q = Multimodal.decodeMeta(stream).writeStream
+      .format("memory").queryName("media_meta").outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("media-ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("media_meta").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(5))).toSet
+    val batch = Multimodal.decodeMeta(Multimodal.asMediaTable(docs)).collect()
+      .map(m => (m.media_id, m.byte_len, m.content_hash)).toSet
+    assert(streamed === batch)
+  }
+
+  test("metadata-only projection never reads the binary payload column") {
+    val dir = java.nio.file.Files.createTempDirectory("media-prune").toString
+    val docs = Tables.load(spark, sf, "documents").limit(40)
+    Multimodal.decodeMeta(Multimodal.asMediaTable(docs))
+      .join(Multimodal.asMediaTable(docs), Seq("media_id", "kind"))
+      .write.mode("overwrite").parquet(dir)
+    // the docstring's 100 TB claim, measured: a stage that needs only the
+    // typed metadata must leave the payload bytes on disk
+    val metaOnly = spark.read.parquet(dir).select("media_id", "width", "height")
+    metaOnly.collect()
+    val plan = metaOnly.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema") && !plan.contains("payload"),
+      s"payload must be pruned from the scan:\n$plan")
+  }
+
   test("frame sampling emits ordinal+offset rows per payload") {
     val docs = Tables.load(spark, sf, "documents").limit(5)
     val frames = Multimodal.sampleFrames(Multimodal.asMediaTable(docs), everyNBytes = 64)
