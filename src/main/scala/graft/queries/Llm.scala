@@ -927,42 +927,58 @@ object Llm {
   // [0, 1] from punctuation density, stopword ratio, and mean word
   // length. Pure single-pass column arithmetic — at 100 TB this is a
   // map-only stage that fuses into the scan.
+  /** Per-doc quality signals + composite score (map-only; the
+    * ratio columns are UNROUNDED — consumers round at emission). The
+    * `quality` column is rounded 6 dp so rankings over it tie-break
+    * identically cross-engine. Shared by q60 (the report) and q101
+    * (quality-ranked survivor selection). */
+  private def qualityCols(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("tok_cnt", size(col("toks")).cast("double"))
+      .withColumn("punct_ratio",
+        length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("double") /
+          greatest(length(col("text")).cast("double"), lit(1.0)))
+      .withColumn("stop_ratio",
+        when(col("tok_cnt") > 0,
+          expr("CAST(size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)")
+            / col("tok_cnt")).otherwise(lit(0.0)))
+      .withColumn("mean_word_len",
+        when(col("tok_cnt") > 0,
+          length(array_join(col("toks"), "")).cast("double") / col("tok_cnt"))
+          .otherwise(lit(0.0)))
+      .withColumn("quality",
+        round(lit(0.4) * (lit(1.0) - col("punct_ratio")) +
+          lit(0.3) * least(col("stop_ratio") * 4, lit(1.0)) +
+          lit(0.3) * least(col("mean_word_len") / 8, lit(1.0)), 6))
+
+  /** DuckDB twin of [[qualityCols]]'s ratio stage (`qb`/`qm` names — the
+    * minhash CTE chain owns `b`, so queries composing both can share one
+    * WITH). Consumers compute/round `quality` at their emission site. */
+  private val qualitySqlCte =
+    s"""qb AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+        qm AS (SELECT doc_id,
+          CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) /
+            greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+          CASE WHEN len(toks) > 0
+            THEN CAST(len(list_filter(toks, x -> list_contains(['the', 'a', 'of', 'and', 'to'], x))) AS DOUBLE)
+              / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stop_ratio,
+          CASE WHEN len(toks) > 0
+            THEN CAST(length(array_to_string(toks, '')) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+            ELSE 0.0 END AS mean_word_len
+        FROM qb)"""
+
   private val qualityScore = Q(
     "q60_quality_score",
     (s, dir) =>
-      t(s, dir, "documents")
-        .withColumn("toks", expr(toksExpr))
-        .withColumn("tok_cnt", size(col("toks")).cast("double"))
-        .withColumn("punct_ratio",
-          length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("double") /
-            greatest(length(col("text")).cast("double"), lit(1.0)))
-        .withColumn("stop_ratio",
-          when(col("tok_cnt") > 0,
-            expr("CAST(size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)")
-              / col("tok_cnt")).otherwise(lit(0.0)))
-        .withColumn("mean_word_len",
-          when(col("tok_cnt") > 0,
-            length(array_join(col("toks"), "")).cast("double") / col("tok_cnt"))
-            .otherwise(lit(0.0)))
+      qualityCols(t(s, dir, "documents"))
         .select(col("doc_id"),
           round(col("punct_ratio"), 6).as("punct_ratio"),
           round(col("stop_ratio"), 6).as("stop_ratio"),
           round(col("mean_word_len"), 6).as("mean_word_len"),
-          round(lit(0.4) * (lit(1.0) - col("punct_ratio")) +
-            lit(0.3) * least(col("stop_ratio") * 4, lit(1.0)) +
-            lit(0.3) * least(col("mean_word_len") / 8, lit(1.0)), 6).as("quality"))
+          col("quality"))
         .orderBy("doc_id"),
-    Some(s"""WITH b AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
-            m AS (SELECT doc_id,
-              CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) /
-                greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
-              CASE WHEN len(toks) > 0
-                THEN CAST(len(list_filter(toks, x -> list_contains(['the', 'a', 'of', 'and', 'to'], x))) AS DOUBLE)
-                  / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stop_ratio,
-              CASE WHEN len(toks) > 0
-                THEN CAST(length(array_to_string(toks, '')) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
-                ELSE 0.0 END AS mean_word_len
-            FROM b)
+    Some(s"""WITH $qualitySqlCte
             SELECT doc_id,
               round(punct_ratio, 6) AS punct_ratio,
               round(stop_ratio, 6) AS stop_ratio,
@@ -970,7 +986,7 @@ object Llm {
               round(0.4 * (1.0 - punct_ratio) +
                     0.3 * least(stop_ratio * 4, 1.0) +
                     0.3 * least(mean_word_len / 8, 1.0), 6) AS quality
-            FROM m ORDER BY doc_id"""))
+            FROM qm ORDER BY doc_id"""))
 
   // ---- PII scrubbing (map-only redaction pass) -------------------------
   // The redaction stage of a training-data pipeline: emails and long
@@ -2546,6 +2562,257 @@ object Llm {
               CAST(count(*) AS BIGINT) AS n_kept
             FROM k GROUP BY doc_id ORDER BY doc_id"""))
 
+  // ---- graded contamination: per-doc benchmark overlap fraction --------
+  // q65 answers "is this doc contaminated?" with a fixed >= 2-shingle
+  // gate; published contamination analyses (PaLM §C, GPT-4 TR appendix)
+  // instead REPORT a per-document overlap grade — the fraction of the
+  // doc's distinct n-grams that appear in the benchmark — and threshold
+  // it, because a 300-shingle doc sharing 2 shingles is noise while a
+  // 10-shingle doc sharing 8 is a leak. Same scale shape as q65 (the
+  // benchmark side broadcasts, the corpus side is one linear shingle
+  // explode): ONE broadcast left join marks each corpus shingle, and
+  // per-doc total + hit counts come from the same map-side-partial
+  // aggregate, so the whole grade is a single pass over the corpus
+  // shingles. The flag thresholds the ROUNDED fraction (cross-engine
+  // stable, the q88 trick).
+  private val contamThreshold = 0.2
+
+  private val contamFrac = Q(
+    "q100_contam_frac",
+    (s, dir) => {
+      val sh = Staging.stage(shingleHashes(t(s, dir, "documents")))
+      val bench = sh.filter(col("doc_id") < 10)
+        .select("h").distinct().withColumn("hit", lit(1))
+      sh.filter(col("doc_id") >= 10)
+        .join(broadcast(bench), Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_shared"))
+        .withColumn("contam_frac",
+          round(col("n_shared").cast("double") / col("n_shingles"), 6))
+        .withColumn("contaminated", col("contam_frac") >= contamThreshold)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH b AS (SELECT doc_id, $toksSql AS toks FROM documents),
+            shl AS (SELECT doc_id, list_distinct($shingleSql) AS shingles FROM b),
+            shx AS (SELECT doc_id, md5(unnest(shingles)) AS h FROM shl),
+            bench AS (SELECT DISTINCT h FROM shx WHERE doc_id < 10),
+            agg AS (SELECT s.doc_id,
+                CAST(count(*) AS BIGINT) AS n_shingles,
+                CAST(count(bench.h) AS BIGINT) AS n_shared
+              FROM shx s LEFT JOIN bench ON s.h = bench.h
+              WHERE s.doc_id >= 10 GROUP BY s.doc_id)
+            SELECT doc_id, n_shingles, n_shared,
+              round(CAST(n_shared AS DOUBLE) / n_shingles, 6) AS contam_frac,
+              (round(CAST(n_shared AS DOUBLE) / n_shingles, 6)
+                >= $contamThreshold) AS contaminated
+            FROM agg ORDER BY doc_id"""))
+
+  // ---- quality-ranked near-dup survivor selection ----------------------
+  // q74 keeps each near-dup cluster's MIN-doc_id member — the right
+  // default when members are interchangeable. Production dedup usually
+  // keeps the BEST copy instead (the cleanest mirror of a boilerplate-
+  // mangled page): survivor = argmax of the q60 quality score, ties on
+  // doc_id. The quality signal is map-only and the survivor choice is
+  // one row_number window KEYED ON group_id (cardinality ~ corpus;
+  // never a global collapse) — nothing beyond q73's own clustering
+  // cost. Scores are rounded to 6 dp BEFORE ranking, so tie behavior is
+  // engine-independent.
+  private val qualitySurvivors = Q(
+    "q101_quality_survivors",
+    (s, dir) => {
+      val q = qualityCols(t(s, dir, "documents"))
+        .select(col("doc_id"), col("quality"))
+      val w = Window.partitionBy("group_id")
+        .orderBy(col("quality").desc, col("doc_id"))
+      q.join(docClusters(s, dir), Seq("doc_id"), "left")
+        .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select("doc_id", "group_id", "quality")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $minhashSigSqlCte, $minhashBandsSqlCte,
+            $jaccardEdgesSqlCte, $clusterSqlCte, $qualitySqlCte,
+            qs AS (SELECT doc_id,
+                round(0.4 * (1.0 - punct_ratio) +
+                      0.3 * least(stop_ratio * 4, 1.0) +
+                      0.3 * least(mean_word_len / 8, 1.0), 6) AS quality
+              FROM qm),
+            gg AS (SELECT q.doc_id,
+                COALESCE(c.cluster_id, q.doc_id) AS group_id, q.quality
+              FROM qs q LEFT JOIN clusters c ON q.doc_id = c.doc_id),
+            r AS (SELECT doc_id, group_id, quality,
+                row_number() OVER (PARTITION BY group_id
+                  ORDER BY quality DESC, doc_id) AS rk
+              FROM gg)
+            SELECT doc_id, group_id, quality FROM r
+            WHERE rk = 1 ORDER BY doc_id"""))
+
+  // ---- corpus topic clustering (deterministic k-means) -----------------
+  // The embedding-space labeling cluster-conditioned pipelines consume
+  // (SemDeDup's own first stage is corpus k-means — arXiv:2303.09540 §3;
+  // cluster-balanced mixing and per-topic curriculum read the same
+  // table). llm/Kmeans trains full-space Lloyd iterations with every
+  // nondeterminism pinned (md5-order seeds, dot-identity distances,
+  // (d2, cent_id) ties, empty clusters keep their centroid) and — the
+  // step that makes a TRAINED model an oracle row at all — rounds each
+  // iteration's centroid means to 6 dp, collapsing cross-engine
+  // partial-sum order before it can drift an assignment. The oracle
+  // replays the fixed iteration count as an unrolled CTE chain (Scala-
+  // generated below), so the driver verifies training end-to-end, not
+  // just a fixed-centroid assignment (q57/q86's weaker form). Scale per
+  // iteration: broadcast k-row centroids, map-side-collapsed assignment
+  // (shuffle <= one row per vector), k*d-row mean update — see Kmeans
+  // scaladoc.
+  private val kmeansK = 10 // fixture plants 10 label clusters
+  private val kmeansIters = 3
+
+  private def kmeansIterSql(i: Int): String =
+    s"""a$i AS (SELECT e.vec_id, e.v, c.cent_id,
+              list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+                + list_dot_product(c.cv, c.cv) AS d2
+            FROM en e CROSS JOIN c${i - 1} c),
+        w$i AS (SELECT vec_id, v, cent_id, d2,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rk
+            FROM a$i),
+        m$i AS (SELECT cent_id, u.i AS pos, round(avg(v[u.i]), 6) AS mv
+            FROM w$i, unnest(range(1, len(v) + 1)) AS u(i)
+            WHERE rk = 1 GROUP BY cent_id, u.i),
+        g$i AS (SELECT cent_id, list(mv ORDER BY pos) AS ncv FROM m$i GROUP BY cent_id),
+        c$i AS (SELECT c.cent_id, COALESCE(g.ncv, c.cv) AS cv
+            FROM c${i - 1} c LEFT JOIN g$i g USING (cent_id))"""
+
+  /** The DuckDB twin of `Kmeans.train` + final assignment: CTEs `en`
+    * (converted vectors), `c0..c$kmeansIters` (per-iteration trained
+    * centroids), and `tf` — one row per vector with its final (cell,
+    * d2). Shared by q99 (the labeling itself) and the trained-model
+    * consumers (q102 SemDeDup, q103 balanced sampling). */
+  private val kmeansChainSql: String =
+    s"""en AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        sd AS (SELECT vec_id, v,
+            CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+              vec_id) - 1 AS INT) AS cent_id
+          FROM en QUALIFY cent_id < $kmeansK),
+        c0 AS (SELECT cent_id, v AS cv FROM sd),
+        ${(1 to kmeansIters).map(kmeansIterSql).mkString(",\n")},
+        af AS (SELECT e.vec_id, e.v, c.cent_id,
+            list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+              + list_dot_product(c.cv, c.cv) AS d2
+          FROM en e CROSS JOIN c$kmeansIters c),
+        wf AS (SELECT vec_id, v, cent_id, d2,
+            row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rk
+          FROM af),
+        tf AS (SELECT vec_id, v, cent_id, d2 FROM wf WHERE rk = 1)"""
+
+  private val kmeansTopics = Q(
+    "q99_kmeans_topics",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.llm.Kmeans.topics(emb, kmeansK, kmeansIters)
+        .join(emb.select("vec_id", "label"), Seq("vec_id"))
+        .select("vec_id", "label", "topic", "dist2")
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH $kmeansChainSql
+            SELECT t.vec_id, e.label, t.cent_id AS topic,
+              round(t.d2, 6) AS dist2
+            FROM tf t JOIN embeddings e USING (vec_id)
+            ORDER BY t.vec_id"""))
+
+  // ---- SemDeDup over TRAINED cells -------------------------------------
+  // q86 proves the SemDeDup machinery against FIXED centroids (vec 1-8 —
+  // the oracle-replay trick of q57). The published pipeline trains its
+  // cells (Abbas et al. §3 run k-means first); with the q99 trainer now
+  // oracle-replayable, the production composition becomes a driver-
+  // verified row too: cells = trained k-means assignment (min-d2, the
+  // clustering's own geometry, rather than q86's max-cosine), within-
+  // cell cosine-≥-τ pairs, transitive-closure groups, survivor = the
+  // member FARTHEST from its centroid (max d2 — the paper keeps the
+  // least-typical exemplar; ties on vec_id). d2 needs no rounding for
+  // the ranking: both engines derive it from exact float inputs and the
+  // 6 dp-rounded trained centroids through the same left-to-right dot
+  // fold, so the compared bits are identical. Scale shape is q86's
+  // (bounded cell occupancy, cell equi-join pairs, keyed survivor
+  // window) on top of the trainer's (broadcast centroids, map-side
+  // collapses).
+  private val semDedupTrained = Q(
+    "q102_semdedup_trained",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = graft.llm.Kmeans.train(emb, kmeansK, kmeansIters)
+      val cells = Staging.stage(graft.llm.Kmeans.assign(emb, cb)
+        .withColumn("norm", sqrt(expr(dotExpr.format("v", "v")))))
+      val a = cells.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("norm").as("na"), col("cent_id").as("cell"))
+      val b = cells.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("norm").as("nb"), col("cent_id").as("cell"))
+      val pairs = a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b"))
+        .filter(expr(dotExpr.format("va", "vb")) / (col("na") * col("nb"))
+          >= semDedupTau)
+        .select("vec_a", "vec_b")
+      val comps = Components.connected(pairs, src = "vec_a", dst = "vec_b")
+        .select(col("id").as("vec_id"), col("comp"))
+      val kw = Window.partitionBy("group_id")
+        .orderBy(col("d2").desc, col("vec_id"))
+      cells.join(comps, Seq("vec_id"), "left")
+        .withColumn("group_id", coalesce(col("comp"), col("vec_id")))
+        .withColumn("rn", row_number().over(kw))
+        .select(col("vec_id"), col("cent_id").as("cell"), col("group_id"),
+          (col("rn") === 1).as("kept"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH RECURSIVE $kmeansChainSql,
+            cells AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm,
+                cent_id AS cell, d2 FROM tf),
+            jp AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+                FROM cells a JOIN cells b
+                  ON a.cell = b.cell AND a.vec_id < b.vec_id
+                WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm)
+                  >= $semDedupTau),
+            $clusterSqlCte,
+            g AS (SELECT cells.vec_id, cells.cell, cells.d2,
+                COALESCE(clusters.cluster_id, cells.vec_id) AS group_id
+              FROM cells LEFT JOIN clusters ON cells.vec_id = clusters.doc_id)
+            SELECT vec_id, cell, group_id,
+              (row_number() OVER (PARTITION BY group_id
+                 ORDER BY d2 DESC, vec_id) = 1) AS kept
+            FROM g ORDER BY vec_id"""))
+
+  // ---- cluster-balanced exact-count sampling ---------------------------
+  // The selection step cluster-conditioned curation runs on a topic
+  // labeling (DINOv2-style balanced curation, cluster-based pruning):
+  // exactly N vectors PER TOPIC, uniformly and reproducibly — de-skewing
+  // a corpus whose topics are power-law sized. Pure composition of the
+  // engine's existing machinery on the q99 labeling: q90's hash-order
+  // row_number, windowed per topic (one state counter per topic per
+  // task, never a global collapse), deterministic because vec_id seeds
+  // the hash.
+  private val perTopicN = 25
+
+  private val topicSample = Q(
+    "q103_per_topic_sample",
+    (s, dir) => {
+      val w = Window.partitionBy("topic").orderBy("h")
+      graft.llm.Kmeans.topics(t(s, dir, "embeddings"), kmeansK, kmeansIters)
+        .withColumn("h",
+          md5(concat(lit("topicsample|"), col("vec_id").cast("string"))))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= perTopicN)
+        .select("vec_id", "topic", "h", "rk")
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH $kmeansChainSql,
+            hx AS (SELECT vec_id, cent_id AS topic,
+                md5('topicsample|' || CAST(vec_id AS VARCHAR)) AS h FROM tf),
+            r AS (SELECT vec_id, topic, h,
+                CAST(row_number() OVER (PARTITION BY topic ORDER BY h)
+                  AS BIGINT) AS rk
+              FROM hx)
+            SELECT vec_id, topic, h, rk FROM r
+            WHERE rk <= $perTopicN ORDER BY vec_id"""))
+
   val queries: Seq[Q] = Seq(
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
     minhashSignatures, minhashPairs, jaccardPairs, simhash, simhashPairs,
@@ -2559,5 +2826,6 @@ object Llm {
     unigramLogprob, bigramLogprob, simhashClusters, incrementalClusters,
     semDedup, dupSpans, dsirWeights, corpusShuffle, perSourceSample,
     leakageSafeSplits, dupSpanScrub, perplexityBuckets, pqTopK, budgetEpochs,
-    gopherRules)
+    gopherRules, contamFrac, qualitySurvivors, kmeansTopics,
+    semDedupTrained, topicSample)
 }

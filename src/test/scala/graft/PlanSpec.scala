@@ -359,6 +359,50 @@ class PlanSpec extends SparkSpec {
       s"candidates must collapse in the bounded-heap aggregator:\n$p")
   }
 
+  test("q100 contamination grade broadcasts the benchmark; counts partial-aggregate") {
+    val p = planOf(q("q100_contam_frac"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the benchmark shingle set must broadcast — the corpus is never shuffled to it:\n$p")
+    assert(p.contains("partial_count"),
+      s"per-doc total/hit counts must combine map-side:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the grade is one broadcast probe over the corpus shingles:\n$p")
+  }
+
+  test("q101 survivor choice windows per group — keyed, never a global collapse") {
+    val p = planOf(q("q101_quality_survivors"))
+    assert("windowspecdefinition\\(group_id#\\d+".r.findFirstIn(p).isDefined,
+      s"survivor ranking must be partitioned by group_id:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"nothing in the survivor path may cross-join:\n$p")
+  }
+
+  test("q99 k-means: centroids ride broadcasts; assignment and means collapse map-side") {
+    val p = planOf(q("q99_kmeans_topics"))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the k-row centroid table must broadcast into the corpus scan:\n$p")
+    assert(p.contains("partial_min"),
+      s"the k candidate rows per vector must collapse BEFORE any shuffle:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"no corpus shuffle join anywhere in the training loop:\n$p")
+  }
+
+  test("q102 trained-cell pair join is keyed on the cell, never corpus all-pairs") {
+    val p = planOf(q("q102_semdedup_trained"))
+    assert(!p.contains("CartesianProduct"),
+      s"within-cell pairs must come from a cell equi-join:\n$p")
+    assert("windowspecdefinition\\(group_id#\\d+".r.findFirstIn(p).isDefined,
+      s"survivor choice must window per group:\n$p")
+  }
+
+  test("q103 balanced sample windows per topic — no global collapse") {
+    val p = planOf(q("q103_per_topic_sample"))
+    assert("windowspecdefinition\\(topic#\\d+".r.findFirstIn(p).isDefined,
+      s"row_number must be partitioned by topic:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"the rk<=N cut must run as a group limit, not a full per-topic sort:\n$p")
+  }
+
   test("q74 survivor anti-join is a hash join on doc_id, never a nested loop") {
     // fixture precondition: with zero dominated docs AQE's empty-relation
     // propagation legitimately erases the anti-join, so the plan shape

@@ -96,4 +96,22 @@ class ShuffleGrowthSpec extends SparkSpec {
     assert(rec8 <= rec1 * 16, s"contraction shuffle records grew superlinearly: $rec1 -> $rec8")
     assert(byt8 <= byt1 * 16, s"contraction shuffle bytes grew superlinearly: $byt1 -> $byt8")
   }
+
+  test("k-means assignment shuffle is corpus-sized, independent of k") {
+    // the claim behind q99/q102/q103's training loop: the k candidate
+    // rows per vector collapse MAP-SIDE (partial min before the wire),
+    // so assignment shuffle carries ~one row per vector no matter how
+    // many centroids the broadcast fans out
+    import graft.llm.Kmeans
+    val emb = Tables.load(spark, sf, "embeddings")
+    val cb4 = Kmeans.train(emb, 4, iters = 1)
+    val cb16 = Kmeans.train(emb, 16, iters = 1)
+    val (rec4, _) = measureShuffle { Kmeans.assign(emb, cb4).count() }
+    val (rec16, _) = measureShuffle { Kmeans.assign(emb, cb16).count() }
+    info(f"assignment shuffle records k=4: $rec4 k=16: $rec16 " +
+      f"ratio=${rec16.toDouble / rec4}%.2f")
+    assert(rec4 > 0, "the assignment must actually shuffle its collapsed rows")
+    assert(rec16 <= rec4 * 2,
+      s"assignment shuffle must not scale with k (map-side collapse): $rec4 -> $rec16")
+  }
 }
