@@ -1,0 +1,108 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Staging
+
+/** Distributed BPE merge training (Sennrich et al. 2016, arXiv:1508.07909)
+  * — TOKENIZER training as an engine operator, the canonical
+  * LLM-pipeline step the text tier was still missing. Classic BPE over
+  * the corpus word histogram: start from character symbols, repeatedly
+  * (1) count adjacent symbol pairs weighted by word frequency, (2) pick
+  * the most frequent pair (ties: lexicographic on the pair — the
+  * determinism knob reference implementations leave to dict order), and
+  * (3) merge its occurrences greedily left-to-right within every word.
+  *
+  * The merge application is the part naive ports get wrong in SQL: the
+  * greedy scan looks inherently sequential. It isn't — overlapping
+  * matches only happen on runs of one repeated symbol (a match at p and
+  * p+1 forces x = y), and within such a run the greedy scan keeps
+  * exactly the matches at even offsets from the run start. So one pass
+  * of window functions reproduces the scan exactly:
+  *   lead(s)           -> pair at each position;
+  *   running match count -> run id (p - mrn is constant per run);
+  *   min(p) per run    -> keep = even offset;
+  *   lag(keep)         -> the position consumed by the previous merge.
+  * Every window is keyed on `word`, every aggregate has map-side
+  * partials, and the best-pair cut is TakeOrdered(1) riding a broadcast
+  * back into the rewrite — nothing collapses the vocabulary to one task
+  * and nothing touches the corpus at all after the histogram: per-merge
+  * cost is VOCABULARY-sized (Heaps' law: ~10^6-10^7 types at 100 TB —
+  * a keyed-window Spark job per merge, the same shape production BPE
+  * trainers distribute), corpus-sized work happens exactly once.
+  *
+  * Everything is integer/string arithmetic — no floats anywhere — so the
+  * DuckDB oracle replays training bit-exactly as an unrolled CTE chain
+  * (q104/q105).
+  */
+object Bpe {
+
+  /** Initial character symbols for a (word, cnt) histogram. */
+  def withCharSyms(words: DataFrame): DataFrame =
+    words.withColumn("syms",
+      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+
+  /** One merge step over a (word, cnt, syms) table.
+    * @return (bestPair: 1-row (x, y, pair_count) frame — staged,
+    *         rewritten: (word, cnt, syms) with the pair merged) */
+  def step(words: DataFrame): (DataFrame, DataFrame) = {
+    val wp = Window.partitionBy("word").orderBy("p")
+    val pos = Staging.stage(positionsOf(words))
+    val bp = Staging.stage(bestPairOf(pos))
+    val rewritten = pos.crossJoin(broadcast(bp))
+      .withColumn("mt",
+        coalesce(col("s") === col("x") && col("ns") === col("y"), lit(false)))
+      .withColumn("mrn", sum(when(col("mt"), 1).otherwise(0)).over(wp))
+      // p - mrn is constant across a maximal run of consecutive matches
+      .withColumn("run", when(col("mt"), col("p") - col("mrn")))
+      .withColumn("rs", min(col("p")).over(Window.partitionBy("word", "run")))
+      .withColumn("keep", col("mt") && (col("p") - col("rs")) % 2 === 0)
+      .withColumn("consumed", coalesce(lag(col("keep"), 1).over(wp), lit(false)))
+      .filter(!col("consumed"))
+      .withColumn("s2",
+        when(col("keep"), concat(col("s"), col("ns"))).otherwise(col("s")))
+      .groupBy("word", "cnt")
+      // in-row sort by position (q92's trick): collect order is
+      // partition-dependent, the array_sort makes it deterministic
+      .agg(expr("transform(array_sort(collect_list(struct(p, s2))), q -> q.s2)")
+        .as("syms"))
+    (bp, rewritten)
+  }
+
+  /** The per-position symbol table with its lead pair — the unstaged
+    * form (step() stages it; exposed so plan-shape specs can see through
+    * the staging truncation). */
+  private[graft] def positionsOf(words: DataFrame): DataFrame = {
+    val wp = Window.partitionBy("word").orderBy("p")
+    words
+      .select(col("word"), col("cnt"), posexplode(col("syms")).as(Seq("p0", "s")))
+      .select(col("word"), col("cnt"), (col("p0") + 1).as("p"), col("s"))
+      .withColumn("ns", lead(col("s"), 1).over(wp))
+  }
+
+  /** Most frequent adjacent pair, ties lexicographic — TakeOrdered(1),
+    * never a global sort (unstaged; step() stages it). */
+  private[graft] def bestPairOf(pos: DataFrame): DataFrame =
+    pos.filter(col("ns").isNotNull)
+      .groupBy(col("s").as("x"), col("ns").as("y"))
+      .agg(sum(col("cnt")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("x"), col("y"))
+      .limit(1)
+
+  /** Learn `steps` merges from a (word, cnt) histogram.
+    * @return (merges: (step, x, y, pair_count) — `steps` rows,
+    *         vocab: (word, cnt, syms) after all merges) */
+  def train(words: DataFrame, steps: Int): (DataFrame, DataFrame) = {
+    var vocab = Staging.stage(withCharSyms(words))
+    val merges = Seq.newBuilder[DataFrame]
+    for (i <- 1 to steps) {
+      val (bp, rewritten) = step(vocab)
+      merges += bp.withColumn("step", lit(i))
+      vocab = Staging.stage(rewritten)
+    }
+    (merges.result().reduce(_ unionByName _)
+      .select("step", "x", "y", "pair_count"), vocab)
+  }
+}

@@ -2813,6 +2813,103 @@ object Llm {
             SELECT vec_id, topic, h, rk FROM r
             WHERE rk <= $perTopicN ORDER BY vec_id"""))
 
+  // ---- BPE tokenizer training ------------------------------------------
+  // llm/Bpe trains byte-pair-encoding merges over the corpus word
+  // histogram (Sennrich et al., arXiv:1508.07909) — see its scaladoc for
+  // why the greedy left-to-right merge scan is exactly reproducible with
+  // keyed window functions (overlaps only occur on single-symbol runs,
+  // where greedy = even offsets from the run start). All integer/string
+  // arithmetic, so the oracle replays TRAINING bit-exactly: each
+  // iteration is one CTE block (Scala-generated below), the best pair a
+  // 1-row ORDER BY ... LIMIT 1 cut with the same lexicographic
+  // tie-break. q104 emits the learned merge table; q105 applies the
+  // learned tokenizer to the corpus (per-doc BPE token counts) — the
+  // rewrite runs on the VOCABULARY, the corpus pays one explode + one
+  // keyed join.
+  private val bpeSteps = 4
+
+  private def bpeStepSql(i: Int): String =
+    s"""p$i AS (SELECT word, cnt, unnest(syms) AS s,
+              generate_subscripts(syms, 1) AS p FROM w${i - 1}),
+        m$i AS (SELECT *, lead(s) OVER (PARTITION BY word ORDER BY p) AS ns
+              FROM p$i),
+        bp$i AS (SELECT s AS x, ns AS y, CAST(sum(cnt) AS BIGINT) AS pair_count
+              FROM m$i WHERE ns IS NOT NULL GROUP BY s, ns
+              ORDER BY pair_count DESC, x, y LIMIT 1),
+        f$i AS (SELECT m.*, b.x, b.y,
+              coalesce(m.s = b.x AND m.ns = b.y, false) AS mt
+              FROM m$i m CROSS JOIN bp$i b),
+        g$i AS (SELECT *, sum(CASE WHEN mt THEN 1 ELSE 0 END)
+                OVER (PARTITION BY word ORDER BY p) AS mrn FROM f$i),
+        r$i AS (SELECT *, CASE WHEN mt THEN p - mrn END AS run FROM g$i),
+        k$i AS (SELECT *, mt AND ((p - min(p)
+                OVER (PARTITION BY word, run)) % 2 = 0) AS keep FROM r$i),
+        x$i AS (SELECT *, coalesce(lag(keep)
+                OVER (PARTITION BY word ORDER BY p), false) AS consumed
+              FROM k$i),
+        w$i AS (SELECT word, cnt,
+              list(CASE WHEN keep THEN s || ns ELSE s END ORDER BY p) AS syms
+              FROM x$i WHERE NOT consumed GROUP BY word, cnt)"""
+
+  /** CTEs `w0` (char-split corpus word histogram) through `w$bpeSteps`
+    * (post-merge vocabulary) and `bp1..bp$bpeSteps` (the learned pairs). */
+  private val bpeChainSql: String =
+    s"""t0 AS (SELECT $toksSql AS toks FROM documents),
+        wh AS (SELECT unnest(toks) AS word FROM t0),
+        w0 AS (SELECT word, count(*) AS cnt,
+              list_transform(generate_series(1, length(word)),
+                i -> substr(word, i, 1)) AS syms
+              FROM wh GROUP BY word),
+        ${(1 to bpeSteps).map(bpeStepSql).mkString(",\n")}"""
+
+  private def corpusWordHist(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(expr(toksExpr)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  private val bpeMerges = Q(
+    "q104_bpe_merges",
+    (s, dir) => {
+      val (merges, _) = graft.llm.Bpe.train(corpusWordHist(s, dir), bpeSteps)
+      merges.select(col("step"), col("x").as("merge_left"),
+        col("y").as("merge_right"), col("pair_count")).orderBy("step")
+    },
+    Some(s"""WITH $bpeChainSql
+            ${(1 to bpeSteps).map(i =>
+              s"SELECT CAST($i AS INT) AS step, x AS merge_left, y AS merge_right, pair_count FROM bp$i")
+              .mkString("\nUNION ALL\n")}
+            ORDER BY step"""))
+
+  private val bpeEncode = Q(
+    "q105_bpe_encode",
+    (s, dir) => {
+      val (_, vocab) = graft.llm.Bpe.train(corpusWordHist(s, dir), bpeSteps)
+      val wlen = vocab.select(col("word"),
+        size(col("syms")).cast("long").as("n_syms"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(toksExpr)).as("word"))
+        .join(wlen, Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_words"),
+          sum(length(col("word"))).cast("long").as("n_chars"),
+          sum(col("n_syms")).cast("long").as("n_bpe_tokens"))
+        .withColumn("compression",
+          round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $bpeChainSql,
+            wl AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_syms
+                  FROM w$bpeSteps),
+            dx AS (SELECT doc_id, unnest($toksSql) AS word FROM documents)
+            SELECT dx.doc_id,
+              CAST(count(*) AS BIGINT) AS n_words,
+              CAST(sum(length(dx.word)) AS BIGINT) AS n_chars,
+              CAST(sum(wl.n_syms) AS BIGINT) AS n_bpe_tokens,
+              round(CAST(sum(length(dx.word)) AS DOUBLE) / sum(wl.n_syms), 6)
+                AS compression
+            FROM dx JOIN wl USING (word)
+            GROUP BY dx.doc_id ORDER BY doc_id"""))
+
   val queries: Seq[Q] = Seq(
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
     minhashSignatures, minhashPairs, jaccardPairs, simhash, simhashPairs,
@@ -2827,5 +2924,5 @@ object Llm {
     semDedup, dupSpans, dsirWeights, corpusShuffle, perSourceSample,
     leakageSafeSplits, dupSpanScrub, perplexityBuckets, pqTopK, budgetEpochs,
     gopherRules, contamFrac, qualitySurvivors, kmeansTopics,
-    semDedupTrained, topicSample)
+    semDedupTrained, topicSample, bpeMerges, bpeEncode)
 }

@@ -403,6 +403,40 @@ class PlanSpec extends SparkSpec {
       s"the rk<=N cut must run as a group limit, not a full per-topic sort:\n$p")
   }
 
+  test("q104 BPE training: word-keyed windows, TakeOrdered best pair, map-side counts") {
+    // train() stages every stage boundary, so the interesting shapes are
+    // asserted on the unstaged sub-pipelines (the KmeansSpec pattern)
+    import graft.llm.Bpe
+    val hist = graft.core.Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.expr(graft.queries.Llm.toksExpr)).as("word"))
+      .groupBy("word").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+    val pos = Bpe.positionsOf(Bpe.withCharSyms(hist))
+    val pPos = planOf(pos)
+    assert("windowspecdefinition\\(word#\\d+".r.findFirstIn(pPos).isDefined,
+      s"the pair lead must window per word:\n$pPos")
+    assert(!pPos.contains("Exchange SinglePartition"),
+      s"nothing in the position table may collapse to one task:\n$pPos")
+    val pBp = planOf(Bpe.bestPairOf(pos))
+    assert(pBp.contains("TakeOrderedAndProject"),
+      s"the best-pair cut must be TakeOrdered(1), never a global sort:\n$pBp")
+    assert(pBp.contains("partial_sum"),
+      s"pair counts must combine map-side:\n$pBp")
+    val p = planOf(q("q104_bpe_merges"))
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere in training:\n$p")
+  }
+
+  test("q105 BPE encode joins the corpus to the vocab keyed — no broadcast mandate") {
+    // the vocabulary is Heaps'-law sized at web scale (the q70/q78
+    // argument): the corpus-to-vocab join must carry no broadcast hint
+    val p = planOf(q("q105_bpe_encode"))
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"per-doc token counts must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"corpus-vocab lookup must stay a keyed join:\n$p")
+  }
+
   test("q74 survivor anti-join is a hash join on doc_id, never a nested loop") {
     // fixture precondition: with zero dominated docs AQE's empty-relation
     // propagation legitimately erases the anti-join, so the plan shape

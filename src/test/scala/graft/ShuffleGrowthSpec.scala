@@ -114,4 +114,33 @@ class ShuffleGrowthSpec extends SparkSpec {
     assert(rec16 <= rec4 * 2,
       s"assignment shuffle must not scale with k (map-side collapse): $rec4 -> $rec16")
   }
+
+  test("BPE merge steps never touch the corpus: step shuffle flat across corpus size") {
+    // the q104 scale claim: corpus-sized work happens exactly once (the
+    // histogram); every merge step runs on the VOCABULARY. Replicate the
+    // corpus 8x with the SAME vocabulary (ids shifted, tokens untouched —
+    // counts x8, histogram row count unchanged) and the per-step shuffle
+    // must stay flat, unlike a design that rescans the token stream.
+    import graft.llm.Bpe
+    import graft.core.Staging
+    def vocab(k: Int) = {
+      val base = Tables.load(spark, sf, "documents").select("doc_id", "text")
+      val corpus = (0 until k).map(i =>
+        base.select((col("doc_id") + lit(i * 100000L)).as("doc_id"), col("text")))
+        .reduce(_ unionByName _)
+      val v = Staging.stage(Bpe.withCharSyms(corpus
+        .select(explode(expr(Llm.toksExpr)).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))))
+      v.count() // materialize the histogram OUTSIDE the measured step
+      v
+    }
+    val v1 = vocab(1)
+    val v8 = vocab(8)
+    val (rec1, _) = measureShuffle { Bpe.step(v1)._2.count() }
+    val (rec8, _) = measureShuffle { Bpe.step(v8)._2.count() }
+    info(f"step shuffle records 1x=$rec1 8x=$rec8 ratio=${rec8.toDouble / rec1}%.2f")
+    assert(rec1 > 0, "the merge step must actually shuffle its keyed windows")
+    assert(rec8 <= rec1 * 3 / 2,
+      s"merge-step shuffle must not grow with corpus size: $rec1 -> $rec8")
+  }
 }
