@@ -92,17 +92,47 @@ object Bpe {
       .limit(1)
 
   /** Learn `steps` merges from a (word, cnt) histogram.
-    * @return (merges: (step, x, y, pair_count) — `steps` rows,
-    *         vocab: (word, cnt, syms) after all merges) */
-  def train(words: DataFrame, steps: Int): (DataFrame, DataFrame) = {
+    * @param observe training telemetry hook `(stage, rows) => Unit`,
+    *   zero-cost when None: per step, the chosen pair's weighted count
+    *   (`bpe:step{i}_pair_count`) and the vocabulary's remaining symbol
+    *   total (`bpe:step{i}_vocab_symbols` — the compression curve).
+    * @return (merges: (step, x, y, pair_count) — up to `steps` rows
+    *         (fewer on pair exhaustion), vocab: (word, cnt, syms) after
+    *         all merges) */
+  def train(words: DataFrame, steps: Int,
+            observe: Option[(String, Long) => Unit] = None): (DataFrame, DataFrame) = {
+    def report(stage: String)(rows: => Long): Unit = observe.foreach(_(stage, rows))
     var vocab = Staging.stage(withCharSyms(words))
     val merges = Seq.newBuilder[DataFrame]
-    for (i <- 1 to steps) {
+    var exhausted = false
+    for (i <- 1 to steps if !exhausted) {
       val (bp, rewritten) = step(vocab)
-      merges += bp.withColumn("step", lit(i))
-      vocab = Staging.stage(rewritten)
+      // pair exhaustion (every word down to one symbol): stop — the
+      // empty best-pair frame would otherwise annihilate the vocab
+      // through its cross join. bp is staged, so the emptiness probe is
+      // a driver check on a 0/1-row materialized frame, not a job.
+      if (bp.isEmpty) exhausted = true
+      else {
+        merges += bp.withColumn("step", lit(i))
+        vocab = Staging.stage(rewritten)
+        // merge-progress telemetry (the Components discipline — counted
+        // off the STAGED frames, zero cost when unobserved): the chosen
+        // pair's weighted count, and the total symbols left in the
+        // vocabulary (the compression curve a production training run
+        // watches for convergence / early stop)
+        report(s"bpe:step${i}_pair_count")(
+          bp.collect().head.getLong(2))
+        report(s"bpe:step${i}_vocab_symbols")(
+          vocab.agg(sum(size(col("syms")))).collect().head.getLong(0))
+      }
     }
-    (merges.result().reduce(_ unionByName _)
-      .select("step", "x", "y", "pair_count"), vocab)
+    val mergeFrames = merges.result()
+    val mergesDf =
+      if (mergeFrames.isEmpty)
+        vocab.sparkSession.emptyDataFrame
+          .select(lit(1).as("step"), lit("").as("x"), lit("").as("y"),
+            lit(0L).as("pair_count")).limit(0)
+      else mergeFrames.reduce(_ unionByName _)
+    (mergesDf.select("step", "x", "y", "pair_count"), vocab)
   }
 }

@@ -104,9 +104,16 @@ object Kmeans {
   }
 
   /** Train `k` centroids with `iters` Lloyd iterations.
+    * @param observe training telemetry hook `(stage, rows) => Unit`
+    *   (the Components discipline: counted off STAGED frames, zero cost
+    *   when None): per iteration, `kmeans:iter{i}_active_cells` = how
+    *   many clusters received a mean update — the production signal for
+    *   cluster collapse (k minus active = starved cells keeping stale
+    *   centroids). Wire to `RunTelemetry.record`.
     * @return (cent_id: int, cv: array<double>) — k rows, means rounded
     *         to 6 dp (oracle-replayable; see object doc) */
-  def train(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+  def train(vectors: DataFrame, k: Int, iters: Int,
+            observe: Option[(String, Long) => Unit] = None): DataFrame = {
     graft.plans.VectorDot.register(vectors.sparkSession)
     val en = Staging.stage(vecs(vectors))
     val seedOrd = Seq(md5(col("vec_id").cast("string")), col("vec_id"))
@@ -114,8 +121,14 @@ object Kmeans {
       .withColumn("cent_id",
         (row_number().over(Window.orderBy(seedOrd: _*)) - 1).cast("int"))
     var cb = Staging.stage(seeds.select(col("cent_id"), col("v").as("cv")))
-    for (_ <- 0 until iters) {
-      cb = Staging.stage(cb.join(meansOf(assignVecs(en, cb)), Seq("cent_id"), "left")
+    for (i <- 1 to iters) {
+      // staged only when observed, so the unobserved path keeps its
+      // exact plan (and bench cost); the count then scans k staged rows
+      val means =
+        if (observe.isDefined) Staging.stage(meansOf(assignVecs(en, cb)))
+        else meansOf(assignVecs(en, cb))
+      observe.foreach(_(s"kmeans:iter${i}_active_cells", means.count()))
+      cb = Staging.stage(cb.join(means, Seq("cent_id"), "left")
         .select(col("cent_id"), coalesce(col("ncv"), col("cv")).as("cv")))
     }
     cb

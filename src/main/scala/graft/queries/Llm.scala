@@ -2910,6 +2910,94 @@ object Llm {
             FROM dx JOIN wl USING (word)
             GROUP BY dx.doc_id ORDER BY doc_id"""))
 
+  // ---- stupid-backoff LM scoring (cross-slice) -------------------------
+  // Brants et al. 2007 ("Large Language Models in Machine Translation",
+  // EMNLP) — the distributed-LM scoring scheme built precisely for this
+  // engine's situation: MLE n-gram tables sharded across machines, no
+  // normalized smoothing, unseen n-grams handled by backing off with a
+  // fixed penalty: S(w|v) = cnt(v w)/cnt(v ·) if seen, else
+  // alpha * S(w), with S(w) = cnt(w)/N and alpha = 0.4 (the paper's
+  // constant); a token unseen even as a unigram bottoms out at
+  // alpha^2 / N. q84 estimates its LM on the SAME corpus it scores, so
+  // by construction no backoff ever fires there; here the LM is
+  // estimated on a TRAINING SLICE (doc_id < sbSplit) and scores the
+  // held-out rest — the production shape (external LM, eval scoring),
+  // and the backoff path actually executes (n_backoff is emitted as an
+  // observable). Scale: LM bigram/unigram tables are Heaps'-law sized —
+  // keyed left joins, NO broadcast mandate (q70/q78/q84's rule); only
+  // the 1-row token total is hint-broadcast. The float seam is the
+  // usual avg-of-logs, rounded 6 dp at emission.
+  private val sbAlpha = 0.4
+  private val sbSplit = 250L
+
+  private val stupidBackoff = Q(
+    "q106_stupid_backoff",
+    (s, dir) => {
+      val toks = t(s, dir, "documents").withColumn("toks", expr(toksExpr))
+      def bigramsOf(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), explode(expr(
+          """zip_with(slice(toks, 1, greatest(size(toks)-1, 0)),
+                      slice(toks, 2, greatest(size(toks)-1, 0)),
+                      (a, b) -> struct(a AS w1, b AS w2))""")).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val lmToks = toks.filter(col("doc_id") < sbSplit)
+      val lmBig = Staging.stage(bigramsOf(lmToks))
+      val biCnt = lmBig.groupBy("w1", "w2").agg(count(lit(1)).as("bi_cnt"))
+      val ctxCnt = lmBig.groupBy("w1").agg(count(lit(1)).as("ctx_cnt"))
+      val lmUni = lmToks.select(explode(col("toks")).as("w2"))
+        .groupBy("w2").agg(count(lit(1)).as("uni_cnt"))
+      val nTot = lmToks.select(explode(col("toks")).as("w"))
+        .agg(count(lit(1)).cast("double").as("n_total"))
+      bigramsOf(toks.filter(col("doc_id") >= sbSplit))
+        .join(biCnt, Seq("w1", "w2"), "left")
+        .join(ctxCnt, Seq("w1"), "left")
+        .join(lmUni, Seq("w2"), "left")
+        .crossJoin(broadcast(nTot))
+        .withColumn("s",
+          when(col("bi_cnt").isNotNull,
+            col("bi_cnt").cast("double") / col("ctx_cnt"))
+            .when(col("uni_cnt").isNotNull,
+              lit(sbAlpha) * col("uni_cnt") / col("n_total"))
+            .otherwise(lit(sbAlpha) * lit(sbAlpha) / col("n_total")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_scored"),
+          sum(when(col("bi_cnt").isNull, 1).otherwise(0)).cast("long")
+            .as("n_backoff"),
+          round(avg(log(col("s"))), 6).as("avg_logs"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH b AS (SELECT doc_id, $toksSql AS toks FROM documents),
+            x AS (SELECT doc_id, unnest(toks) AS w,
+                generate_subscripts(toks, 1) AS i FROM b),
+            g AS (SELECT a.doc_id, a.w AS w1, c.w AS w2
+                FROM x a JOIN x c ON a.doc_id = c.doc_id AND c.i = a.i + 1),
+            lb AS (SELECT w1, w2, count(*) AS bi_cnt FROM g
+                WHERE doc_id < $sbSplit GROUP BY w1, w2),
+            lc AS (SELECT w1, count(*) AS ctx_cnt FROM g
+                WHERE doc_id < $sbSplit GROUP BY w1),
+            lu AS (SELECT w AS w2, count(*) AS uni_cnt FROM x
+                WHERE doc_id < $sbSplit GROUP BY w),
+            nt AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM x
+                WHERE doc_id < $sbSplit),
+            hx AS (SELECT g.doc_id, lb.bi_cnt, lc.ctx_cnt, lu.uni_cnt,
+                nt.n_total
+              FROM g LEFT JOIN lb USING (w1, w2) LEFT JOIN lc USING (w1)
+                LEFT JOIN lu USING (w2) CROSS JOIN nt
+              WHERE g.doc_id >= $sbSplit),
+            sv AS (SELECT doc_id,
+                CASE WHEN bi_cnt IS NOT NULL
+                       THEN CAST(bi_cnt AS DOUBLE) / ctx_cnt
+                     WHEN uni_cnt IS NOT NULL
+                       THEN CAST($sbAlpha AS DOUBLE) * uni_cnt / n_total
+                     ELSE CAST($sbAlpha AS DOUBLE) * CAST($sbAlpha AS DOUBLE)
+                       / n_total END AS s,
+                CASE WHEN bi_cnt IS NULL THEN 1 ELSE 0 END AS bo
+              FROM hx)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+              CAST(sum(bo) AS BIGINT) AS n_backoff,
+              round(avg(ln(s)), 6) AS avg_logs
+            FROM sv GROUP BY doc_id ORDER BY doc_id"""))
+
   val queries: Seq[Q] = Seq(
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
     minhashSignatures, minhashPairs, jaccardPairs, simhash, simhashPairs,
@@ -2924,5 +3012,5 @@ object Llm {
     semDedup, dupSpans, dsirWeights, corpusShuffle, perSourceSample,
     leakageSafeSplits, dupSpanScrub, perplexityBuckets, pqTopK, budgetEpochs,
     gopherRules, contamFrac, qualitySurvivors, kmeansTopics,
-    semDedupTrained, topicSample, bpeMerges, bpeEncode)
+    semDedupTrained, topicSample, bpeMerges, bpeEncode, stupidBackoff)
 }

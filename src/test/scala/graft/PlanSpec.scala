@@ -437,6 +437,20 @@ class PlanSpec extends SparkSpec {
       s"corpus-vocab lookup must stay a keyed join:\n$p")
   }
 
+  test("q106 backoff LM tables join keyed — no broadcast mandate; counts partial") {
+    val p = planOf(q("q106_stupid_backoff"))
+    assert(!p.contains("CartesianProduct"),
+      s"only the 1-row token total may cross-join (as a broadcast):\n$p")
+    assert(p.contains("partial_count"),
+      s"LM count tables must combine map-side:\n$p")
+    // the bigram/unigram model tables are Heaps'-law sized: the plan
+    // must not hard-code a broadcast hint on them (the q70/q78/q84 rule)
+    val hints = "broadcast".r.findAllIn(
+      q("q106_stupid_backoff").queryExecution.logical.toString).length
+    assert(hints <= 1,
+      s"only n_total may carry a broadcast hint, found $hints")
+  }
+
   test("q74 survivor anti-join is a hash join on doc_id, never a nested loop") {
     // fixture precondition: with zero dominated docs AQE's empty-relation
     // propagation legitimately erases the anti-join, so the plan shape

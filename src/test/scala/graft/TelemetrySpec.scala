@@ -98,6 +98,33 @@ class TelemetrySpec extends SparkSpec {
     } finally t.detach()
   }
 
+  test("k-means and BPE training report per-iteration telemetry") {
+    import spark.implicits._
+    val t = RunTelemetry.attach(spark, "run-5")
+    try {
+      val vecs = (1L to 20L)
+        .map(i => (i, Seq.fill(4)((i % 5).toFloat))).toDF("vec_id", "embedding")
+      graft.llm.Kmeans.train(vecs, k = 3, iters = 2,
+        observe = Some((st, n) => t.record(st, n))).count()
+      val cells = t.reports.filter(_.action.startsWith("kmeans:iter"))
+      assert(cells.map(_.action) === Seq("kmeans:iter1_active_cells",
+        "kmeans:iter2_active_cells"))
+      assert(cells.forall(r => r.rows >= 1 && r.rows <= 3))
+
+      val words = Seq(("aaaa", 10L), ("ab", 2L)).toDF("word", "cnt")
+      graft.llm.Bpe.train(words, steps = 2,
+        observe = Some((st, n) => t.record(st, n)))._2.count()
+      val pairs = t.reports.filter(_.action.contains("bpe:step")).sortBy(_.action)
+      assert(pairs.map(_.action) === Seq(
+        "bpe:step1_pair_count", "bpe:step1_vocab_symbols",
+        "bpe:step2_pair_count", "bpe:step2_vocab_symbols"))
+      // compression curve: aaaa(4)+ab(2)=6 chars -> step1 [aa,aa]+[a,b]=4
+      // -> step2 [aaaa]+[a,b]=3
+      val syms = pairs.filter(_.action.endsWith("vocab_symbols")).map(_.rows)
+      assert(syms === Seq(4L, 3L))
+    } finally t.detach()
+  }
+
   test("record() rides the same struct as listener-captured actions") {
     val t = RunTelemetry.attach(spark, "run-3")
     try {
