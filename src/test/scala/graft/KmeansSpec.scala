@@ -93,6 +93,35 @@ class KmeansSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "centroid join must broadcast")
   }
 
+  test("trained centroids bound IVF cell occupancy where sampled centroids collapse") {
+    // q57's scaladoc line — "production would refine them with Lloyd
+    // iterations" — measured on the axis that actually degrades:
+    // occupancy. Adversarial sampled scheme: the first k corpus vectors
+    // all come from ONE planted cluster, so the k centroids are
+    // near-identical; the centroid DIFFERENCES then dominate every
+    // point's tie (same winner for nearly all points) and the whole
+    // corpus piles into one cell — probe cost degenerates to brute
+    // force (recall stays high precisely BECAUSE the probe now scans
+    // everything). Trained centroids recover the planted prototypes, so
+    // every cell holds ~N/k and the probe touches a bounded candidate
+    // list.
+    def maxOccupancy(cb: org.apache.spark.sql.DataFrame): Long =
+      Kmeans.assign(df(fixture), cb)
+        .groupBy("cent_id").count()
+        .agg(max("count")).collect().head.getLong(0)
+    val sampled = df(fixture).filter(col("vec_id") <= k)
+      .select((col("vec_id") - 1).cast("int").as("cent_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cv"))
+    val occSampled = maxOccupancy(sampled)
+    val occTrained = maxOccupancy(Kmeans.train(df(fixture), k, iters = 3))
+    info(s"IVF max cell occupancy sampled=$occSampled trained=$occTrained " +
+      s"(corpus ${fixture.size}, ideal ${fixture.size / k})")
+    assert(occTrained === perCluster.toLong,
+      s"trained cells must hold exactly one planted cluster: $occTrained")
+    assert(occSampled >= occTrained * 2,
+      s"same-cluster seeds should visibly collapse occupancy: $occSampled vs $occTrained")
+  }
+
   test("the mean update partial-aggregates map-side (k*d-row shuffle)") {
     val cb = Kmeans.train(df(fixture), k, iters = 1)
     val plan = Kmeans.meansOf(Kmeans.assign(df(fixture), cb))
