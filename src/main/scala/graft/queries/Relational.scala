@@ -853,6 +853,116 @@ object Relational {
             FROM events e JOIN customer c ON e.user_id = c.c_custkey
             GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"""))
 
+  // ---- ordered-sequence funnel analytics -------------------------------
+  // The classic event-analytics operator over the reference's domain
+  // (marketing events -> conversion reporting): per user, the deepest
+  // stage of the ordered funnel view -> click -> purchase reached under
+  // earliest-completion semantics with a per-step conversion window —
+  // t1 = first view, t2 = first click STRICTLY after t1 and within 24 h
+  // of it, t3 = first purchase strictly after t2 and within 24 h. The
+  // Spark side is ONE user-keyed shuffle: per-user events collect into
+  // a ts-sorted in-row array (the q92 determinism trick) and a single
+  // `aggregate` lambda walks it — the walk is order-equivalent to the
+  // min-chain definition because the array is ts-sorted and stages
+  // advance strictly. The oracle is an INDEPENDENT formulation (three
+  // chained min-aggregations, q58/q72's independent-implementation
+  // discipline), so agreement checks the semantics, not a shared
+  // derivation. Scale: no self-joins on the 100 TB side, one shuffle,
+  // state per user is one 3-field struct; per-user event lists are
+  // bounded by the usual time-partitioned funnel windows.
+  private val funnel = Q(
+    "q107_funnel",
+    (s, dir) => {
+      val evs = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type").as("tp"))
+        .groupBy("user_id")
+        .agg(expr("array_sort(collect_list(struct(ts, tp)))").as("evs"))
+        .withColumn("f", expr(
+          """aggregate(evs,
+               named_struct('t1', CAST(NULL AS TIMESTAMP_NTZ),
+                            't2', CAST(NULL AS TIMESTAMP_NTZ),
+                            't3', CAST(NULL AS TIMESTAMP_NTZ)),
+               (st, e) -> named_struct(
+                 't1', CASE WHEN st.t1 IS NULL AND e.tp = 'view'
+                            THEN e.ts ELSE st.t1 END,
+                 't2', CASE WHEN st.t2 IS NULL AND st.t1 IS NOT NULL
+                                 AND e.tp = 'click' AND e.ts > st.t1
+                                 AND e.ts <= st.t1 + INTERVAL 24 HOURS
+                            THEN e.ts ELSE st.t2 END,
+                 't3', CASE WHEN st.t3 IS NULL AND st.t2 IS NOT NULL
+                                 AND e.tp = 'purchase' AND e.ts > st.t2
+                                 AND e.ts <= st.t2 + INTERVAL 24 HOURS
+                            THEN e.ts ELSE st.t3 END))"""))
+      evs.select(col("user_id"),
+        col("f.t1").as("t1"), col("f.t2").as("t2"), col("f.t3").as("t3"))
+        .withColumn("depth",
+          when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+            .when(col("t1").isNotNull, 1).otherwise(0).cast("int"))
+        .withColumn("converted", col("t3").isNotNull)
+        .orderBy("user_id")
+    },
+    Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+            s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                   FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > s1.t1
+                     AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                   FROM events e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                     AND e.ts <= s2.t2 + INTERVAL 24 HOUR
+                   GROUP BY e.user_id)
+            SELECT u.user_id, s1.t1, s2.t2, s3.t3,
+              CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                        WHEN s2.t2 IS NOT NULL THEN 2
+                        WHEN s1.t1 IS NOT NULL THEN 1
+                        ELSE 0 END AS INT) AS depth,
+              (s3.t3 IS NOT NULL) AS converted
+            FROM u LEFT JOIN s1 USING (user_id)
+              LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+            ORDER BY u.user_id"""))
+
+  // ---- cohort retention ------------------------------------------------
+  // The other standard event-analytics report: users cohorted by signup
+  // week, counted as retained in each later week they were active.
+  // cohort = week of the user's FIRST signup event; a user is active in
+  // week w if ANY event lands there; week_offset = whole weeks since
+  // the cohort week (both sides derive it as day-difference div 7 over
+  // week-truncated stamps, so the arithmetic is identical). Scale: one
+  // user-keyed min for cohorts, one distinct over (user, week) — both
+  // map-side-partial — then a count-distinct keyed on (cohort, offset);
+  // no self-join of the event log against itself.
+  private val retention = Q(
+    "q108_retention",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val cohorts = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(min(date_trunc("week", col("ts"))).as("cohort"))
+      val active = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      cohorts.join(active, Seq("user_id"))
+        .filter(col("wk") >= col("cohort"))
+        .withColumn("week_offset",
+          expr("CAST(datediff(wk, cohort) div 7 AS INT)"))
+        .groupBy("cohort", "week_offset")
+        .agg(countDistinct(col("user_id")).cast("long").as("active_users"))
+        .orderBy("cohort", "week_offset")
+    },
+    Some("""WITH c AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort
+                   FROM events WHERE event_type = 'signup' GROUP BY user_id),
+            a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+                  FROM events)
+            SELECT c.cohort, CAST(date_diff('day', c.cohort, a.wk) // 7 AS INT)
+                AS week_offset,
+              CAST(count(DISTINCT c.user_id) AS BIGINT) AS active_users
+            FROM c JOIN a USING (user_id)
+            WHERE a.wk >= c.cohort
+            GROUP BY 1, 2 ORDER BY cohort, week_offset"""))
+
   val queries: Seq[Q] = Seq(
     cursorScan, pointLookup, topN, groupAgg, joinEnrich, semiJoin, antiJoin,
     unionScan, changeLog, dedupFirst, stringAgg, md5Edges, edgesAnti,
@@ -861,5 +971,5 @@ object Relational {
     regexExtract, arrayOps, eventWindow, slidingWindow, sessionWindow,
     scd2, sqlSource, rangeOrIn,
     intersectOp, exceptOp, rollupAgg, mapFlatten, reverseEtl, asofEnrich,
-    percentiles, saltedJoinAgg, pivotCounts, rangeJoin)
+    percentiles, saltedJoinAgg, pivotCounts, rangeJoin, funnel, retention)
 }

@@ -451,6 +451,23 @@ class PlanSpec extends SparkSpec {
       s"only n_total may carry a broadcast hint, found $hints")
   }
 
+  test("q107 funnel is one user-keyed aggregation — no self-joins of the event log") {
+    val p = planOf(q("q107_funnel"))
+    assert(p.contains("ObjectHashAggregate"),
+      s"per-user events must collect in one keyed aggregation:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastHashJoin"),
+      s"the funnel walk is in-row — the oracle's three-join chain must NOT appear:\n$p")
+  }
+
+  test("q108 retention aggregates map-side and joins keyed — no event-log self-join") {
+    val p = planOf(q("q108_retention"))
+    assert(p.contains("partial_min"),
+      s"cohort mins must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"cohort-to-activity lookup must stay keyed on user_id:\n$p")
+  }
+
   test("q74 survivor anti-join is a hash join on doc_id, never a nested loop") {
     // fixture precondition: with zero dominated docs AQE's empty-relation
     // propagation legitimately erases the anti-join, so the plan shape
