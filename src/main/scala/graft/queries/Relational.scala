@@ -963,6 +963,40 @@ object Relational {
             WHERE a.wk >= c.cohort
             GROUP BY 1, 2 ORDER BY cohort, week_offset"""))
 
+  // ---- rolling active users (7-day WAU per day) ------------------------
+  // The third standard event report (with q107's funnel and q108's
+  // retention): for each observed day, how many distinct users were
+  // active in the trailing 7-day window. The scalable shape is the
+  // bounded explode — each (user, day) distinct pair fans out to the
+  // <= 7 window-end days it contributes to, then a day-keyed
+  // count-distinct; fan-out is a fixed x7, there is NO sliding-window
+  // count-distinct (not decomposable) and no day-range self-join of
+  // the log. The oracle is the INDEPENDENT range-join formulation
+  // (day BETWEEN d-6 AND d), so agreement checks the window semantics.
+  // Only observed days are reported (semi-join back), matching the
+  // oracle's day list.
+  private val rollingActive = Q(
+    "q109_rolling_active",
+    (s, dir) => {
+      val days = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      days
+        .select(col("user_id"),
+          explode(expr("sequence(d, date_add(d, 6))")).as("day"))
+        .join(days.select(col("d").as("day")).distinct(), Seq("day"), "left_semi")
+        .groupBy("day")
+        .agg(countDistinct(col("user_id")).cast("long").as("wau"))
+        .select(col("day").cast("timestamp_ntz").as("day"), col("wau"))
+        .orderBy("day")
+    },
+    Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                   FROM events),
+            dd AS (SELECT DISTINCT d AS day FROM ud)
+            SELECT CAST(dd.day AS TIMESTAMP) AS day,
+              CAST(count(DISTINCT ud.user_id) AS BIGINT) AS wau
+            FROM dd JOIN ud ON ud.d BETWEEN dd.day - 6 AND dd.day
+            GROUP BY dd.day ORDER BY day"""))
+
   val queries: Seq[Q] = Seq(
     cursorScan, pointLookup, topN, groupAgg, joinEnrich, semiJoin, antiJoin,
     unionScan, changeLog, dedupFirst, stringAgg, md5Edges, edgesAnti,
@@ -971,5 +1005,6 @@ object Relational {
     regexExtract, arrayOps, eventWindow, slidingWindow, sessionWindow,
     scd2, sqlSource, rangeOrIn,
     intersectOp, exceptOp, rollupAgg, mapFlatten, reverseEtl, asofEnrich,
-    percentiles, saltedJoinAgg, pivotCounts, rangeJoin, funnel, retention)
+    percentiles, saltedJoinAgg, pivotCounts, rangeJoin, funnel, retention,
+    rollingActive)
 }

@@ -468,6 +468,14 @@ class PlanSpec extends SparkSpec {
       s"cohort-to-activity lookup must stay keyed on user_id:\n$p")
   }
 
+  test("q109 rolling actives explode bounded — no range self-join of the log") {
+    val p = planOf(q("q109_rolling_active"))
+    assert(p.contains("Generate explode"),
+      s"window membership must come from the bounded x7 explode:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the oracle's BETWEEN range join must NOT appear in the engine plan:\n$p")
+  }
+
   test("q74 survivor anti-join is a hash join on doc_id, never a nested loop") {
     // fixture precondition: with zero dominated docs AQE's empty-relation
     // propagation legitimately erases the anti-join, so the plan shape
