@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Sealed funnel progress: stage timestamps in MICROSECONDS (event time
+  * carries micros; java.sql.Timestamp.getTime would truncate to millis
+  * and break parity with the batch q107 walk). */
+case class FunnelCore(t1: Option[Long], t2: Option[Long], t3: Option[Long])
+
+/** Per-user state: the core folded from watermark-sealed events, plus
+  * the raw events still inside the watermark horizon. Bounded: pending
+  * spans at most the watermark delay of event time; the core is three
+  * longs — regardless of stream history (the 100 TB requirement). */
+case class FunnelProgress(core: FunnelCore, pending: Seq[(Long, String)], seen: Long)
+
+/** One provisional funnel snapshot (Update-mode emission). `rev` counts
+  * events folded so far — consumers keep the max-rev row per user. */
+case class FunnelSnapshot(user_id: Long, t1_us: Option[Long], t2_us: Option[Long],
+    t3_us: Option[Long], depth: Int, converted: Boolean, rev: Long)
+
+/** Real-time funnel tracking — q107's earliest-completion
+  * view -> click -> purchase semantics (strictly-after steps, per-step
+  * conversion window) as a custom stateful streaming operator
+  * (`flatMapGroupsWithState`, the Sessionize tier).
+  *
+  * Out-of-order safety is the whole design: the funnel walk is
+  * ORDER-SENSITIVE (a click must see the earlier view), so events
+  * cannot fold on arrival. Instead each user's state holds raw events
+  * until the watermark passes them; sealed events fold into the
+  * 3-timestamp core in event-time order, exactly the batch walk, and
+  * can never be revised (Spark drops later-arriving events below the
+  * watermark, so the sealed prefix is complete). Every batch emits a
+  * PROVISIONAL snapshot — core plus the still-pending events walked in
+  * order — which equals the batch q107 answer over the events seen so
+  * far, regardless of arrival order within the watermark
+  * (FunnelStreamSpec pins parity under a reversed-arrival ingest).
+  */
+object Funnel {
+
+  /** The q107 walk over ts-sorted (micros, type) events. */
+  private[graft] def fold(core: FunnelCore, evs: Seq[(Long, String)],
+                          windowUs: Long): FunnelCore =
+    evs.foldLeft(core) { case (c, (ts, tp)) =>
+      if (c.t1.isEmpty && tp == "view") c.copy(t1 = Some(ts))
+      else if (c.t2.isEmpty && c.t1.exists(t => ts > t && ts <= t + windowUs)
+        && tp == "click") c.copy(t2 = Some(ts))
+      else if (c.t3.isEmpty && c.t2.exists(t => ts > t && ts <= t + windowUs)
+        && tp == "purchase") c.copy(t3 = Some(ts))
+      else c
+    }
+
+  private def snapshot(uid: Long, c: FunnelCore, rev: Long): FunnelSnapshot = {
+    val depth =
+      if (c.t3.isDefined) 3 else if (c.t2.isDefined) 2
+      else if (c.t1.isDefined) 1 else 0
+    FunnelSnapshot(uid, c.t1, c.t2, c.t3, depth, c.t3.isDefined, rev)
+  }
+
+  /** Track funnels over a stream with `user_id`, event-time `ts`, and
+    * `event_type` columns. Emits one provisional snapshot per user per
+    * micro-batch that touched or timed out the user. */
+  def track(events: DataFrame, windowUs: Long,
+            watermarkDelay: String): Dataset[FunnelSnapshot] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      // watermarks require TIMESTAMP; NTZ event time is wall-clock UTC.
+      // The watermarked column must survive into the stateful operator
+      // (projecting it away detaches the watermark and
+      // getCurrentWatermarkMs throws), so micros derive INSIDE the
+      // function via Instant — Timestamp.getTime alone would truncate
+      // the micros the batch walk compares on.
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("event_type"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelProgress, FunnelSnapshot](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid, it, state) =>
+          def micros(t: java.sql.Timestamp): Long = {
+            val i = t.toInstant
+            i.getEpochSecond * 1000000L + i.getNano / 1000L
+          }
+          val st = state.getOption
+            .getOrElse(FunnelProgress(FunnelCore(None, None, None), Nil, 0L))
+          val incoming = it.map(e => (micros(e._2), e._3)).toSeq
+          val pend = (st.pending ++ incoming).sortBy(p => (p._1, p._2))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (sealable, stillPending) =
+            if (wmUs > 0) pend.partition(_._1 < wmUs) else (Nil, pend)
+          val core = fold(st.core, sealable, windowUs)
+          val seen = st.seen + incoming.size
+          state.update(FunnelProgress(core, stillPending, seen))
+          Iterator(snapshot(uid, fold(core, stillPending, windowUs), seen))
+      }
+  }
+}

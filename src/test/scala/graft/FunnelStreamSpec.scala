@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.streaming.Funnel
+
+/** Streaming funnel vs an INDEPENDENT driver-side min-chain model (the
+  * q107 oracle's formulation, not the operator's own fold) — including
+  * the case the operator exists for: events arriving out of order
+  * across micro-batches, within the watermark.
+  */
+class FunnelStreamSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val windowUs = 24L * 3600 * 1000000 // q107's 24 h step window
+
+  private def eventRows: Seq[(Long, Long, String)] = {
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tu"), col("event_type"))
+    ev.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+  }
+
+  /** Independent earliest-completion model: chained mins, not a fold. */
+  private def model(evs: Seq[(Long, Long, String)])
+      : Map[Long, (Option[Long], Option[Long], Option[Long])] =
+    evs.groupBy(_._1).map { case (uid, es) =>
+      def firstOf(tp: String, after: Option[Long]): Option[Long] = after.flatMap { t =>
+        val in = es.filter(e => e._3 == tp && e._2 > t && e._2 <= t + windowUs)
+        if (in.isEmpty) None else Some(in.map(_._2).min)
+      }
+      val t1 = { val v = es.filter(_._3 == "view"); if (v.isEmpty) None else Some(v.map(_._2).min) }
+      val t2 = firstOf("click", t1)
+      val t3 = firstOf("purchase", t2)
+      uid -> ((t1, t2, t3))
+    }
+
+  private def runStream(batches: Seq[Seq[(Long, Long, String)]],
+                        delay: String, name: String): Map[Long, (Option[Long], Option[Long], Option[Long])] = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(s"funnel-$name").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.toDF("user_id", "tu", "event_type")
+        .withColumn("ts", timestamp_micros(col("tu")).cast("timestamp_ntz"))
+        .select("user_id", "ts", "event_type")
+        .coalesce(1).write.parquet(s"$dir/b$i")
+    }
+    val schema = spark.read.parquet(s"$dir/b0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    val q = Funnel.track(stream, windowUs, delay)
+      .writeStream.format("memory").queryName(s"funnel_$name")
+      .outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(s"funnel-ckpt-$name").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    spark.table(s"funnel_$name").collect()
+      .groupBy(_.getLong(0))
+      .map { case (uid, rows) =>
+        val last = rows.maxBy(_.getAs[Long]("rev"))
+        def opt(i: Int) = if (last.isNullAt(i)) None else Some(last.getLong(i))
+        uid -> ((opt(1), opt(2), opt(3)))
+      }
+  }
+
+  test("reversed-arrival micro-batches still converge to the batch funnel") {
+    val evs = eventRows
+    val cut = evs.map(_._2).sorted.apply(evs.size / 2)
+    // batch 1 = the NEWER half, batch 2 = the older half: every stage's
+    // true ordering is only reconstructible because events hold in state
+    // until sealed — a fold-on-arrival design would misassign stages
+    val late = evs.filter(_._2 >= cut)
+    val early = evs.filter(_._2 < cut)
+    val got = runStream(Seq(late, early), "365 days", "rev")
+    assert(got === model(evs))
+  }
+
+  test("ordered arrival with an active watermark seals and still matches") {
+    val evs = eventRows
+    val cut = evs.map(_._2).sorted.apply(evs.size / 2)
+    val got = runStream(
+      Seq(evs.filter(_._2 < cut), evs.filter(_._2 >= cut)), "2 days", "ord")
+    assert(got === model(evs))
+  }
+}
