@@ -2998,6 +2998,61 @@ object Llm {
               round(avg(ln(s)), 6) AS avg_logs
             FROM sv GROUP BY doc_id ORDER BY doc_id"""))
 
+  // ---- deterministic weighted sampling (Gumbel-top-k) ------------------
+  // The EXECUTION step behind importance-weighted selection: q88/q60
+  // produce per-doc weights, and a training mix wants "N docs sampled
+  // proportional to exp(weight/T), without replacement, reproducibly".
+  // The Gumbel-max trick (Vieira 2014; Kool et al. 2019,
+  // arXiv:1903.06059) turns that into a top-k: key_i = w_i/T + G_i with
+  // G_i standard Gumbel noise, take the N largest — exactly a weighted
+  // sample without replacement. The engine's twist is that G_i needs NO
+  // RNG state: u_i derives from 8 md5 hex digits of the salted doc id
+  // (digit-fold to an integer in [0, 2^32), +0.5, normalize — every
+  // term is double-exact, so both engines compute bit-identical u, and
+  // ln/ln of identical doubles is identical), g = -ln(-ln(u)). Scale:
+  // weight + noise are map-only column arithmetic and the cut is
+  // TakeOrdered(N) — no global sort, no RNG broadcast, rerun-stable.
+  private val gumbelN = 50
+  private val gumbelT = 0.5
+
+  private val gumbelSample = Q(
+    "q110_gumbel_sample",
+    (s, dir) => {
+      val uExpr =
+        """aggregate(sequence(1, 8), CAST(0 AS DOUBLE),
+             (a, i) -> a + (instr('0123456789abcdef', substring(h, i, 1)) - 1)
+                         * power(16, 8 - i))"""
+      qualityCols(t(s, dir, "documents"))
+        .select(col("doc_id"), col("quality"))
+        .withColumn("h", md5(concat(lit("wsample|"), col("doc_id").cast("string"))))
+        .withColumn("u", (expr(uExpr) + lit(0.5)) / lit(4294967296.0))
+        .withColumn("g", -log(-log(col("u"))))
+        .withColumn("key", col("quality") / lit(gumbelT) + col("g"))
+        .orderBy(col("key").desc, col("doc_id"))
+        .limit(gumbelN)
+        .select(col("doc_id"), col("quality"), round(col("key"), 6).as("skey"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $qualitySqlCte,
+            qs AS (SELECT doc_id,
+                round(0.4 * (1.0 - punct_ratio) +
+                      0.3 * least(stop_ratio * 4, 1.0) +
+                      0.3 * least(mean_word_len / 8, 1.0), 6) AS quality
+              FROM qm),
+            hx AS (SELECT doc_id, quality,
+                md5('wsample|' || CAST(doc_id AS VARCHAR)) AS h FROM qs),
+            ux AS (SELECT doc_id, quality,
+                (list_sum(list_transform(range(1, 9),
+                   i -> (strpos('0123456789abcdef', substr(h, i, 1)) - 1)
+                        * power(16, 8 - i))) + 0.5) / 4294967296.0 AS u
+              FROM hx),
+            kx AS (SELECT doc_id, quality,
+                quality / $gumbelT + (-ln(-ln(u))) AS key FROM ux),
+            top AS (SELECT doc_id, quality, key FROM kx
+                ORDER BY key DESC, doc_id LIMIT $gumbelN)
+            SELECT doc_id, quality, round(key, 6) AS skey FROM top
+            ORDER BY doc_id"""))
+
   val queries: Seq[Q] = Seq(
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
     minhashSignatures, minhashPairs, jaccardPairs, simhash, simhashPairs,
@@ -3012,5 +3067,6 @@ object Llm {
     semDedup, dupSpans, dsirWeights, corpusShuffle, perSourceSample,
     leakageSafeSplits, dupSpanScrub, perplexityBuckets, pqTopK, budgetEpochs,
     gopherRules, contamFrac, qualitySurvivors, kmeansTopics,
-    semDedupTrained, topicSample, bpeMerges, bpeEncode, stupidBackoff)
+    semDedupTrained, topicSample, bpeMerges, bpeEncode, stupidBackoff,
+    gumbelSample)
 }

@@ -476,6 +476,16 @@ class PlanSpec extends SparkSpec {
       s"the oracle's BETWEEN range join must NOT appear in the engine plan:\n$p")
   }
 
+  test("q110 gumbel sample is map-only noise + TakeOrdered — no global sort, no RNG") {
+    val p = planOf(q("q110_gumbel_sample"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the weighted-sample cut must be TakeOrdered(N):\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"nothing may collapse the corpus to one task:\n$p")
+    assert(!p.toLowerCase.contains("rand("),
+      s"noise must derive from the hash, never an RNG expression:\n$p")
+  }
+
   test("q74 survivor anti-join is a hash join on doc_id, never a nested loop") {
     // fixture precondition: with zero dominated docs AQE's empty-relation
     // propagation legitimately erases the anti-join, so the plan shape
