@@ -85,4 +85,29 @@ class FunnelStreamSpec extends SparkSpec {
       Seq(evs.filter(_._2 < cut), evs.filter(_._2 >= cut)), "2 days", "ord")
     assert(got === model(evs))
   }
+
+  test("state holds one row per user — never one per event") {
+    import spark.implicits._
+    val evs = eventRows
+    val users = evs.map(_._1).distinct.size
+    val dir = java.nio.file.Files.createTempDirectory("funnel-state").toString
+    evs.toDF("user_id", "tu", "event_type")
+      .withColumn("ts", timestamp_micros(col("tu")).cast("timestamp_ntz"))
+      .select("user_id", "ts", "event_type")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val q = Funnel.track(
+      spark.readStream.schema(schema).parquet(dir), windowUs, "2 days")
+      .writeStream.format("memory").queryName("funnel_state")
+      .outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("funnel-state-ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val stateRows = q.recentProgress.flatMap(p => Option(p.stateOperators))
+      .flatten.map(_.numRowsTotal).maxOption.getOrElse(-1L)
+    assert(stateRows === users.toLong,
+      s"state must be keyed per user ($users), got $stateRows rows")
+  }
 }
