@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Shards
+
+/** The training-shard export contract: exact sizes, one file per shard,
+  * reproducible byte-identical re-export, and a sequential read-back
+  * that replays the global seeded-hash order. */
+class ShardsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def corpus = Tables.load(spark, sf, "documents")
+    .withColumn("h", md5(concat_ws("|", col("doc_id").cast("string"), col("text"))))
+
+  test("shards hold exactly rowsPerShard rows (last takes the remainder)") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    val n = Shards.write(corpus, dir, rowsPerShard = 64, order = col("h"))
+    val total = corpus.count()
+    assert(n === (total + 63) / 64)
+    val sizes = spark.read.parquet(dir).groupBy("shard").count()
+      .collect().map(r => r.getAs[Number]("shard").longValue() -> r.getLong(1)).toMap
+    (0L until n).foreach { s =>
+      val want = if (s == n - 1) total - 64 * (n - 1) else 64L
+      assert(sizes(s) === want, s"shard $s")
+    }
+  }
+
+  test("one parquet file per shard directory") {
+    val dir = java.nio.file.Files.createTempDirectory("shards-files").toString
+    val n = Shards.write(corpus, dir, rowsPerShard = 100, order = col("h"))
+    (0L until n).foreach { s =>
+      val files = new java.io.File(s"$dir/shard=$s").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"shard $s must be one file, got ${files.length}")
+    }
+  }
+
+  test("re-export is byte-identical (deterministic order + placement)") {
+    val d1 = java.nio.file.Files.createTempDirectory("shards-a").toString
+    val d2 = java.nio.file.Files.createTempDirectory("shards-b").toString
+    Shards.write(corpus, d1, 75, col("h"))
+    Shards.write(corpus, d2, 75, col("h"))
+    assert(TestFiles.partFileHashes(d1).values.toSeq.sorted ===
+      TestFiles.partFileHashes(d2).values.toSeq.sorted)
+  }
+
+  test("sequential read-back replays the global hash order") {
+    val dir = java.nio.file.Files.createTempDirectory("shards-order").toString
+    Shards.write(corpus, dir, 80, col("h"))
+    val back = Shards.read(spark, dir).select("h").collect().map(_.getString(0))
+    assert(back.toSeq === back.toSeq.sorted, "read-back must be in hash order")
+    assert(back.length === corpus.count())
+  }
+}
