@@ -161,4 +161,13 @@ object CorpusPipeline {
 
     (finish(exact, clusters, decontaminate, cfg, staged), report.result())
   }
+
+  /** Terminal stage, kept OUT of run() so the pinned stage report stays
+    * byte-stable: ship the packed corpus as exact-size training shards
+    * in the reproducible seeded-hash order (q89's corpus shuffle through
+    * [[graft.operators.Shards]]) — the file set a training loader
+    * actually consumes. @return shard count */
+  def export(packed: DataFrame, path: String, rowsPerShard: Long): Long =
+    graft.operators.Shards.write(packed, path, rowsPerShard,
+      order = md5(concat_ws("|", col("doc_id").cast("string"), col("text"))))
 }

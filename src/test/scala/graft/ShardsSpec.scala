@@ -47,6 +47,18 @@ class ShardsSpec extends SparkSpec {
       TestFiles.partFileHashes(d2).values.toSeq.sorted)
   }
 
+  test("the corpus pipeline's packed output exports as training shards") {
+    val docs = Tables.load(spark, sf, "documents")
+    val bench = docs.filter(col("doc_id") < 10).select("doc_id", "text")
+    val (packed, _) = graft.pipelines.CorpusPipeline.run(docs, bench)
+    val dir = java.nio.file.Files.createTempDirectory("shards-pipeline").toString
+    val n = graft.pipelines.CorpusPipeline.export(packed, dir, rowsPerShard = 100)
+    val total = packed.count()
+    assert(n === (total + 99) / 100)
+    assert(spark.read.parquet(dir).count() === total,
+      "every packed row must land in exactly one shard")
+  }
+
   test("sequential read-back replays the global hash order") {
     val dir = java.nio.file.Files.createTempDirectory("shards-order").toString
     Shards.write(corpus, dir, 80, col("h"))
