@@ -52,9 +52,13 @@ object Pq {
     * of the corpus's `k` lowest-vec_id vectors. The baseline a trained
     * codebook has to beat (PqRecallSpec). */
   def fixedCodebooks(vectors: DataFrame, m: Int, subDim: Int, k: Int): DataFrame = {
+    // constant partition key on the k-row seed window: bounded by the
+    // preceding limit, kept out of the "No Partition Defined" warning
+    // channel (same rationale as Kmeans.train's seed numbering)
     val seeds = vectors.orderBy("vec_id").limit(k)
       .withColumn("cent_id",
-        (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
+        (row_number().over(Window.partitionBy(lit(0)).orderBy("vec_id")) - 1)
+          .cast("int"))
     slices(seeds, Seq("cent_id"), m, subDim)
       .select(col("sub"), col("cent_id"), col("sv").as("cv"))
   }
@@ -78,8 +82,9 @@ object Pq {
     val seeds = vectors
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
       .withColumn("cent_id",
-        (row_number().over(Window.orderBy(md5(col("vec_id").cast("string")),
-          col("vec_id"))) - 1).cast("int"))
+        (row_number().over(Window.partitionBy(lit(0))
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))) - 1)
+          .cast("int"))
     var cb = Staging.stage(slices(seeds, Seq("cent_id"), m, subDim)
       .select(col("sub"), col("cent_id"), col("sv").as("cv")))
     for (_ <- 0 until iters) {

@@ -3008,8 +3008,11 @@ object Llm {
   // sample without replacement. The engine's twist is that G_i needs NO
   // RNG state: u_i derives from 8 md5 hex digits of the salted doc id
   // (digit-fold to an integer in [0, 2^32), +0.5, normalize — every
-  // term is double-exact, so both engines compute bit-identical u, and
-  // ln/ln of identical doubles is identical), g = -ln(-ln(u)). Scale:
+  // term is double-exact, so both engines compute bit-identical u),
+  // g = -ln(-ln(u)). ln itself is only 1-ulp-accurate per engine (JVM
+  // Math.log vs libm need not agree in the last ulp), so the sort key
+  // is ROUNDED to 6 dp before the top-N cut — see the in-query comment.
+  // Scale:
   // weight + noise are map-only column arithmetic and the cut is
   // TakeOrdered(N) — no global sort, no RNG broadcast, rerun-stable.
   private val gumbelN = 50
@@ -3027,10 +3030,16 @@ object Llm {
         .withColumn("h", md5(concat(lit("wsample|"), col("doc_id").cast("string"))))
         .withColumn("u", (expr(uExpr) + lit(0.5)) / lit(4294967296.0))
         .withColumn("g", -log(-log(col("u"))))
-        .withColumn("key", col("quality") / lit(gumbelT) + col("g"))
-        .orderBy(col("key").desc, col("doc_id"))
+        // round BEFORE the rank cut (q101's rounded-before-ranking rule):
+        // ln is only 1-ulp-accurate on either engine, so the unrounded
+        // key could straddle the top-N boundary by a last-ulp disagreement
+        // and flip SET membership — rounding first makes both engines cut
+        // on identical bits, with doc_id breaking the (now possible) ties
+        .withColumn("skey",
+          round(col("quality") / lit(gumbelT) + col("g"), 6))
+        .orderBy(col("skey").desc, col("doc_id"))
         .limit(gumbelN)
-        .select(col("doc_id"), col("quality"), round(col("key"), 6).as("skey"))
+        .select(col("doc_id"), col("quality"), col("skey"))
         .orderBy("doc_id")
     },
     Some(s"""WITH $qualitySqlCte,
@@ -3047,10 +3056,10 @@ object Llm {
                         * power(16, 8 - i))) + 0.5) / 4294967296.0 AS u
               FROM hx),
             kx AS (SELECT doc_id, quality,
-                quality / $gumbelT + (-ln(-ln(u))) AS key FROM ux),
-            top AS (SELECT doc_id, quality, key FROM kx
-                ORDER BY key DESC, doc_id LIMIT $gumbelN)
-            SELECT doc_id, quality, round(key, 6) AS skey FROM top
+                round(quality / $gumbelT + (-ln(-ln(u))), 6) AS skey FROM ux),
+            top AS (SELECT doc_id, quality, skey FROM kx
+                ORDER BY skey DESC, doc_id LIMIT $gumbelN)
+            SELECT doc_id, quality, skey FROM top
             ORDER BY doc_id"""))
 
   val queries: Seq[Q] = Seq(

@@ -59,6 +59,42 @@ class ShardsSpec extends SparkSpec {
       "every packed row must land in exactly one shard")
   }
 
+  test("empty corpus exports zero shards — no write, no NPE") {
+    val dir = java.nio.file.Files.createTempDirectory("shards-empty").toString
+    val n = Shards.write(corpus.filter(lit(false)), dir, 64, col("h"))
+    assert(n === 0)
+    assert(new java.io.File(dir).listFiles().isEmpty,
+      "an empty export must write nothing")
+  }
+
+  test("manifest census matches the export; total rows accounted for") {
+    val dir = java.nio.file.Files.createTempDirectory("shards-manifest").toString
+    val n = Shards.write(corpus, dir, 64, col("h"))
+    val m = Shards.manifest(spark, dir)
+    assert(m.count() === n, "one manifest row per shard")
+    assert(m.agg(sum("rows")).collect()(0).getLong(0) === corpus.count(),
+      "manifest row counts must sum to the corpus")
+    assert(Shards.verify(spark, dir).isEmpty,
+      "a fresh export must verify clean")
+  }
+
+  test("a tampered shard is detected by the census") {
+    val dir = java.nio.file.Files.createTempDirectory("shards-tamper").toString
+    Shards.write(corpus, dir, 64, col("h"))
+    // clobber shard=1's file with shard=0's bytes: the file count and
+    // row count stay plausible, but ranks and content hash disagree
+    def part(s: Int) = new java.io.File(f"$dir/shard=$s").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part(0).toPath, part(1).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // drop the stale LocalFileSystem .crc so the read reaches the census
+    new java.io.File(s"$dir/shard=1").listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    val bad = Shards.verify(spark, dir)
+    assert(bad.nonEmpty && bad.forall(_.startsWith("shard 1")),
+      s"tamper must implicate shard 1 only: $bad")
+  }
+
   test("sequential read-back replays the global hash order") {
     val dir = java.nio.file.Files.createTempDirectory("shards-order").toString
     Shards.write(corpus, dir, 80, col("h"))
