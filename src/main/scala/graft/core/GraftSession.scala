@@ -41,6 +41,22 @@ object GraftSession {
   def local(cores: Int): SparkSession = {
     val s = builder(cores).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    quietBoundedWindowWarnings()
     s
   }
+
+  /** Silence WindowExec's "No Partition Defined" warning. Every
+    * unpartitioned window in the engine runs over a BOUNDED frame by
+    * construction (k-row seed numbering in Kmeans/Pq after a limit(k),
+    * GlobalRank's per-partition summaries — one row per input
+    * partition), so the warning is pure noise here — and noise that
+    * could mask a REAL accidentally-global window in a 600-line bench
+    * tail. A constant partition key doesn't work (the optimizer folds
+    * literal partition expressions away before the check), so the
+    * logger itself is pinned to ERROR. PlanSpec remains the guard that
+    * actual data windows stay keyed. */
+  private def quietBoundedWindowWarnings(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 }

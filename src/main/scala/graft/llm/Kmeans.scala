@@ -117,14 +117,12 @@ object Kmeans {
     graft.plans.VectorDot.register(vectors.sparkSession)
     val en = Staging.stage(vecs(vectors))
     val seedOrd = Seq(md5(col("vec_id").cast("string")), col("vec_id"))
-    // the window numbers a k-row frame (post-limit) — partitioning on a
-    // constant keeps the bounded-by-construction shape out of Spark's
-    // "No Partition Defined" warning channel, so a REAL unpartitioned
-    // window can never hide in the log noise
+    // the window numbers a k-row frame (bounded by the preceding limit);
+    // GraftSession filters WindowExec's single-partition warning for
+    // exactly these bounded-by-construction shapes
     val seeds = en.orderBy(seedOrd: _*).limit(k)
       .withColumn("cent_id",
-        (row_number().over(Window.partitionBy(lit(0)).orderBy(seedOrd: _*)) - 1)
-          .cast("int"))
+        (row_number().over(Window.orderBy(seedOrd: _*)) - 1).cast("int"))
     var cb = Staging.stage(seeds.select(col("cent_id"), col("v").as("cv")))
     for (i <- 1 to iters) {
       // staged only when observed, so the unobserved path keeps its

@@ -49,13 +49,16 @@ object Sinks {
     * (bigquery.py:206-271) becomes write-then-rename; readers see either
     * the old snapshot or the new one, never a half write (SURVEY.md §7.4.1).
     */
-  def snapshotSwap(df: DataFrame, path: String): Unit = {
+  def snapshotSwap(df: DataFrame, path: String,
+                   partitionCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(path + "__tmp")
     val live = new Path(path)
     val old = new Path(path + "__old")
-    df.write.mode("overwrite").parquet(tmp.toString)
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(live)) renameOrFail(fs, live, old)
     renameOrFail(fs, tmp, live)

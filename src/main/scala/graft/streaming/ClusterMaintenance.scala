@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -20,9 +20,10 @@ import graft.sinks.Sinks
   * Persisted state under `statePath` (q76's persisted-index architecture,
   * extended with the labeling):
   *  - `bands/` — append-only MinHash band index (`Llm.bandIndexOf`
-  *    columns); the batch never re-shingles the corpus,
+  *    columns), hash-bucket-partitioned on (band, bucket) — see
+  *    [[stateBuckets]]; the batch never re-shingles the corpus,
   *  - `toks/`  — append-only distinct-token table (the q49 shape) for
-  *    exact-Jaccard verification,
+  *    exact-Jaccard verification, hash-bucket-partitioned on doc_id,
   *  - `labels/` — the (id, comp) labeling, republished per batch through
   *    `Sinks.snapshotPublish` (readers see complete-old or complete-new).
   *
@@ -53,6 +54,29 @@ object ClusterMaintenance {
   private def toksPath(state: String) = s"$state/toks"
   private def labelsPath(state: String) = s"$state/labels"
 
+  /** Hash-prefix bucket count for the persisted band/token stores. The
+    * state tables are PARTITIONED by a stable hash of their probe key,
+    * so a micro-batch reads only the buckets its delta touches (the
+    * `Upsert.partitioned` touched-partition discipline applied to
+    * streaming state) — per-batch probe IO is bounded by
+    * touched-buckets x bucket-size instead of the whole table, and the
+    * probes below never SHUFFLE a state row at all (the delta rides a
+    * broadcast). 64 buckets keeps the per-fold file count near the
+    * shuffle-partition count at test scale; a 100 TB deployment raises
+    * it (bucket count is a layout constant — changing it means a state
+    * rewrite, same contract as any bucketed table). */
+  private val stateBuckets = 64
+
+  /** Partition bucket of a band-index row: stable hash of the probe key
+    * (band, bucket) — the delta's equi-join prunes to these. */
+  private def bandBucket = pmod(xxhash64(col("band"), col("bucket")),
+    lit(stateBuckets)).cast("int").as("pb")
+
+  /** Partition bucket of a token row: stable hash of doc_id — candidate
+    * verification fetches corpus token sets by id. */
+  private[streaming] def tokBucket(id: Column) =
+    pmod(xxhash64(id), lit(stateBuckets)).cast("int")
+
   /** Fold one micro-batch of documents (`doc_id`, `text`) into the
     * persisted clustering state. Callable directly for batch ingests;
     * [[sink]] wires it as the foreachBatch of a stream. */
@@ -70,9 +94,10 @@ object ClusterMaintenance {
 
     // the delta's own artifacts, staged once — the band expression and
     // the tokenizer each run one time however many joins consume them
-    val deltaBands = Staging.stage(NearDup.bands(batch))
+    val deltaBands = Staging.stage(NearDup.bands(batch).withColumn("pb", bandBucket))
     val deltaToks = Staging.stage(batch.select(col("doc_id"),
-      expr(s"array_distinct(${Llm.toksExpr})").as("toks")))
+      expr(s"array_distinct(${Llm.toksExpr})").as("toks"))
+      .withColumn("tb", tokBucket(col("doc_id"))))
 
     // delta-vs-delta candidates: the batch's internal band self-join,
     // same exactly-once lowest-agreeing-band emission as batch q46
@@ -93,34 +118,52 @@ object ClusterMaintenance {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
 
     // delta-vs-corpus candidates: band equi-join against the persisted
-    // index, verified against the persisted token table (q76's join)
+    // index, verified against the persisted token table (q76's join).
+    // Per-batch cost ∝ delta, NOT ∝ corpus: both state reads are
+    // partition-pruned to the delta's touched buckets, and the state
+    // side of each join is only SCANNED — the (bounded) delta rides a
+    // broadcast, so no accumulated-state row is ever shuffled. The
+    // touched-bucket collects are bounded scalars (≤ stateBuckets ints,
+    // the Upsert.partitioned touched-partition category).
     val dc =
       if (!fs.exists(new Path(bandsPath(statePath)))) dd.limit(0)
       else {
+        val touchedPb = deltaBands.select("pb").distinct()
+          .collect().map(_.getInt(0)).toIndexedSeq
         val idx = spark.read.parquet(bandsPath(statePath))
-        val corpusToks = spark.read.parquet(toksPath(statePath))
-        val cand = deltaBands.select(col("doc_id").as("delta_id"), col("band"),
-            col("bucket"), col("b0").as("b0_d"))
-          .join(idx.select(col("doc_id").as("corpus_id"), col("band"),
-            col("bucket"), col("b0").as("b0_c")), Seq("band", "bucket"))
+          .filter(col("pb").isin(touchedPb: _*))
+        val cand = Staging.stage(idx
+          .select(col("doc_id").as("corpus_id"), col("band"),
+            col("bucket"), col("b0").as("b0_c"))
+          .join(broadcast(deltaBands.select(col("doc_id").as("delta_id"),
+            col("band"), col("bucket"), col("b0").as("b0_d"))),
+            Seq("band", "bucket"))
           .filter(col("band") === 0 || col("b0_d") =!= col("b0_c"))
           // a replayed batch is already in the index; never self-pair
           .filter(col("delta_id") =!= col("corpus_id"))
-          .select("delta_id", "corpus_id")
-        val scored = cand
-          .join(deltaToks.select(col("doc_id").as("delta_id"),
-            col("toks").as("toks_d")), Seq("delta_id"))
-          .join(corpusToks.select(col("doc_id").as("corpus_id"),
-            col("toks").as("toks_c")), Seq("corpus_id"))
+          .select("delta_id", "corpus_id"))
+        val touchedTb = cand.select(tokBucket(col("corpus_id")).as("tb"))
+          .distinct().collect().map(_.getInt(0)).toIndexedSeq
+        val corpusToks = spark.read.parquet(toksPath(statePath))
+          .filter(col("tb").isin(touchedTb: _*))
+        val scored = corpusToks
+          .select(col("doc_id").as("corpus_id"), col("toks").as("toks_c"))
+          .join(broadcast(cand), Seq("corpus_id"))
+          .join(broadcast(deltaToks.select(col("doc_id").as("delta_id"),
+            col("toks").as("toks_d"))), Seq("delta_id"))
         Llm.jaccardScore(scored, "toks_d", "toks_c", threshold)
           .select(col("delta_id").as("src"), col("corpus_id").as("dst"))
       }
 
     val edges = Staging.stage(dd.unionByName(dc))
 
-    // appends BEFORE the label publish (see replay note in the docstring)
-    deltaBands.write.mode("append").parquet(bandsPath(statePath))
-    deltaToks.write.mode("append").parquet(toksPath(statePath))
+    // appends BEFORE the label publish (see replay note in the docstring).
+    // Bucket-partitioned layout; the delta-sized repartition co-locates
+    // each bucket in one task so a fold appends ≤ stateBuckets files
+    deltaBands.repartition(col("pb"))
+      .write.partitionBy("pb").mode("append").parquet(bandsPath(statePath))
+    deltaToks.repartition(col("tb"))
+      .write.partitionBy("tb").mode("append").parquet(toksPath(statePath))
 
     if (!edges.isEmpty) {
       val lp = labelsPath(statePath)
@@ -174,14 +217,20 @@ object ClusterMaintenance {
                    targetFileBytes: Long = 128L << 20): Unit = {
     val fs = new Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq(bandsPath(statePath), toksPath(statePath)).foreach { p =>
-      if (fs.exists(new Path(p))) {
-        val bytes = fs.getContentSummary(new Path(p)).getLength
-        val files = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-        Sinks.snapshotSwap(
-          spark.read.parquet(p).distinct().repartition(files), p)
+    // bucket-partitioned rewrite: repartitioning BY the bucket column
+    // lands each bucket whole in one task, so the compacted state is
+    // one file per bucket (the bucket is the compaction granule — at
+    // 100 TB the bucket count, not this routine, sizes the files)
+    Seq(bandsPath(statePath) -> "pb", toksPath(statePath) -> "tb")
+      .foreach { case (p, bcol) =>
+        if (fs.exists(new Path(p))) {
+          val bytes = fs.getContentSummary(new Path(p)).getLength
+          val files = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+          Sinks.snapshotSwap(
+            spark.read.parquet(p).distinct().repartition(files, col(bcol)),
+            p, Seq(bcol))
+        }
       }
-    }
   }
 
   /** Production leakage-safe split assignment (the q91 transformation

@@ -22,12 +22,17 @@ import graft.pipelines.CorpusPipeline
   *
   * State under `statePath`:
   *  - `docs/`   — gated, scrubbed, exact-dedup-novel docs, append-only;
-  *  - `hashes/` — content hashes seen so far (the dedup probe table);
+  *  - `hashes/` — content hashes seen so far (the dedup probe table),
+  *    partitioned by the hash's 2-hex-digit prefix (256 buckets) so a
+  *    batch probes only its touched buckets;
   *  - `cluster/` — ClusterMaintenance's bands/toks/labels.
   *
   * Exact dedup here is FIRST-ARRIVAL-wins: a doc whose content hash is
-  * already in `hashes/` is dropped, so per-batch cost is one anti-join
-  * against the hash table (keyed, linear in the batch). When ingest
+  * already in `hashes/` is dropped. The probe reads only the batch's
+  * touched hash-prefix buckets and never shuffles a state row (the
+  * batch's hash set broadcasts into the pruned scan), so per-batch
+  * probe cost is ∝ delta — measured flat under 8× state growth in
+  * ShuffleGrowthSpec. When ingest
   * order follows doc_id (an append-only feed's natural order — and the
   * spec's split), first-arrival == the batch pipeline's first-id-wins
   * exactly. An out-of-order backfill that needs min-id semantics
@@ -62,18 +67,40 @@ object CorpusStream {
     // stage-1 gate+scrub — the batch pipeline's own code
     val gated = CorpusPipeline.gateScrub(batch, cfg)
       .withColumn("__h", md5(col("text")))
-    // within-batch first wins (deterministic), then drop already-seen
+    // within-batch first wins (deterministic), then drop already-seen.
+    // __hb = the hash's first two hex digits as an int — the state
+    // store's 256-way partition key
     val w = Window.partitionBy("__h").orderBy("doc_id")
-    val firsts = gated.withColumn("__rn", row_number().over(w))
+    val firsts = Staging.stage(gated
+      .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+      .withColumn("__hb", conv(substring(col("__h"), 1, 2), 16, 10).cast("int")))
+    // the dedup probe, ∝ delta instead of ∝ corpus: the state table is
+    // partition-pruned to the batch's touched hash-prefix buckets
+    // (bounded collect, ≤256 ints), and the pruned slice is only
+    // SCANNED — the batch's hash set rides a broadcast into an inner
+    // join whose output (the already-seen subset, ≤ batch-sized) is
+    // what the anti-join actually consumes. No accumulated-state row
+    // is ever shuffled, per batch or ever.
     val novel = Staging.stage(
       if (!fs.exists(new Path(hashesPath(statePath)))) firsts
-      else firsts.join(spark.read.parquet(hashesPath(statePath)),
-        col("__h") === col("content_hash"), "left_anti"))
+      else {
+        val touched = firsts.select("__hb").distinct()
+          .collect().map(_.getInt(0)).toIndexedSeq
+        val state = spark.read.parquet(hashesPath(statePath))
+          .filter(col("hb").isin(touched: _*))
+        val seen = state
+          .join(broadcast(firsts.select(col("__h").as("content_hash"))),
+            Seq("content_hash"))
+          .select("content_hash").distinct()
+        firsts.join(broadcast(seen),
+          col("__h") === col("content_hash"), "left_anti")
+      })
 
-    novel.select(col("__h").as("content_hash"))
-      .write.mode("append").parquet(hashesPath(statePath))
-    val docs = Staging.stage(novel.drop("__h"))
+    novel.select(col("__h").as("content_hash"), col("__hb").as("hb"))
+      .repartition(col("hb"))
+      .write.partitionBy("hb").mode("append").parquet(hashesPath(statePath))
+    val docs = Staging.stage(novel.drop("__h", "__hb"))
     docs.write.mode("append").parquet(docsPath(statePath))
     // incremental near-dup labeling over the SCRUBBED novel docs — the
     // batch pipeline shingles scrubbed text too, so bands agree
@@ -113,14 +140,22 @@ object CorpusStream {
                    targetFileBytes: Long = 128L << 20): Unit = {
     val fs = new Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq(docsPath(statePath), hashesPath(statePath)).foreach { p =>
-      if (fs.exists(new Path(p))) {
-        val bytes = fs.getContentSummary(new Path(p)).getLength
-        val files = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-        graft.sinks.Sinks.snapshotSwap(
-          spark.read.parquet(p).distinct().repartition(files), p)
-      }
+    def fileBudget(p: String): Int = {
+      val bytes = fs.getContentSummary(new Path(p)).getLength
+      math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     }
+    val docsP = docsPath(statePath)
+    if (fs.exists(new Path(docsP)))
+      graft.sinks.Sinks.snapshotSwap(
+        spark.read.parquet(docsP).distinct().repartition(fileBudget(docsP)), docsP)
+    // the hash store keeps its hb partitioning through the rewrite —
+    // one file per touched bucket (bucket = the compaction granule)
+    val hashesP = hashesPath(statePath)
+    if (fs.exists(new Path(hashesP)))
+      graft.sinks.Sinks.snapshotSwap(
+        spark.read.parquet(hashesP).distinct()
+          .repartition(fileBudget(hashesP), col("hb")),
+        hashesP, Seq("hb"))
     ClusterMaintenance.compactState(spark, clusterPath(statePath), targetFileBytes)
   }
 

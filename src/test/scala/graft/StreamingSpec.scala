@@ -196,16 +196,19 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(replayed === batch, "replaying an ingest must not change the labeling")
 
-    // state compaction: 4 folds appended 4 file sets to bands/ and the
-    // replay duplicated third-0's rows — compacting dedups and shrinks
-    // to the byte-targeted file count without changing what a later
-    // fold sees
-    def bandFiles = new java.io.File(s"$state/bands").listFiles()
-      .count(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+    // state compaction: 4 folds appended 4 file sets per touched bucket
+    // to bands/ and the replay duplicated third-0's rows — compacting
+    // dedups and shrinks to one file per bucket (the bucketed layout's
+    // compaction granule) without changing what a later fold sees
+    def bandFiles = TestFiles.parquetFileCount(s"$state/bands")
     val bandsBefore = spark.read.parquet(s"$state/bands").count()
     val filesBefore = bandFiles
     ClusterMaintenance.compactState(spark, state)
-    assert(bandFiles === 1, s"tiny state must compact to one file, had $filesBefore")
+    val buckets = spark.read.parquet(s"$state/bands")
+      .select("pb").distinct().count().toInt
+    assert(bandFiles === buckets,
+      s"tiny state must compact to one file per touched bucket ($buckets), had $filesBefore")
+    assert(bandFiles < filesBefore, "compaction must reduce the file count")
     val bands = spark.read.parquet(s"$state/bands")
     assert(bands.count() < bandsBefore, "replay duplicates are removed")
     assert(bands.count() === bands.distinct().count())
@@ -223,8 +226,7 @@ class StreamingSpec extends SparkSpec {
     ClusterMaintenance.foldBatch(docs.limit(60), state)
     val before = ClusterMaintenance.labels(spark, state)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    def stateFiles = new java.io.File(s"$state/bands").listFiles()
-      .count(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+    def stateFiles = TestFiles.parquetFileCount(s"$state/bands")
     val filesBefore = stateFiles
 
     // a ProcessingTime stream delivers one of these per idle interval —
@@ -258,15 +260,18 @@ class StreamingSpec extends SparkSpec {
     val q = ClusterMaintenance.sink(stream, state, ckpt, compactEvery = 2)
     assert(q.awaitTermination(240000), "stream did not drain in time")
 
-    // without the cadence 6 folds leave >= 6 append file sets; with it
-    // the surviving state is the byte-targeted compact file (one at this
-    // scale) — bounded no matter how many micro-batches the stream ran
-    def partFiles(dir: String) = new java.io.File(dir).listFiles()
-      .count(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
-    assert(partFiles(s"$state/bands") === 1,
-      "bands state must end compacted to the byte-targeted file count")
-    assert(partFiles(s"$state/toks") === 1,
-      "toks state must end compacted to the byte-targeted file count")
+    // without the cadence 6 folds leave >= 6 append file sets per
+    // touched bucket; with it the surviving state is one compact file
+    // per bucket — bounded by the bucket-count layout constant no
+    // matter how many micro-batches the stream ran
+    def buckets(dir: String, bcol: String) =
+      spark.read.parquet(dir).select(bcol).distinct().count().toInt
+    assert(TestFiles.parquetFileCount(s"$state/bands") ===
+      buckets(s"$state/bands", "pb"),
+      "bands state must end compacted to one file per bucket")
+    assert(TestFiles.parquetFileCount(s"$state/toks") ===
+      buckets(s"$state/toks", "tb"),
+      "toks state must end compacted to one file per bucket")
 
     val streamed = ClusterMaintenance.labels(spark, state)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
