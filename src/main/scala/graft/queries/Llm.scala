@@ -3062,6 +3062,88 @@ object Llm {
             SELECT doc_id, quality, skey FROM top
             ORDER BY doc_id"""))
 
+  // ---- trained-PQ ANN (train -> encode -> ADC, the q94/q99 composition) --
+  // q94 pins the encode/ADC machinery against FIXED codebooks (the only
+  // kind its oracle could replay at the time); PqRecallSpec proves
+  // Pq.trainCodebooks beats that baseline on a planted fixture. This row
+  // closes the gap between them: the PRODUCTION composition — per-subspace
+  // Lloyd TRAINING, corpus encoding against the trained codebooks, ADC
+  // top-k — verified end-to-end by the driver. Replayability is the q99
+  // recipe applied per subspace: md5-order seeds, dot-identity distances
+  // (bit-identical folds both engines), (d2, cent_id) ties, empty cells
+  // keep their centroid, and each iteration's means ROUNDED to 6 dp so
+  // partial-sum order can never drift an assignment. The oracle unrolls
+  // the fixed iteration count as a CTE chain over the (vec, sub) slice
+  // table — one chain trains all m subspaces at once, exactly like the
+  // engine's own sub-keyed aggregation. Scale shape: per iteration the
+  // m*k-row codebook broadcasts and the mean update shuffles m*k*subDim
+  // rows; the ADC scan is q94's (broadcast LUT, map-only fold, bounded
+  // heap) — PlanSpec pins it on the trained path too.
+  private val pqTrainM = 4
+  private val pqTrainSubDim = 16
+  private val pqTrainK = 8
+  private val pqTrainIters = 2
+
+  private def pqIterSql(i: Int): String =
+    s"""pa$i AS (SELECT s.vec_id, s.sub, s.sv, c.cent_id,
+              list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cv)
+                + list_dot_product(c.cv, c.cv) AS d2
+            FROM psv s JOIN pc${i - 1} c ON s.sub = c.sub),
+        pw$i AS (SELECT vec_id, sub, sv, cent_id,
+              row_number() OVER (PARTITION BY vec_id, sub
+                ORDER BY d2, cent_id) AS rk
+            FROM pa$i),
+        pm$i AS (SELECT sub, cent_id, u.i AS pos, round(avg(sv[u.i]), 6) AS mv
+            FROM pw$i, unnest(range(1, len(sv) + 1)) AS u(i)
+            WHERE rk = 1 GROUP BY sub, cent_id, u.i),
+        pg$i AS (SELECT sub, cent_id, list(mv ORDER BY pos) AS ncv
+            FROM pm$i GROUP BY sub, cent_id),
+        pc$i AS (SELECT c.sub, c.cent_id, COALESCE(g.ncv, c.cv) AS cv
+            FROM pc${i - 1} c LEFT JOIN pg$i g USING (sub, cent_id))"""
+
+  private val pqTrained = Q(
+    "q111_pq_trained",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = graft.llm.Pq.trainCodebooks(
+        emb, pqTrainM, pqTrainSubDim, pqTrainK, pqTrainIters)
+      val codes = graft.llm.Pq.encode(emb, cb, pqTrainM, pqTrainSubDim)
+      graft.llm.Pq.adcTopK(emb.filter(col("vec_id") < 5), codes, cb,
+        pqTrainM, pqTrainSubDim, pqTrainK, topK = 5)
+        .orderBy(col("query_id"), col("approx_dist"), col("vec_id"))
+    },
+    Some(s"""WITH pen AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            pst AS (SELECT unnest(generate_series(0, ${pqTrainM - 1})) AS sub),
+            psv AS (SELECT vec_id, sub,
+                v[$pqTrainSubDim*sub+1 : $pqTrainSubDim*sub+$pqTrainSubDim] AS sv
+              FROM pen CROSS JOIN pst),
+            psd AS (SELECT vec_id,
+                CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                  vec_id) - 1 AS INT) AS cent_id
+              FROM pen QUALIFY cent_id < $pqTrainK),
+            pc0 AS (SELECT s.sub, d.cent_id, s.sv AS cv
+              FROM psv s JOIN psd d USING (vec_id)),
+            ${(1 to pqTrainIters).map(pqIterSql).mkString(",\n")},
+            pdf AS (SELECT s.vec_id, s.sub, c.cent_id,
+                list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cv)
+                  + list_dot_product(c.cv, c.cv) AS d2
+              FROM psv s JOIN pc$pqTrainIters c ON s.sub = c.sub),
+            pcodes AS (SELECT vec_id, sub, cent_id AS code FROM pdf
+              QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                ORDER BY d2, cent_id) = 1),
+            padc AS (SELECT l.vec_id AS query_id, c.vec_id,
+                round(sum(l.d2), 6) AS approx_dist
+              FROM pcodes c JOIN pdf l
+                ON c.sub = l.sub AND c.code = l.cent_id
+                  AND l.vec_id < 5 AND c.vec_id <> l.vec_id
+              GROUP BY l.vec_id, c.vec_id)
+            SELECT query_id, vec_id, approx_dist FROM padc
+            QUALIFY row_number() OVER (PARTITION BY query_id
+              ORDER BY approx_dist, vec_id) <= 5
+            ORDER BY query_id, approx_dist, vec_id"""))
+
   val queries: Seq[Q] = Seq(
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
     minhashSignatures, minhashPairs, jaccardPairs, simhash, simhashPairs,
@@ -3077,5 +3159,5 @@ object Llm {
     leakageSafeSplits, dupSpanScrub, perplexityBuckets, pqTopK, budgetEpochs,
     gopherRules, contamFrac, qualitySurvivors, kmeansTopics,
     semDedupTrained, topicSample, bpeMerges, bpeEncode, stupidBackoff,
-    gumbelSample)
+    gumbelSample, pqTrained)
 }
