@@ -48,10 +48,18 @@ object Bpe {
     * @return (bestPair: 1-row (x, y, pair_count) frame — staged,
     *         rewritten: (word, cnt, syms) with the pair merged) */
   def step(words: DataFrame): (DataFrame, DataFrame) = {
-    val wp = Window.partitionBy("word").orderBy("p")
     val pos = Staging.stage(positionsOf(words))
     val bp = Staging.stage(bestPairOf(pos))
-    val rewritten = pos.crossJoin(broadcast(bp))
+    (bp, applyMerge(pos, bp))
+  }
+
+  /** The windowed greedy-merge rewrite of a positions table against a
+    * 1-row best-pair frame — the scan-equivalence machinery of [[step]],
+    * shared with the incremental trainer (which applies it to the
+    * matched subset only). */
+  private[graft] def applyMerge(pos: DataFrame, bp: DataFrame): DataFrame = {
+    val wp = Window.partitionBy("word").orderBy("p")
+    pos.crossJoin(broadcast(bp))
       .withColumn("mt",
         coalesce(col("s") === col("x") && col("ns") === col("y"), lit(false)))
       .withColumn("mrn", sum(when(col("mt"), 1).otherwise(0)).over(wp))
@@ -68,7 +76,6 @@ object Bpe {
       // partition-dependent, the array_sort makes it deterministic
       .agg(expr("transform(array_sort(collect_list(struct(p, s2))), q -> q.s2)")
         .as("syms"))
-    (bp, rewritten)
   }
 
   /** The per-position symbol table with its lead pair — the unstaged
@@ -82,12 +89,18 @@ object Bpe {
       .withColumn("ns", lead(col("s"), 1).over(wp))
   }
 
-  /** Most frequent adjacent pair, ties lexicographic — TakeOrdered(1),
-    * never a global sort (unstaged; step() stages it). */
-  private[graft] def bestPairOf(pos: DataFrame): DataFrame =
+  /** Weighted adjacent-pair histogram of a positions table:
+    * (x, y, pair_count). Map-side partial aggregation; row count is the
+    * number of DISTINCT adjacent pairs, not positions. */
+  private[graft] def pairCountsOf(pos: DataFrame): DataFrame =
     pos.filter(col("ns").isNotNull)
       .groupBy(col("s").as("x"), col("ns").as("y"))
       .agg(sum(col("cnt")).as("pair_count"))
+
+  /** Most frequent adjacent pair, ties lexicographic — TakeOrdered(1),
+    * never a global sort (unstaged; step() stages it). */
+  private[graft] def bestPairOf(pos: DataFrame): DataFrame =
+    pairCountsOf(pos)
       .orderBy(col("pair_count").desc, col("x"), col("y"))
       .limit(1)
 
@@ -124,6 +137,76 @@ object Bpe {
           bp.collect().head.getLong(2))
         report(s"bpe:step${i}_vocab_symbols")(
           vocab.agg(sum(size(col("syms")))).collect().head.getLong(0))
+      }
+    }
+    val mergeFrames = merges.result()
+    val mergesDf =
+      if (mergeFrames.isEmpty)
+        vocab.sparkSession.emptyDataFrame
+          .select(lit(1).as("step"), lit("").as("x"), lit("").as("y"),
+            lit(0L).as("pair_count")).limit(0)
+      else mergeFrames.reduce(_ unionByName _)
+    (mergesDf.select("step", "x", "y", "pair_count"), vocab)
+  }
+
+  /** [[train]] with INCREMENTAL pair counts — the production shape for
+    * real vocab scale (32k merges), where re-exploding every position of
+    * every word per merge is the difference between hours and minutes.
+    * The corpus-wide position explode happens exactly ONCE (the initial
+    * histogram); from then on a persisted (x, y, pair_count) table is
+    * maintained by delta: each step rewrites only the words that CONTAIN
+    * the merged pair (a map-only in-row `exists` scan finds them — no
+    * shuffle, no explode) and folds their before/after pair counts into
+    * the table. Per-step shuffle is matched-positions + count-table
+    * sized — the count table is DISTINCT adjacent pairs (alphabet-
+    * bounded early, merge-bounded later), typically orders of magnitude
+    * below the position count — measured in ShuffleGrowthSpec. The best
+    * pair is TakeOrdered(1) straight off the count table.
+    *
+    * Identical output to [[train]] by construction (BpePropSpec pins
+    * it): unmatched words keep their pair counts bit-for-bit, matched
+    * words re-count through the same [[pairCountsOf]], and zero-count
+    * pairs are dropped so exhaustion and tie-breaks agree.
+    * @return (merges, vocab) exactly as [[train]] */
+  def trainIncremental(words: DataFrame, steps: Int,
+                       observe: Option[(String, Long) => Unit] = None)
+      : (DataFrame, DataFrame) = {
+    def report(stage: String)(rows: => Long): Unit = observe.foreach(_(stage, rows))
+    var vocab = Staging.stage(withCharSyms(words))
+    // the one corpus-sized pass: the full pair histogram
+    var counts = Staging.stage(pairCountsOf(positionsOf(vocab)))
+    val merges = Seq.newBuilder[DataFrame]
+    var exhausted = false
+    for (i <- 1 to steps if !exhausted) {
+      val bp = Staging.stage(counts
+        .orderBy(col("pair_count").desc, col("x"), col("y")).limit(1))
+      if (bp.isEmpty) exhausted = true
+      else {
+        merges += bp.withColumn("step", lit(i))
+        // matched = words containing the pair adjacently — map-only scan
+        // the size guard short-circuits single-symbol words: without it
+        // sequence(1, 0) DESCENDS under Spark's default step and the
+        // element_at probes throw under ANSI
+        val flagged = vocab.crossJoin(broadcast(bp))
+          .withColumn("mt", size(col("syms")) > 1 && expr(
+            """exists(sequence(1, size(syms) - 1),
+                 j -> element_at(syms, j) = x AND element_at(syms, j + 1) = y)"""))
+        val matched = Staging.stage(
+          flagged.filter(col("mt")).select("word", "cnt", "syms"))
+        val untouched = flagged.filter(!col("mt")).select("word", "cnt", "syms")
+        val mpos = Staging.stage(positionsOf(matched))
+        val rewritten = Staging.stage(applyMerge(mpos, bp))
+        // count delta: retract the matched words' old pairs, add their
+        // new ones; everything else is untouched by the rewrite
+        val delta = pairCountsOf(mpos)
+          .select(col("x"), col("y"), (-col("pair_count")).as("pair_count"))
+          .unionByName(pairCountsOf(positionsOf(rewritten)))
+        counts = Staging.stage(counts.unionByName(delta)
+          .groupBy("x", "y").agg(sum(col("pair_count")).as("pair_count"))
+          .filter(col("pair_count") > 0))
+        vocab = Staging.stage(untouched.unionByName(rewritten))
+        report(s"bpe:step${i}_pair_count")(bp.collect().head.getLong(2))
+        report(s"bpe:step${i}_matched_words")(matched.count())
       }
     }
     val mergeFrames = merges.result()

@@ -51,8 +51,11 @@ class BpePropSpec extends SparkSpec {
     (merges.result(), vocab)
   }
 
-  private def trainDistributed(words: Map[String, Long], steps: Int) = {
-    val (m, v) = Bpe.train(words.toSeq.toDF("word", "cnt"), steps)
+  private def trainDistributed(words: Map[String, Long], steps: Int,
+      trainer: (org.apache.spark.sql.DataFrame, Int) =>
+        (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+        (df, s) => Bpe.train(df, s)) = {
+    val (m, v) = trainer(words.toSeq.toDF("word", "cnt"), steps)
     val merges = m.orderBy("step").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toList
     val vocab = v.collect()
@@ -76,6 +79,40 @@ class BpePropSpec extends SparkSpec {
       val want = model(words, steps)
       assert(got === want, s"iteration $i: words=$words steps=$steps")
     }
+  }
+
+  test("incremental-count training equals the sequential algorithm on 10 seeded corpora") {
+    // the delta trainer maintains a persisted pair-count table instead
+    // of recounting the vocabulary per merge — same output, different
+    // plan; prove it against the same sequential model on the same
+    // shapes (repeat runs are the dangerous case: a merged run changes
+    // MANY counts of its own pair at once, all through the delta path)
+    val rnd = new Random(777)
+    for (i <- 1 to 10) {
+      val alphabet = "ab" + (if (rnd.nextBoolean()) "c" else "")
+      val nWords = 3 + rnd.nextInt(8)
+      val words = (1 to nWords).map { _ =>
+        val len = 1 + rnd.nextInt(8)
+        (List.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString,
+          (1 + rnd.nextInt(20)).toLong)
+      }.toMap
+      val steps = 1 + rnd.nextInt(4)
+      val got = trainDistributed(words, steps,
+        (df, s) => Bpe.trainIncremental(df, s))
+      val want = model(words, steps)
+      assert(got === want, s"iteration $i: words=$words steps=$steps")
+    }
+  }
+
+  test("incremental trainer handles pair exhaustion like the full trainer") {
+    val inc = (df: org.apache.spark.sql.DataFrame, s: Int) =>
+      Bpe.trainIncremental(df, s)
+    val (merges, vocab) = trainDistributed(Map("a" -> 5L, "b" -> 3L), 3, inc)
+    assert(merges === Nil)
+    assert(vocab === Map("a" -> List("a"), "b" -> List("b")))
+    val (m2, v2) = trainDistributed(Map("aa" -> 5L, "b" -> 3L), 3, inc)
+    assert(m2 === List((1, "a", "a", 5L)))
+    assert(v2 === Map("aa" -> List("aa"), "b" -> List("b")))
   }
 
   test("pair exhaustion stops training and PRESERVES the vocabulary") {

@@ -168,6 +168,35 @@ class ShuffleGrowthSpec extends SparkSpec {
       s"assignment shuffle must not scale with k (map-side collapse): $rec4 -> $rec16")
   }
 
+  test("incremental BPE steps after the first are delta-sized, not vocabulary-sized") {
+    // the full trainer re-explodes every position of every word on every
+    // merge; the incremental trainer pays the corpus-sized histogram
+    // ONCE and then touches only matched words plus the (distinct-pair-
+    // sized) count table. Fixture: a 3-merge chain q·z·w·v planted in 5
+    // heavy words; ~1000 fillers from a disjoint 16-char alphabet never
+    // match, so steps 2-3's delta is 5 words against a ~1000-word vocab.
+    import graft.llm.Bpe
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val fillers = (1 to 1000).map { _ =>
+      (List.fill(6)("abcdefghijklmnop"(rnd.nextInt(16))).mkString, 1L)
+    }
+    val special = Seq("qzwva", "qzwvb", "qzwvc", "qzwvd", "qzwve").map(_ -> 100L)
+    val words = (fillers ++ special).toMap.toSeq.toDF("word", "cnt")
+    def steps(n: Int, inc: Boolean): Long = measureShuffle {
+      if (inc) Bpe.trainIncremental(words, n) else Bpe.train(words, n)
+    }._1
+    val (f1, f3) = (steps(1, inc = false), steps(3, inc = false))
+    val (i1, i3) = (steps(1, inc = true), steps(3, inc = true))
+    val fullPerStep = (f3 - f1) / 2.0
+    val incPerStep = (i3 - i1) / 2.0
+    info(f"per-extra-step shuffle records: full=$fullPerStep%.0f inc=$incPerStep%.0f " +
+      f"ratio=${fullPerStep / math.max(incPerStep, 1)}%.1f")
+    assert(f1 > 0 && i1 > 0, "both trainers must actually shuffle")
+    assert(incPerStep * 4 <= fullPerStep,
+      s"incremental steps must be delta-sized: inc=$incPerStep vs full=$fullPerStep")
+  }
+
   test("BPE merge steps never touch the corpus: step shuffle flat across corpus size") {
     // the q104 scale claim: corpus-sized work happens exactly once (the
     // histogram); every merge step runs on the VOCABULARY. Replicate the
