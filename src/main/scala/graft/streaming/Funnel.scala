@@ -12,8 +12,10 @@ case class FunnelCore(t1: Option[Long], t2: Option[Long], t3: Option[Long])
 /** Per-user state: the core folded from watermark-sealed events, plus
   * the raw events still inside the watermark horizon. Bounded: pending
   * spans at most the watermark delay of event time; the core is three
-  * longs — regardless of stream history (the 100 TB requirement). */
-case class FunnelProgress(core: FunnelCore, pending: Seq[(Long, String)], seen: Long)
+  * longs — regardless of stream history (the 100 TB requirement).
+  * `lastUs` is the user's newest event time — the eviction clock. */
+case class FunnelProgress(core: FunnelCore, pending: Seq[(Long, String)],
+    seen: Long, lastUs: Long = 0L)
 
 /** One provisional funnel snapshot (Update-mode emission). `rev` counts
   * events folded so far — consumers keep the max-rev row per user. */
@@ -60,11 +62,26 @@ object Funnel {
 
   /** Track funnels over a stream with `user_id`, event-time `ts`, and
     * `event_type` columns. Emits one provisional snapshot per user per
-    * micro-batch that touched or timed out the user. */
-  def track(events: DataFrame, windowUs: Long,
-            watermarkDelay: String): Dataset[FunnelSnapshot] = {
+    * micro-batch that touched or timed out the user.
+    *
+    * @param evictAfterUs event-time eviction horizon: once the watermark
+    *   passes a user's newest event by this much, the state times out —
+    *   the remaining pending events (all below the watermark by then)
+    *   seal into the core, one FINAL snapshot is emitted, and the state
+    *   row is removed. Without it state grows with all-time user
+    *   cardinality; with it, state holds only users active inside the
+    *   horizon (choose horizon ≥ the funnel's total conversion span so
+    *   an in-flight funnel is never cut). A later event for an evicted
+    *   user starts a FRESH funnel (below-watermark stragglers cannot
+    *   resurrect anything — Spark drops them before the operator).
+    *   None = keep state forever (the pre-eviction behavior). */
+  def track(events: DataFrame, windowUs: Long, watermarkDelay: String,
+            evictAfterUs: Option[Long] = None): Dataset[FunnelSnapshot] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (evictAfterUs.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       // watermarks require TIMESTAMP; NTZ event time is wall-clock UTC.
       // The watermarked column must survive into the stateful operator
@@ -79,23 +96,48 @@ object Funnel {
       .as[(Long, java.sql.Timestamp, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[FunnelProgress, FunnelSnapshot](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeoutConf) {
         (uid, it, state) =>
           def micros(t: java.sql.Timestamp): Long = {
             val i = t.toInstant
             i.getEpochSecond * 1000000L + i.getNano / 1000L
           }
-          val st = state.getOption
-            .getOrElse(FunnelProgress(FunnelCore(None, None, None), Nil, 0L))
-          val incoming = it.map(e => (micros(e._2), e._3)).toSeq
-          val pend = (st.pending ++ incoming).sortBy(p => (p._1, p._2))
-          val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val (sealable, stillPending) =
-            if (wmUs > 0) pend.partition(_._1 < wmUs) else (Nil, pend)
-          val core = fold(st.core, sealable, windowUs)
-          val seen = st.seen + incoming.size
-          state.update(FunnelProgress(core, stillPending, seen))
-          Iterator(snapshot(uid, fold(core, stillPending, windowUs), seen))
+          if (state.hasTimedOut) {
+            // the watermark passed lastUs + horizon, so every pending
+            // event (ts ≤ lastUs) is sealed: fold them, emit the final
+            // snapshot, drop the row
+            val st = state.get
+            val core = fold(st.core, st.pending, windowUs)
+            state.remove()
+            Iterator(snapshot(uid, core, st.seen))
+          } else {
+            val st = state.getOption
+              .getOrElse(FunnelProgress(FunnelCore(None, None, None), Nil, 0L))
+            val incoming = it.map(e => (micros(e._2), e._3)).toSeq
+            val pend = (st.pending ++ incoming).sortBy(p => (p._1, p._2))
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val (sealable, stillPending) =
+              if (wmUs > 0) pend.partition(_._1 < wmUs) else (Nil, pend)
+            val core = fold(st.core, sealable, windowUs)
+            val seen = st.seen + incoming.size
+            val lastUs = (st.lastUs +: incoming.map(_._1)).max
+            evictAfterUs match {
+              case Some(h) if wmUs > 0 && lastUs + h <= wmUs =>
+                // already beyond the horizon (a batch of old events):
+                // everything sealed above — final snapshot, no state row.
+                // setTimeoutTimestamp would reject a past timestamp, so
+                // evict inline instead of round-tripping through a timeout
+                state.remove()
+                Iterator(snapshot(uid, core, seen))
+              case Some(h) =>
+                state.update(FunnelProgress(core, stillPending, seen, lastUs))
+                state.setTimeoutTimestamp((lastUs + h) / 1000L)
+                Iterator(snapshot(uid, fold(core, stillPending, windowUs), seen))
+              case None =>
+                state.update(FunnelProgress(core, stillPending, seen, lastUs))
+                Iterator(snapshot(uid, fold(core, stillPending, windowUs), seen))
+            }
+          }
       }
   }
 }

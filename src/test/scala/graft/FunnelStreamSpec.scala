@@ -86,6 +86,61 @@ class FunnelStreamSpec extends SparkSpec {
     assert(got === model(evs))
   }
 
+  test("event-time eviction drops dormant users; a late straggler cannot resurrect them") {
+    import spark.implicits._
+    val us = 1000000L
+    val day = 86400L * us
+    val t0 = 1704067200L * us
+    // A converts immediately; B stalls at view; C is the clock that
+    // advances the watermark ~100 days, past A/B's 10-day horizon
+    val b0 = Seq((1L, t0, "view"), (1L, t0 + 3600 * us, "click"),
+      (1L, t0 + 7200 * us, "purchase"), (2L, t0, "view"))
+    val b1 = Seq((3L, t0 + 100 * day, "view"))
+    val b2 = Seq((3L, t0 + 100 * day + 3600 * us, "click"))
+    // a straggler for evicted B, far below the watermark: must be
+    // dropped BEFORE the operator — never resurrecting the state row
+    val b3 = Seq((2L, t0 + day, "click"))
+    val dir = java.nio.file.Files.createTempDirectory("funnel-evict").toString
+    Seq(b0, b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      b.toDF("user_id", "tu", "event_type")
+        .withColumn("ts", timestamp_micros(col("tu")).cast("timestamp_ntz"))
+        .select("user_id", "ts", "event_type")
+        .coalesce(1).write.parquet(s"$dir/b$i")
+      Thread.sleep(1100) // distinct mtimes -> deterministic drain order
+    }
+    val schema = spark.read.parquet(s"$dir/b0").schema
+    val q = Funnel.track(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/*"),
+      windowUs, "2 days", evictAfterUs = Some(10 * day))
+      .writeStream.format("memory").queryName("funnel_evict")
+      .outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("funnel-evict-ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+
+    val stateRows = q.recentProgress.reverse
+      .flatMap(p => p.stateOperators.headOption)
+      .headOption.map(_.numRowsTotal).getOrElse(-1L)
+    assert(stateRows === 1L,
+      s"only the still-active user may hold state, got $stateRows rows")
+
+    val rows = spark.table("funnel_evict").collect()
+    def lastRow(uid: Long) = rows.filter(_.getLong(0) == uid)
+      .maxBy(_.getAs[Long]("rev"))
+    // A's final (timeout-sealed) snapshot keeps the completed funnel
+    val a = lastRow(1L)
+    assert(a.getAs[Boolean]("converted") && !a.isNullAt(3))
+    // B sealed at depth 1, and the dropped straggler never set a t2 —
+    // not in the final row, not in any provisional one
+    val b = lastRow(2L)
+    assert(!b.isNullAt(1) && b.isNullAt(2),
+      "the below-watermark click must not land in B's funnel")
+    assert(rows.filter(_.getLong(0) == 2L).forall(_.isNullAt(2)))
+  }
+
   test("state holds one row per user — never one per event") {
     import spark.implicits._
     val evs = eventRows
