@@ -934,23 +934,31 @@ object Relational {
   // user-keyed min for cohorts, one distinct over (user, week) — both
   // map-side-partial — then a count-distinct keyed on (cohort, offset);
   // no self-join of the event log against itself.
+  /** The q108 report body over prepared inputs — shared verbatim with
+    * the streaming fold (`graft.streaming.EventReports.retention`), so
+    * stream and batch can only diverge where their inputs do.
+    * @param cohorts (user_id, cohort: week-truncated first signup)
+    * @param active  distinct (user_id, wk: week-truncated activity) */
+  private[graft] def retentionReport(cohorts: DataFrame,
+                                     active: DataFrame): DataFrame =
+    cohorts.join(active, Seq("user_id"))
+      .filter(col("wk") >= col("cohort"))
+      .withColumn("week_offset",
+        expr("CAST(datediff(wk, cohort) div 7 AS INT)"))
+      .groupBy("cohort", "week_offset")
+      .agg(countDistinct(col("user_id")).cast("long").as("active_users"))
+      .orderBy("cohort", "week_offset")
+
   private val retention = Q(
     "q108_retention",
     (s, dir) => {
       val ev = t(s, dir, "events")
-      val cohorts = ev.filter(col("event_type") === "signup")
-        .groupBy("user_id")
-        .agg(min(date_trunc("week", col("ts"))).as("cohort"))
-      val active = ev
-        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
-        .distinct()
-      cohorts.join(active, Seq("user_id"))
-        .filter(col("wk") >= col("cohort"))
-        .withColumn("week_offset",
-          expr("CAST(datediff(wk, cohort) div 7 AS INT)"))
-        .groupBy("cohort", "week_offset")
-        .agg(countDistinct(col("user_id")).cast("long").as("active_users"))
-        .orderBy("cohort", "week_offset")
+      retentionReport(
+        ev.filter(col("event_type") === "signup")
+          .groupBy("user_id")
+          .agg(min(date_trunc("week", col("ts"))).as("cohort")),
+        ev.select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+          .distinct())
     },
     Some("""WITH c AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort
                    FROM events WHERE event_type = 'signup' GROUP BY user_id),
@@ -975,20 +983,23 @@ object Relational {
   // (day BETWEEN d-6 AND d), so agreement checks the window semantics.
   // Only observed days are reported (semi-join back), matching the
   // oracle's day list.
+  /** The q109 report body over a distinct (user_id, d: date) activity
+    * table — shared verbatim with the streaming fold
+    * (`graft.streaming.EventReports.rollingActive`). */
+  private[graft] def wauReport(days: DataFrame): DataFrame =
+    days
+      .select(col("user_id"),
+        explode(expr("sequence(d, date_add(d, 6))")).as("day"))
+      .join(days.select(col("d").as("day")).distinct(), Seq("day"), "left_semi")
+      .groupBy("day")
+      .agg(countDistinct(col("user_id")).cast("long").as("wau"))
+      .select(col("day").cast("timestamp_ntz").as("day"), col("wau"))
+      .orderBy("day")
+
   private val rollingActive = Q(
     "q109_rolling_active",
-    (s, dir) => {
-      val days = t(s, dir, "events")
-        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
-      days
-        .select(col("user_id"),
-          explode(expr("sequence(d, date_add(d, 6))")).as("day"))
-        .join(days.select(col("d").as("day")).distinct(), Seq("day"), "left_semi")
-        .groupBy("day")
-        .agg(countDistinct(col("user_id")).cast("long").as("wau"))
-        .select(col("day").cast("timestamp_ntz").as("day"), col("wau"))
-        .orderBy("day")
-    },
+    (s, dir) => wauReport(t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()),
     Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
                    FROM events),
             dd AS (SELECT DISTINCT d AS day FROM ud)

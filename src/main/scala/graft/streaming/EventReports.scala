@@ -1,0 +1,141 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.core.Staging
+import graft.queries.Relational
+import graft.sinks.Sinks
+
+/** Streaming cohort-retention and rolling-WAU — q108/q109 as
+  * incrementally-maintained reports, completing the event-analytics
+  * family's streaming tier (the funnel went first, in [[Funnel]]).
+  *
+  * The funnel needed a stateful operator because its walk is
+  * ORDER-SENSITIVE; retention and WAU are not — their inputs are a
+  * per-user MIN (cohort) and a distinct SET of (user, day) activity
+  * pairs, both order-insensitive folds. So the right machinery is the
+  * engine's persisted-state foreachBatch pattern (CorpusStream's), not
+  * flatMapGroupsWithState: each micro-batch folds its delta into two
+  * compact state tables, and the reports run the BATCH query bodies
+  * (`Relational.retentionReport` / `Relational.wauReport` — shared
+  * code, not re-derived) over that state. Stream == batch by
+  * construction wherever the inputs agree, and EventReportsStreamSpec
+  * pins that they do — under reversed arrival order too, which needs no
+  * watermark here precisely because the folds are order-insensitive.
+  *
+  * State under `statePath`:
+  *  - `cohorts/` — append-only per-batch signup-week minima
+  *    (user_id, cohort); the report takes the running min, compaction
+  *    collapses history. Per-batch cost ∝ the batch's signup users.
+  *  - `days/` — the distinct (user_id, d) activity pairs, PARTITIONED
+  *    BY DAY: a micro-batch's novelty probe prunes to the days the
+  *    batch touches and broadcasts the batch's pairs into the pruned
+  *    scan (the bucketed-state discipline of CorpusStream's hash
+  *    store, with the day as the natural bucket) — no accumulated
+  *    state row is ever shuffled, per batch or ever.
+  *
+  * Replay safety: both tables tolerate duplicate rows (min and distinct
+  * absorb them); compaction reclaims the storage.
+  *
+  * Scale: state is users + users×days — orders of magnitude below the
+  * event log the batch reports re-scan; the reports themselves are
+  * state-table-sized, so an hourly report over a 100 TB log becomes a
+  * scan of a compact activity table instead of the log.
+  */
+object EventReports {
+
+  private def cohortsPath(state: String) = s"$state/cohorts"
+  private def daysPath(state: String) = s"$state/days"
+
+  /** Fold one micro-batch of events (`user_id`, `ts`, `event_type`)
+    * into the report state. */
+  def foldBatch(batch: DataFrame, statePath: String): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val fs = new Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // cohort candidates: the batch's own signup-week min per user —
+    // appended, not merged (min over appended candidates at report
+    // time == min over all events, because min is associative)
+    val bc = batch.filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min(date_trunc("week", col("ts"))).as("cohort"))
+    if (!bc.isEmpty)
+      bc.write.mode("append").parquet(cohortsPath(statePath))
+
+    // activity pairs: batch-distinct, then probe the day-partitioned
+    // state for novelty — prune to touched days (bounded by the batch's
+    // time span), broadcast the batch's pairs into the pruned scan, and
+    // anti-join against the (batch-bounded) seen set
+    val bd = Staging.stage(batch
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct())
+    val novel =
+      if (!fs.exists(new Path(daysPath(statePath)))) bd
+      else {
+        val touched = bd.select("d").distinct()
+          .collect().map(_.getDate(0)).toIndexedSeq
+        val state = spark.read.parquet(daysPath(statePath))
+          .filter(col("d").isin(touched: _*))
+        val seen = state.join(broadcast(bd), Seq("user_id", "d"))
+          .select("user_id", "d").distinct()
+        bd.join(broadcast(seen), Seq("user_id", "d"), "left_anti")
+      }
+    novel.repartition(col("d"))
+      .write.partitionBy("d").mode("append").parquet(daysPath(statePath))
+  }
+
+  /** Wire [[foldBatch]] as a foreachBatch sink with the engine's
+    * compaction cadence (checkpointed batchId, serial callback). */
+  def sink(stream: DataFrame, statePath: String, checkpointDir: String,
+           trigger: Trigger = Trigger.AvailableNow(),
+           compactEvery: Int = 8): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatch(batch, statePath)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactState(batch.sparkSession, statePath)
+      }
+      .start()
+
+  /** Compact the state: cohort candidate history collapses to the
+    * per-user min; day pairs dedup (replay duplicates only) keeping the
+    * day partitioning — one file per day is the compaction granule. */
+  def compactState(spark: SparkSession, statePath: String): Unit = {
+    val fs = new Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(cohortsPath(statePath))))
+      Sinks.snapshotSwap(
+        spark.read.parquet(cohortsPath(statePath))
+          .groupBy("user_id").agg(min("cohort").as("cohort")),
+        cohortsPath(statePath))
+    if (fs.exists(new Path(daysPath(statePath))))
+      Sinks.snapshotSwap(
+        spark.read.parquet(daysPath(statePath)).distinct()
+          .repartition(col("d")),
+        daysPath(statePath), Seq("d"))
+  }
+
+  /** The q108 cohort-retention report over the folded state — the batch
+    * query body (`Relational.retentionReport`) on streaming inputs. */
+  def retention(spark: SparkSession, statePath: String): DataFrame =
+    Relational.retentionReport(
+      spark.read.parquet(cohortsPath(statePath))
+        .groupBy("user_id").agg(min("cohort").as("cohort")),
+      spark.read.parquet(daysPath(statePath))
+        .select(col("user_id"),
+          date_trunc("week", col("d").cast("timestamp_ntz")).as("wk"))
+        .distinct())
+
+  /** The q109 rolling-7-day-WAU report over the folded state — the
+    * batch query body (`Relational.wauReport`) on streaming inputs. */
+  def rollingActive(spark: SparkSession, statePath: String): DataFrame =
+    Relational.wauReport(
+      spark.read.parquet(daysPath(statePath))
+        .select("user_id", "d").distinct())
+}
