@@ -2880,6 +2880,28 @@ object Llm {
               .mkString("\nUNION ALL\n")}
             ORDER BY step"""))
 
+  // q104's trainer swapped for the incremental-count variant, against
+  // q104's ORACLE verbatim: the driver checks that maintaining the pair
+  // table by delta (retract matched words' old pairs, add their new
+  // ones) reproduces full-recount training bit-for-bit — the merge
+  // sequence, counts and tie-breaks included. BpePropSpec pins the
+  // equality against the sequential model; this row makes it
+  // driver-visible. Scale note in Bpe.trainIncremental's doc: per-step
+  // cost drops from all-positions to matched-positions + count-table.
+  private val bpeIncMerges = Q(
+    "q114_bpe_incremental",
+    (s, dir) => {
+      val (merges, _) =
+        graft.llm.Bpe.trainIncremental(corpusWordHist(s, dir), bpeSteps)
+      merges.select(col("step"), col("x").as("merge_left"),
+        col("y").as("merge_right"), col("pair_count")).orderBy("step")
+    },
+    Some(s"""WITH $bpeChainSql
+            ${(1 to bpeSteps).map(i =>
+              s"SELECT CAST($i AS INT) AS step, x AS merge_left, y AS merge_right, pair_count FROM bp$i")
+              .mkString("\nUNION ALL\n")}
+            ORDER BY step"""))
+
   private val bpeEncode = Q(
     "q105_bpe_encode",
     (s, dir) => {
@@ -3159,5 +3181,5 @@ object Llm {
     leakageSafeSplits, dupSpanScrub, perplexityBuckets, pqTopK, budgetEpochs,
     gopherRules, contamFrac, qualitySurvivors, kmeansTopics,
     semDedupTrained, topicSample, bpeMerges, bpeEncode, stupidBackoff,
-    gumbelSample, pqTrained)
+    gumbelSample, pqTrained, bpeIncMerges)
 }

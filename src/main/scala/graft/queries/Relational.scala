@@ -949,6 +949,20 @@ object Relational {
       .agg(countDistinct(col("user_id")).cast("long").as("active_users"))
       .orderBy("cohort", "week_offset")
 
+  /** q108's oracle — also the oracle of q112's incremental fold (same
+    * report, streaming-maintained inputs). */
+  private val retentionSql =
+    """WITH c AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort
+               FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+              FROM events)
+        SELECT c.cohort, CAST(date_diff('day', c.cohort, a.wk) // 7 AS INT)
+            AS week_offset,
+          CAST(count(DISTINCT c.user_id) AS BIGINT) AS active_users
+        FROM c JOIN a USING (user_id)
+        WHERE a.wk >= c.cohort
+        GROUP BY 1, 2 ORDER BY cohort, week_offset"""
+
   private val retention = Q(
     "q108_retention",
     (s, dir) => {
@@ -960,16 +974,7 @@ object Relational {
         ev.select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
           .distinct())
     },
-    Some("""WITH c AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort
-                   FROM events WHERE event_type = 'signup' GROUP BY user_id),
-            a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
-                  FROM events)
-            SELECT c.cohort, CAST(date_diff('day', c.cohort, a.wk) // 7 AS INT)
-                AS week_offset,
-              CAST(count(DISTINCT c.user_id) AS BIGINT) AS active_users
-            FROM c JOIN a USING (user_id)
-            WHERE a.wk >= c.cohort
-            GROUP BY 1, 2 ORDER BY cohort, week_offset"""))
+    Some(retentionSql))
 
   // ---- rolling active users (7-day WAU per day) ------------------------
   // The third standard event report (with q107's funnel and q108's
@@ -996,17 +1001,54 @@ object Relational {
       .select(col("day").cast("timestamp_ntz").as("day"), col("wau"))
       .orderBy("day")
 
+  /** q109's oracle — also the oracle of q113's incremental fold. */
+  private val wauSql =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+               FROM events),
+        dd AS (SELECT DISTINCT d AS day FROM ud)
+        SELECT CAST(dd.day AS TIMESTAMP) AS day,
+          CAST(count(DISTINCT ud.user_id) AS BIGINT) AS wau
+        FROM dd JOIN ud ON ud.d BETWEEN dd.day - 6 AND dd.day
+        GROUP BY dd.day ORDER BY day"""
+
   private val rollingActive = Q(
     "q109_rolling_active",
     (s, dir) => wauReport(t(s, dir, "events")
       .select(col("user_id"), to_date(col("ts")).as("d")).distinct()),
-    Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
-                   FROM events),
-            dd AS (SELECT DISTINCT d AS day FROM ud)
-            SELECT CAST(dd.day AS TIMESTAMP) AS day,
-              CAST(count(DISTINCT ud.user_id) AS BIGINT) AS wau
-            FROM dd JOIN ud ON ud.d BETWEEN dd.day - 6 AND dd.day
-            GROUP BY dd.day ORDER BY day"""))
+    Some(wauSql))
+
+  // ---- incremental event reports as oracle rows ------------------------
+  // The q82 pattern applied to the event-analytics tier: each invocation
+  // folds the event log into a FRESH temp state through the streaming
+  // maintenance code (graft.streaming.EventReports) — NEWER HALF FIRST,
+  // so the order-insensitivity the streaming tier claims is what the
+  // driver actually checks — then reports off the folded state. The
+  // oracle is the corresponding BATCH oracle verbatim: stream == batch
+  // becomes driver-visible, not just spec-pinned. The mid-log time cut
+  // is a 1-row aggregate (bounded scalar, the cursor-read category).
+  private def foldedEventState(s: SparkSession, dir: String): String = {
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_q112_state").toString
+    val ev = t(s, dir, "events").select("user_id", "ts", "event_type")
+    val cut = ev.agg(avg(unix_micros(col("ts").cast("timestamp"))))
+      .collect()(0).getDouble(0).toLong
+    val us = unix_micros(col("ts").cast("timestamp"))
+    graft.streaming.EventReports.foldBatch(ev.filter(us >= cut), state)
+    graft.streaming.EventReports.foldBatch(ev.filter(us < cut), state)
+    state
+  }
+
+  private val incRetention = Q(
+    "q112_incremental_retention",
+    (s, dir) => graft.streaming.EventReports
+      .retention(s, foldedEventState(s, dir)),
+    Some(retentionSql))
+
+  private val incRollingActive = Q(
+    "q113_incremental_wau",
+    (s, dir) => graft.streaming.EventReports
+      .rollingActive(s, foldedEventState(s, dir)),
+    Some(wauSql))
 
   val queries: Seq[Q] = Seq(
     cursorScan, pointLookup, topN, groupAgg, joinEnrich, semiJoin, antiJoin,
@@ -1017,5 +1059,5 @@ object Relational {
     scd2, sqlSource, rangeOrIn,
     intersectOp, exceptOp, rollupAgg, mapFlatten, reverseEtl, asofEnrich,
     percentiles, saltedJoinAgg, pivotCounts, rangeJoin, funnel, retention,
-    rollingActive)
+    rollingActive, incRetention, incRollingActive)
 }
