@@ -186,13 +186,15 @@ object Bpe {
         // matched = words containing the pair adjacently — map-only scan
         // the size guard short-circuits single-symbol words: without it
         // sequence(1, 0) DESCENDS under Spark's default step and the
-        // element_at probes throw under ANSI
-        val flagged = vocab.crossJoin(broadcast(bp))
+        // element_at probes throw under ANSI. Staged ONCE so the
+        // vocab-wide exists scan is paid once per step, not re-evaluated
+        // by each of the matched/untouched consumers.
+        val flagged = Staging.stage(vocab.crossJoin(broadcast(bp))
           .withColumn("mt", size(col("syms")) > 1 && expr(
             """exists(sequence(1, size(syms) - 1),
                  j -> element_at(syms, j) = x AND element_at(syms, j + 1) = y)"""))
-        val matched = Staging.stage(
-          flagged.filter(col("mt")).select("word", "cnt", "syms"))
+          .select("word", "cnt", "syms", "mt"))
+        val matched = flagged.filter(col("mt")).select("word", "cnt", "syms")
         val untouched = flagged.filter(!col("mt")).select("word", "cnt", "syms")
         val mpos = Staging.stage(positionsOf(matched))
         val rewritten = Staging.stage(applyMerge(mpos, bp))

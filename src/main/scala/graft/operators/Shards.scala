@@ -71,9 +71,18 @@ object Shards {
       .withColumn("shard", ((col("graft_rank") - 1) / rowsPerShard).cast("long"))
     val staged = graft.core.Staging.stage(ranked)
     // a fully-filtered corpus aggregates max(shard) to NULL — zero
-    // shards is a valid export, not an NPE in the terminal stage
+    // shards is a valid export, not an NPE in the terminal stage. The
+    // previous export (if any) is REMOVED: leaving yesterday's shards
+    // and manifest in place would let verify() certify a stale corpus
+    // as the current one.
     val maxRow = staged.agg(max(col("shard"))).collect()(0)
-    if (maxRow.isNullAt(0)) return 0L
+    if (maxRow.isNullAt(0)) {
+      val target = new org.apache.hadoop.fs.Path(path)
+      val fs = target.getFileSystem(
+        df.sparkSession.sparkContext.hadoopConfiguration)
+      if (fs.exists(target)) fs.delete(target, true)
+      return 0L
+    }
     val numShards = maxRow.getLong(0) + 1
     require(numShards <= Int.MaxValue,
       s"$numShards shards exceeds Int.MaxValue — raise rowsPerShard " +
@@ -115,8 +124,11 @@ object Shards {
         if (r.isNullAt(r.fieldIndex("m_rows"))) s"shard $s: not in manifest"
         else if (r.isNullAt(r.fieldIndex("rows"))) s"shard $s: files missing"
         else s"shard $s: manifest (rows=${r.getAs[Long]("m_rows")}, " +
+          s"ranks=${r.getAs[Long]("m_min")}..${r.getAs[Long]("m_max")}, " +
           s"hash=${r.getAs[Long]("m_hash")}) != census " +
-          s"(rows=${r.getAs[Long]("rows")}, hash=${r.getAs[Long]("content_hash")})"
+          s"(rows=${r.getAs[Long]("rows")}, " +
+          s"ranks=${r.getAs[Long]("min_rank")}..${r.getAs[Long]("max_rank")}, " +
+          s"hash=${r.getAs[Long]("content_hash")})"
       }
   }
 }

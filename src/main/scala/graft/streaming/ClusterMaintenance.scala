@@ -98,6 +98,10 @@ object ClusterMaintenance {
     val deltaToks = Staging.stage(batch.select(col("doc_id"),
       expr(s"array_distinct(${Llm.toksExpr})").as("toks"))
       .withColumn("tb", tokBucket(col("doc_id"))))
+    // one-time unbucketed->bucketed migration for pre-upgrade state
+    StateStore.ensureBucketed(spark, bandsPath(statePath), "pb", bandBucket)
+    StateStore.ensureBucketed(spark, toksPath(statePath), "tb",
+      tokBucket(col("doc_id")))
 
     // delta-vs-delta candidates: the batch's internal band self-join,
     // same exactly-once lowest-agreeing-band emission as batch q46
@@ -128,10 +132,8 @@ object ClusterMaintenance {
     val dc =
       if (!fs.exists(new Path(bandsPath(statePath)))) dd.limit(0)
       else {
-        val touchedPb = deltaBands.select("pb").distinct()
-          .collect().map(_.getInt(0)).toIndexedSeq
-        val idx = spark.read.parquet(bandsPath(statePath))
-          .filter(col("pb").isin(touchedPb: _*))
+        val idx = StateStore.prunedByTouched(spark, bandsPath(statePath),
+          "pb", deltaBands, col("pb"))
         val cand = Staging.stage(idx
           .select(col("doc_id").as("corpus_id"), col("band"),
             col("bucket"), col("b0").as("b0_c"))
@@ -142,10 +144,8 @@ object ClusterMaintenance {
           // a replayed batch is already in the index; never self-pair
           .filter(col("delta_id") =!= col("corpus_id"))
           .select("delta_id", "corpus_id"))
-        val touchedTb = cand.select(tokBucket(col("corpus_id")).as("tb"))
-          .distinct().collect().map(_.getInt(0)).toIndexedSeq
-        val corpusToks = spark.read.parquet(toksPath(statePath))
-          .filter(col("tb").isin(touchedTb: _*))
+        val corpusToks = StateStore.prunedByTouched(spark,
+          toksPath(statePath), "tb", cand, tokBucket(col("corpus_id")))
         val scored = corpusToks
           .select(col("doc_id").as("corpus_id"), col("toks").as("toks_c"))
           .join(broadcast(cand), Seq("corpus_id"))

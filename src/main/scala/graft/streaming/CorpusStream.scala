@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -55,52 +55,43 @@ object CorpusStream {
   private def hashesPath(state: String) = s"$state/hashes"
   private def clusterPath(state: String) = s"$state/cluster"
 
+  /** The hash store's partition key: first two hex digits of the md5 —
+    * 256 buckets, uniform by construction. */
+  private def hashBucketOf(h: Column) =
+    conv(substring(h, 1, 2), 16, 10).cast("int")
+
   /** Fold one micro-batch of raw documents into the corpus state. */
   def foldBatch(batch: DataFrame, statePath: String,
                 cfg: CorpusPipeline.Config = CorpusPipeline.Config(),
                 threshold: Double = 0.5): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
-    val fs = new Path(statePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
     // stage-1 gate+scrub — the batch pipeline's own code
     val gated = CorpusPipeline.gateScrub(batch, cfg)
-      .withColumn("__h", md5(col("text")))
+      .withColumn("content_hash", md5(col("text")))
     // within-batch first wins (deterministic), then drop already-seen.
-    // __hb = the hash's first two hex digits as an int — the state
+    // hb = the hash's first two hex digits as an int — the state
     // store's 256-way partition key
-    val w = Window.partitionBy("__h").orderBy("doc_id")
+    val w = Window.partitionBy("content_hash").orderBy("doc_id")
     val firsts = Staging.stage(gated
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-      .withColumn("__hb", conv(substring(col("__h"), 1, 2), 16, 10).cast("int")))
-    // the dedup probe, ∝ delta instead of ∝ corpus: the state table is
-    // partition-pruned to the batch's touched hash-prefix buckets
-    // (bounded collect, ≤256 ints), and the pruned slice is only
-    // SCANNED — the batch's hash set rides a broadcast into an inner
-    // join whose output (the already-seen subset, ≤ batch-sized) is
-    // what the anti-join actually consumes. No accumulated-state row
-    // is ever shuffled, per batch or ever.
-    val novel = Staging.stage(
-      if (!fs.exists(new Path(hashesPath(statePath)))) firsts
-      else {
-        val touched = firsts.select("__hb").distinct()
-          .collect().map(_.getInt(0)).toIndexedSeq
-        val state = spark.read.parquet(hashesPath(statePath))
-          .filter(col("hb").isin(touched: _*))
-        val seen = state
-          .join(broadcast(firsts.select(col("__h").as("content_hash"))),
-            Seq("content_hash"))
-          .select("content_hash").distinct()
-        firsts.join(broadcast(seen),
-          col("__h") === col("content_hash"), "left_anti")
-      })
+      .withColumn("hb", hashBucketOf(col("content_hash"))))
+    // the dedup probe, ∝ delta instead of ∝ corpus: StateStore prunes
+    // the state to the batch's touched hash-prefix buckets and runs the
+    // broadcast-delta novelty join — no accumulated-state row is ever
+    // shuffled, per batch or ever. ensureBucketed migrates a
+    // pre-bucketing (flat) hashes/ table once on first contact.
+    StateStore.ensureBucketed(spark, hashesPath(statePath), "hb",
+      hashBucketOf(col("content_hash")))
+    val novel = Staging.stage(StateStore.novelAgainst(hashesPath(statePath),
+      firsts, Seq("content_hash"), "hb", col("hb")))
 
-    novel.select(col("__h").as("content_hash"), col("__hb").as("hb"))
+    novel.select("content_hash", "hb")
       .repartition(col("hb"))
       .write.partitionBy("hb").mode("append").parquet(hashesPath(statePath))
-    val docs = Staging.stage(novel.drop("__h", "__hb"))
+    val docs = Staging.stage(novel.drop("content_hash", "hb"))
     docs.write.mode("append").parquet(docsPath(statePath))
     // incremental near-dup labeling over the SCRUBBED novel docs — the
     // batch pipeline shingles scrubbed text too, so bands agree

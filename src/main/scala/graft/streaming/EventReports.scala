@@ -54,9 +54,6 @@ object EventReports {
     * into the report state. */
   def foldBatch(batch: DataFrame, statePath: String): Unit = {
     if (batch.isEmpty) return
-    val spark = batch.sparkSession
-    val fs = new Path(statePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
     // cohort candidates: the batch's own signup-week min per user —
     // appended, not merged (min over appended candidates at report
@@ -67,24 +64,14 @@ object EventReports {
     if (!bc.isEmpty)
       bc.write.mode("append").parquet(cohortsPath(statePath))
 
-    // activity pairs: batch-distinct, then probe the day-partitioned
-    // state for novelty — prune to touched days (bounded by the batch's
-    // time span), broadcast the batch's pairs into the pruned scan, and
-    // anti-join against the (batch-bounded) seen set
+    // activity pairs: batch-distinct, then the shared bucketed novelty
+    // probe with the DAY as the natural bucket — prune to the batch's
+    // touched days, broadcast the delta, shuffle ∝ batch
     val bd = Staging.stage(batch
       .select(col("user_id"), to_date(col("ts")).as("d")).distinct())
-    val novel =
-      if (!fs.exists(new Path(daysPath(statePath)))) bd
-      else {
-        val touched = bd.select("d").distinct()
-          .collect().map(_.getDate(0)).toIndexedSeq
-        val state = spark.read.parquet(daysPath(statePath))
-          .filter(col("d").isin(touched: _*))
-        val seen = state.join(broadcast(bd), Seq("user_id", "d"))
-          .select("user_id", "d").distinct()
-        bd.join(broadcast(seen), Seq("user_id", "d"), "left_anti")
-      }
-    novel.repartition(col("d"))
+    StateStore.novelAgainst(daysPath(statePath), bd,
+      Seq("user_id", "d"), "d", col("d"))
+      .repartition(col("d"))
       .write.partitionBy("d").mode("append").parquet(daysPath(statePath))
   }
 
@@ -121,13 +108,30 @@ object EventReports {
         daysPath(statePath), Seq("d"))
   }
 
+  /** cohorts/ as a frame — empty (correct schema) when no folded batch
+    * ever contained a signup event, so the report degrades to the empty
+    * result batch q108 produces on the same log, instead of a
+    * PATH_NOT_FOUND crash. */
+  private def cohortsOf(spark: SparkSession, statePath: String): DataFrame =
+    if (StateStore.exists(spark, cohortsPath(statePath)))
+      spark.read.parquet(cohortsPath(statePath))
+        .groupBy("user_id").agg(min("cohort").as("cohort"))
+    else spark.range(0).select(col("id").as("user_id"),
+      lit(null).cast("timestamp_ntz").as("cohort"))
+
+  /** days/ as a frame — empty (correct schema) before any fold. */
+  private def daysOf(spark: SparkSession, statePath: String): DataFrame =
+    if (StateStore.exists(spark, daysPath(statePath)))
+      spark.read.parquet(daysPath(statePath)).select("user_id", "d").distinct()
+    else spark.range(0).select(col("id").as("user_id"),
+      lit(null).cast("date").as("d"))
+
   /** The q108 cohort-retention report over the folded state — the batch
     * query body (`Relational.retentionReport`) on streaming inputs. */
   def retention(spark: SparkSession, statePath: String): DataFrame =
     Relational.retentionReport(
-      spark.read.parquet(cohortsPath(statePath))
-        .groupBy("user_id").agg(min("cohort").as("cohort")),
-      spark.read.parquet(daysPath(statePath))
+      cohortsOf(spark, statePath),
+      daysOf(spark, statePath)
         .select(col("user_id"),
           date_trunc("week", col("d").cast("timestamp_ntz")).as("wk"))
         .distinct())
@@ -135,7 +139,5 @@ object EventReports {
   /** The q109 rolling-7-day-WAU report over the folded state — the
     * batch query body (`Relational.wauReport`) on streaming inputs. */
   def rollingActive(spark: SparkSession, statePath: String): DataFrame =
-    Relational.wauReport(
-      spark.read.parquet(daysPath(statePath))
-        .select("user_id", "d").distinct())
+    Relational.wauReport(daysOf(spark, statePath))
 }

@@ -13,14 +13,27 @@ case class FunnelCore(t1: Option[Long], t2: Option[Long], t3: Option[Long])
   * the raw events still inside the watermark horizon. Bounded: pending
   * spans at most the watermark delay of event time; the core is three
   * longs — regardless of stream history (the 100 TB requirement).
-  * `lastUs` is the user's newest event time — the eviction clock. */
+  * `lastUs` is the user's newest event time — the eviction clock.
+  *
+  * Schema note: adding `lastUs` changed the state-store schema — a
+  * checkpoint written by the 3-field version cannot resume on this
+  * code (Spark rejects the widened state schema); restart from a fresh
+  * checkpoint and replay, as with any stateful-operator schema change. */
 case class FunnelProgress(core: FunnelCore, pending: Seq[(Long, String)],
     seen: Long, lastUs: Long = 0L)
 
-/** One provisional funnel snapshot (Update-mode emission). `rev` counts
-  * events folded so far — consumers keep the max-rev row per user. */
+/** One provisional funnel snapshot (Update-mode emission). Consumers
+  * keep the row with the largest (last_us, rev) per user: `rev` counts
+  * events folded within a funnel generation, and `last_us` (the newest
+  * contributing event time) makes the key monotone ACROSS generations —
+  * after an eviction, a returning user's fresh funnel starts at rev 1
+  * but strictly newer last_us (its events must clear the watermark that
+  * triggered the eviction), so it correctly supersedes the evicted
+  * funnel's final snapshot. Ties in the full key only occur between a
+  * final (timeout) snapshot and the provisional one it seals — which
+  * carry identical content. */
 case class FunnelSnapshot(user_id: Long, t1_us: Option[Long], t2_us: Option[Long],
-    t3_us: Option[Long], depth: Int, converted: Boolean, rev: Long)
+    t3_us: Option[Long], depth: Int, converted: Boolean, rev: Long, last_us: Long)
 
 /** Real-time funnel tracking — q107's earliest-completion
   * view -> click -> purchase semantics (strictly-after steps, per-step
@@ -53,11 +66,12 @@ object Funnel {
       else c
     }
 
-  private def snapshot(uid: Long, c: FunnelCore, rev: Long): FunnelSnapshot = {
+  private def snapshot(uid: Long, c: FunnelCore, rev: Long,
+                       lastUs: Long): FunnelSnapshot = {
     val depth =
       if (c.t3.isDefined) 3 else if (c.t2.isDefined) 2
       else if (c.t1.isDefined) 1 else 0
-    FunnelSnapshot(uid, c.t1, c.t2, c.t3, depth, c.t3.isDefined, rev)
+    FunnelSnapshot(uid, c.t1, c.t2, c.t3, depth, c.t3.isDefined, rev, lastUs)
   }
 
   /** Track funnels over a stream with `user_id`, event-time `ts`, and
@@ -109,7 +123,7 @@ object Funnel {
             val st = state.get
             val core = fold(st.core, st.pending, windowUs)
             state.remove()
-            Iterator(snapshot(uid, core, st.seen))
+            Iterator(snapshot(uid, core, st.seen, st.lastUs))
           } else {
             val st = state.getOption
               .getOrElse(FunnelProgress(FunnelCore(None, None, None), Nil, 0L))
@@ -128,14 +142,14 @@ object Funnel {
                 // setTimeoutTimestamp would reject a past timestamp, so
                 // evict inline instead of round-tripping through a timeout
                 state.remove()
-                Iterator(snapshot(uid, core, seen))
+                Iterator(snapshot(uid, core, seen, lastUs))
               case Some(h) =>
                 state.update(FunnelProgress(core, stillPending, seen, lastUs))
                 state.setTimeoutTimestamp((lastUs + h) / 1000L)
-                Iterator(snapshot(uid, fold(core, stillPending, windowUs), seen))
+                Iterator(snapshot(uid, fold(core, stillPending, windowUs), seen, lastUs))
               case None =>
                 state.update(FunnelProgress(core, stillPending, seen, lastUs))
-                Iterator(snapshot(uid, fold(core, stillPending, windowUs), seen))
+                Iterator(snapshot(uid, fold(core, stillPending, windowUs), seen, lastUs))
             }
           }
       }

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The bucketed-state probe discipline, in ONE place: streaming state
+  * tables (content hashes, band indexes, token sets, activity pairs)
+  * are partitioned by a stable hash bucket of their probe key so a
+  * micro-batch reads only the buckets its delta touches, and the probes
+  * broadcast the (bounded) delta so no accumulated-state row is ever
+  * shuffled. CorpusStream, ClusterMaintenance, and EventReports all
+  * fold through these helpers — the per-batch-∝-delta claim is
+  * maintained here, measured in ShuffleGrowthSpec.
+  */
+object StateStore {
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new Path(path))
+
+  /** One-time unbucketed→bucketed migration: state written by a
+    * pre-bucketing engine version has no bucket column; derive it and
+    * rewrite through the atomic snapshot swap (∝ state, once) so the
+    * first post-upgrade fold finds the layout it probes. No-op when the
+    * column is already there. */
+  def ensureBucketed(spark: SparkSession, path: String, bucketCol: String,
+                     bucketOf: Column): Unit =
+    if (exists(spark, path) &&
+        !spark.read.parquet(path).columns.contains(bucketCol))
+      graft.sinks.Sinks.snapshotSwap(
+        spark.read.parquet(path).withColumn(bucketCol, bucketOf)
+          .repartition(col(bucketCol)),
+        path, Seq(bucketCol))
+
+  /** The state slice a delta's probe touches: partition-pruned by the
+    * delta's distinct bucket values (a bounded collect — at most the
+    * bucket-count, the `Upsert.partitioned` touched-partition category).
+    * The returned frame is meant to be SCANNED against a broadcast of
+    * the delta, never shuffled. */
+  def prunedByTouched(spark: SparkSession, path: String, bucketCol: String,
+                      delta: DataFrame, deltaBucket: Column): DataFrame = {
+    val touched = delta.select(deltaBucket.as("__b")).distinct()
+      .collect().map(_.get(0)).toIndexedSeq
+    spark.read.parquet(path).filter(col(bucketCol).isin(touched: _*))
+  }
+
+  /** Delta rows whose `keys` are NOT yet in the bucketed state table —
+    * the novelty probe shared by the exact-dedup hash store and the
+    * activity-pair store. The pruned state is inner-joined against a
+    * broadcast of the delta's keys, producing the already-seen subset
+    * (≤ delta-sized); the anti-join then runs delta-vs-seen. Shuffle is
+    * delta-sized regardless of accumulated state. `delta` must carry
+    * the key columns under the state's names. */
+  def novelAgainst(path: String, delta: DataFrame, keys: Seq[String],
+                   bucketCol: String, deltaBucket: Column): DataFrame = {
+    val spark = delta.sparkSession
+    if (!exists(spark, path)) delta
+    else {
+      val state = prunedByTouched(spark, path, bucketCol, delta, deltaBucket)
+      val seen = state
+        .join(broadcast(delta.select(keys.map(col): _*)), keys)
+        .select(keys.map(col): _*).distinct()
+      delta.join(broadcast(seen), keys, "left_anti")
+    }
+  }
+}

@@ -60,7 +60,8 @@ class FunnelStreamSpec extends SparkSpec {
     spark.table(s"funnel_$name").collect()
       .groupBy(_.getLong(0))
       .map { case (uid, rows) =>
-        val last = rows.maxBy(_.getAs[Long]("rev"))
+        // the documented consumer key: newest (last_us, rev) wins
+        val last = rows.maxBy(r => (r.getAs[Long]("last_us"), r.getAs[Long]("rev")))
         def opt(i: Int) = if (last.isNullAt(i)) None else Some(last.getLong(i))
         uid -> ((opt(1), opt(2), opt(3)))
       }
@@ -100,8 +101,11 @@ class FunnelStreamSpec extends SparkSpec {
     // a straggler for evicted B, far below the watermark: must be
     // dropped BEFORE the operator — never resurrecting the state row
     val b3 = Seq((2L, t0 + day, "click"))
+    // B RETURNS above the watermark: a fresh funnel generation whose
+    // (last_us, rev) key must supersede the evicted final snapshot
+    val b4 = Seq((2L, t0 + 101 * day, "view"))
     val dir = java.nio.file.Files.createTempDirectory("funnel-evict").toString
-    Seq(b0, b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+    Seq(b0, b1, b2, b3, b4).zipWithIndex.foreach { case (b, i) =>
       b.toDF("user_id", "tu", "event_type")
         .withColumn("ts", timestamp_micros(col("tu")).cast("timestamp_ntz"))
         .select("user_id", "ts", "event_type")
@@ -124,21 +128,24 @@ class FunnelStreamSpec extends SparkSpec {
     val stateRows = q.recentProgress.reverse
       .flatMap(p => p.stateOperators.headOption)
       .headOption.map(_.numRowsTotal).getOrElse(-1L)
-    assert(stateRows === 1L,
-      s"only the still-active user may hold state, got $stateRows rows")
+    assert(stateRows === 2L,
+      s"state = C plus returning-B only (A and old-B evicted), got $stateRows rows")
 
     val rows = spark.table("funnel_evict").collect()
     def lastRow(uid: Long) = rows.filter(_.getLong(0) == uid)
-      .maxBy(_.getAs[Long]("rev"))
+      .maxBy(r => (r.getAs[Long]("last_us"), r.getAs[Long]("rev")))
     // A's final (timeout-sealed) snapshot keeps the completed funnel
     val a = lastRow(1L)
     assert(a.getAs[Boolean]("converted") && !a.isNullAt(3))
-    // B sealed at depth 1, and the dropped straggler never set a t2 —
-    // not in the final row, not in any provisional one
-    val b = lastRow(2L)
-    assert(!b.isNullAt(1) && b.isNullAt(2),
-      "the below-watermark click must not land in B's funnel")
+    // the dropped straggler never set a t2 in ANY of B's snapshots
     assert(rows.filter(_.getLong(0) == 2L).forall(_.isNullAt(2)))
+    // the returning user's FRESH generation wins under the documented
+    // (last_us, rev) key despite its smaller rev — the evicted final
+    // snapshot (old t1, rev 1) must not shadow it
+    val b = lastRow(2L)
+    assert(b.getLong(1) === t0 + 101 * day,
+      "the fresh funnel generation must supersede the evicted snapshot")
+    assert(b.getAs[Long]("rev") === 1L)
   }
 
   test("state holds one row per user — never one per event") {

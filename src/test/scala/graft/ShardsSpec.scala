@@ -59,12 +59,20 @@ class ShardsSpec extends SparkSpec {
       "every packed row must land in exactly one shard")
   }
 
-  test("empty corpus exports zero shards — no write, no NPE") {
+  test("empty corpus exports zero shards — no NPE, no stale export left behind") {
     val dir = java.nio.file.Files.createTempDirectory("shards-empty").toString
     val n = Shards.write(corpus.filter(lit(false)), dir, 64, col("h"))
     assert(n === 0)
-    assert(new java.io.File(dir).listFiles().isEmpty,
-      "an empty export must write nothing")
+    assert(!new java.io.File(dir).exists(), "an empty export must leave no path")
+    // re-export over a previous full export: the stale shards AND their
+    // manifest must go — otherwise verify() would certify yesterday's
+    // corpus as current
+    val dir2 = java.nio.file.Files.createTempDirectory("shards-stale").toString
+    Shards.write(corpus, dir2, 64, col("h"))
+    val n2 = Shards.write(corpus.filter(lit(false)), dir2, 64, col("h"))
+    assert(n2 === 0)
+    assert(!new java.io.File(dir2).exists(),
+      "an empty re-export must remove the stale previous export")
   }
 
   test("manifest census matches the export; total rows accounted for") {
