@@ -24,16 +24,19 @@ import graft.sinks.Sinks
   *    [[stateBuckets]]; the batch never re-shingles the corpus,
   *  - `toks/`  — append-only distinct-token table (the q49 shape) for
   *    exact-Jaccard verification, hash-bucket-partitioned on doc_id,
-  *  - `labels/` — the (id, comp) labeling, republished per batch through
-  *    `Sinks.snapshotPublish` (readers see complete-old or complete-new).
+  *  - `labels/` — the (id, comp) labeling, id-bucket-partitioned; a
+  *    fold rewrites ONLY the buckets holding members of the components
+  *    the delta touches (see [[foldLabels]]) — per-batch label cost is
+  *    affected-subgraph-sized, not labeling-sized.
   *
   * Per-batch cost scales with the delta: the batch's bands are computed
   * map-only (`NearDup.bands`, bit-parity with the batch index), candidate
   * generation is the delta-vs-index band equi-join plus the delta's
   * self-join (both keyed, never all-pairs), verification reuses the
   * shared `Llm.jaccardScore` core, and the label fold is
-  * `Components.merge` — the old labeling enters as diameter-2 star
-  * edges, so convergence never re-walks edge history. The streamed
+  * `Components.merge` over ONLY the affected components (their old
+  * labels enter as diameter-2 star edges, so convergence never
+  * re-walks edge history — see [[foldLabels]]). The streamed
   * labeling is IDENTICAL to one batch re-cluster of the full corpus
   * (StreamingSpec pins it): band values, exactly-once emission, and the
   * Jaccard threshold are all the batch code paths, and merge == full
@@ -75,6 +78,12 @@ object ClusterMaintenance {
   /** Partition bucket of a token row: stable hash of doc_id — candidate
     * verification fetches corpus token sets by id. */
   private[streaming] def tokBucket(id: Column) =
+    pmod(xxhash64(id), lit(stateBuckets)).cast("int")
+
+  /** Partition bucket of a label row: stable hash of the member id. The
+    * id (unlike the comp) never changes, so a row never moves buckets —
+    * a label update rewrites exactly the buckets its members live in. */
+  private def labelsBucketOf(id: Column) =
     pmod(xxhash64(id), lit(stateBuckets)).cast("int")
 
   /** Fold one micro-batch of documents (`doc_id`, `text`) into the
@@ -165,13 +174,113 @@ object ClusterMaintenance {
     deltaToks.repartition(col("tb"))
       .write.partitionBy("tb").mode("append").parquet(toksPath(statePath))
 
-    if (!edges.isEmpty) {
-      val lp = labelsPath(statePath)
-      val newLabels =
-        if (Sinks.snapshotExists(spark, lp))
-          Components.merge(Sinks.readSnapshot(spark, lp), edges)
-        else Components.connected(edges)
-      Sinks.snapshotPublish(newLabels, lp)
+    if (!edges.isEmpty) foldLabels(spark, edges, labelsPath(statePath))
+  }
+
+  /** Fold verified delta edges into the persisted labeling — touching
+    * only the AFFECTED components, never republishing the whole table.
+    *
+    * The labeling is id-bucket-partitioned (`ib`, [[labelsBucketOf]]).
+    * Per fold: the incident ids' components come from an
+    * id-bucket-PRUNED scan (delta-bounded); their members come from one
+    * map-only pass over the label table with the component set riding a
+    * broadcast (the one unprunable pass — scan-only, zero shuffle; a
+    * comp-keyed secondary index would prune it at extreme scale);
+    * `Components.merge` then runs over the affected subgraph alone, and
+    * the rewrite swaps only the id-buckets holding updated rows
+    * (`Sinks.swapPartitions` — per-dir atomic, crash-repaired on the
+    * next fold). Per-batch shuffle is affected-subgraph-sized, not
+    * labeling-sized — measured flat under 8× labeling growth in
+    * ShuffleGrowthSpec.
+    *
+    * Crash consistency: a fold interrupted mid-swap leaves MIXED
+    * generations across buckets, where a member's comp can point at a
+    * row that was itself relabeled (a pointer chain). A clean fold
+    * needs one member pass (comp values are canonical); after a
+    * detected unclean start (repaired retirees or orphaned stage dirs)
+    * the member pass iterates to a fixpoint so chained rows join the
+    * affected set, and the replayed batch converges to the labeling a
+    * crash-free run would have produced. */
+  private def foldLabels(spark: SparkSession, edges: DataFrame,
+                         lp: String): Unit = {
+    val fs = new Path(lp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    migrateLegacyLabels(spark, lp)
+    if (!fs.exists(new Path(lp))) {
+      Components.connected(edges)
+        .withColumn("ib", labelsBucketOf(col("id")))
+        .repartition(col("ib"))
+        .write.partitionBy("ib").mode("overwrite").parquet(lp)
+    } else {
+      val restored = Sinks.recoverPartitionSwaps(spark, lp)
+      val orphans = fs.globStatus(new Path(lp + "__stage-*"))
+      val unclean = restored.nonEmpty || orphans.nonEmpty
+      orphans.foreach(st => fs.delete(st.getPath, true))
+
+      val incident = Staging.stage(
+        edges.select(col("src").as("id"))
+          .unionByName(edges.select(col("dst").as("id"))).distinct()
+          .withColumn("ib", labelsBucketOf(col("id"))))
+      // components the delta touches: id-bucket-pruned lookup
+      val c0 = StateStore.prunedByTouched(spark, lp, "ib", incident, col("ib"))
+        .join(broadcast(incident.select("id")), Seq("id"))
+        .select(col("comp").as("k")).distinct()
+      // members of a key set, matched by comp (the normal linkage) or by
+      // id (a chained row's comp points at a member's ID mid-crash)
+      def members(keys: DataFrame): DataFrame = {
+        val lbl = spark.read.parquet(lp)
+        lbl.join(broadcast(keys), lbl("comp") === keys("k"), "left_semi")
+          .unionByName(
+            lbl.join(broadcast(keys), lbl("id") === keys("k"), "left_semi"))
+          .select("id", "comp").distinct()
+      }
+      var affected = Staging.stage(members(c0))
+      if (unclean) {
+        var n = affected.count()
+        var grew = true
+        while (grew) {
+          val keys = affected.select(col("id").as("k"))
+            .unionByName(affected.select(col("comp").as("k"))).distinct()
+          val next = Staging.stage(members(keys))
+          val n2 = next.count()
+          grew = n2 > n
+          n = n2
+          affected = next
+        }
+      }
+      val updated = Staging.stage(
+        Components.merge(affected, edges)
+          .withColumn("ib", labelsBucketOf(col("id"))))
+      val touched = updated.select("ib").distinct()
+        .collect().map(_.getInt(0)).toIndexedSeq
+      val keep = spark.read.parquet(lp)
+        .filter(col("ib").isin(touched: _*))
+        .join(broadcast(updated.select("id")), Seq("id"), "left_anti")
+      val stagedPath = s"${lp}__stage-${java.util.UUID.randomUUID()}"
+      keep.select("id", "comp", "ib")
+        .unionByName(updated.select("id", "comp", "ib"))
+        .repartition(col("ib"))
+        .write.partitionBy("ib").mode("error").parquet(stagedPath)
+      Sinks.swapPartitions(spark, stagedPath, lp)
+    }
+  }
+
+  /** One-time migration of a labeling published by the pre-delta code
+    * (whole-table snapshot, rename or marker protocol) into the
+    * id-bucket-partitioned layout. */
+  private def migrateLegacyLabels(spark: SparkSession, lp: String): Unit = {
+    val fs = new Path(lp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partitioned = fs.exists(new Path(lp)) &&
+      spark.read.parquet(lp).columns.contains("ib")
+    if (!partitioned && Sinks.snapshotExists(spark, lp)) {
+      val legacy = Staging.stage(
+        Sinks.readSnapshot(spark, lp).select("id", "comp"))
+      legacy.withColumn("ib", labelsBucketOf(col("id")))
+        .repartition(col("ib"))
+        .write.partitionBy("ib").mode("overwrite").parquet(lp)
+      fs.delete(new Path(lp + "__current"), false)
+      fs.delete(new Path(lp + "__versions"), true)
     }
   }
 
@@ -246,10 +355,17 @@ object ClusterMaintenance {
       labels(docs.sparkSession, statePath)
         .select(col("id").as("doc_id"), col("comp").as("cluster_id")))
 
-  /** The current labeling (empty if no pairs have been verified yet). */
+  /** The current labeling (empty if no pairs have been verified yet).
+    * Reads the id-bucket-partitioned layout; falls back to a labeling
+    * published by the pre-delta code (it migrates on the next fold). */
   def labels(spark: SparkSession, statePath: String): DataFrame = {
     val lp = labelsPath(statePath)
-    if (Sinks.snapshotExists(spark, lp)) Sinks.readSnapshot(spark, lp)
+    val fs = new Path(lp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(lp)) &&
+        spark.read.parquet(lp).columns.contains("ib"))
+      spark.read.parquet(lp).select("id", "comp")
+    else if (Sinks.snapshotExists(spark, lp)) Sinks.readSnapshot(spark, lp)
     else {
       import spark.implicits._
       Seq.empty[(Long, Long)].toDF("id", "comp")

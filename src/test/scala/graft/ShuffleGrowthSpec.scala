@@ -64,6 +64,18 @@ class ShuffleGrowthSpec extends SparkSpec {
     }.reduce(_ unionByName _)
   }
 
+  /** [[corpus]] with the full documents schema (gateScrub reads
+    * n_chars) — the CorpusStream/ClusterMaintenance state builders. */
+  private def corpusDocs(k: Int): DataFrame = {
+    val base = Tables.load(spark, sf, "documents")
+    (0 until k).map { i =>
+      if (i == 0) base
+      else base
+        .withColumn("doc_id", col("doc_id") + lit(i * 100000L))
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1z$i"))
+    }.reduce(_ unionByName _)
+  }
+
   test("band pair generation + verification shuffle grows ~linearly in corpus size") {
     val (rec1, byt1) = measureShuffle {
       Llm.jaccardEdgesOf(corpus(1)).count()
@@ -105,17 +117,6 @@ class ShuffleGrowthSpec extends SparkSpec {
     // batch's touched buckets) and the delta rides broadcasts, so the
     // per-batch SHUFFLE must not grow with accumulated-corpus size.
     import graft.streaming.CorpusStream
-    // full-schema replicas (gateScrub reads n_chars): disjoint shingles
-    // per replica, same occupancy profile as the corpus() helper
-    def corpusDocs(k: Int) = {
-      val base = Tables.load(spark, sf, "documents")
-      (0 until k).map { i =>
-        if (i == 0) base
-        else base
-          .withColumn("doc_id", col("doc_id") + lit(i * 100000L))
-          .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1z$i"))
-      }.reduce(_ unionByName _)
-    }
     // the probe batch: novel everywhere — fresh ids, and the text is a
     // stopword run (so the gate keeps it) plus 20 tokens carrying the
     // doc's id (so no doc shares enough with ANYTHING — probe or state —
@@ -166,6 +167,41 @@ class ShuffleGrowthSpec extends SparkSpec {
     assert(rec4 > 0, "the assignment must actually shuffle its collapsed rows")
     assert(rec16 <= rec4 * 2,
       s"assignment shuffle must not scale with k (map-side collapse): $rec4 -> $rec16")
+  }
+
+  test("label maintenance shuffle stays ~flat as the accumulated labeling grows 8x") {
+    // the delta label fold (ClusterMaintenance.foldLabels) merges only
+    // the components a batch's edges touch and swaps only their
+    // id-buckets; the pre-delta design re-ran Components.merge over the
+    // WHOLE labeling per batch (shuffle ∝ labels). Probe: two novel
+    // twin docs forming one fresh 2-member component — the affected
+    // subgraph is 2 nodes whether the labeling holds 1x or 8x clusters.
+    import spark.implicits._
+    import graft.streaming.ClusterMaintenance
+    def stateOf(k: Int): String = {
+      val st = java.nio.file.Files
+        .createTempDirectory(s"label-probe-$k").toString
+      ClusterMaintenance.foldBatch(corpusDocs(k).select("doc_id", "text"), st)
+      st
+    }
+    val shared = (1 to 20).map(i => s"qtok$i").mkString(" ")
+    val probe = Seq((9000001L, s"$shared tailone"),
+      (9000002L, s"$shared tailtwo")).toDF("doc_id", "text")
+    val s1 = stateOf(1)
+    val s8 = stateOf(8)
+    val (rec1, byt1) = measureShuffle { ClusterMaintenance.foldBatch(probe, s1) }
+    val (rec8, byt8) = measureShuffle { ClusterMaintenance.foldBatch(probe, s8) }
+    // the twins must actually have clustered (else the label path never ran)
+    Seq(s1, s8).foreach { st =>
+      val comps = ClusterMaintenance.labels(spark, st)
+        .filter(col("id") >= 9000000L).collect().map(_.getLong(1)).toSet
+      assert(comps.size === 1, s"probe twins must share one component in $st")
+    }
+    info(f"label-fold shuffle records 1x=$rec1 8x=$rec8 ratio=${rec8.toDouble / rec1}%.2f; " +
+      f"bytes ratio=${byt8.toDouble / byt1}%.2f")
+    assert(rec1 > 0)
+    assert(rec8 <= rec1 * 2,
+      s"label fold shuffle must not grow with the labeling: $rec1 -> $rec8")
   }
 
   test("incremental BPE steps after the first are delta-sized, not vocabulary-sized") {
