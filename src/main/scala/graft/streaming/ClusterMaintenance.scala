@@ -221,6 +221,26 @@ object ClusterMaintenance {
         edges.select(col("src").as("id"))
           .unionByName(edges.select(col("dst").as("id"))).distinct()
           .withColumn("ib", labelsBucketOf(col("id"))))
+      // BULK-ingest escape: when the delta's node set rivals the whole
+      // labeling (a backfill folding a large corpus slice — q82's
+      // half-corpus folds), the affected subgraph would be most of the
+      // table and the delta machinery's extra passes cost more than
+      // they save. One full merge + full swap instead — chain-safe
+      // without the closure loop, because the merge sees every row and
+      // star edges connect any crash-era pointer chains. Both counts
+      // are cheap (staged delta; parquet metadata count).
+      val incidentN = incident.count()
+      val labelsN = spark.read.parquet(lp).count()
+      if (incidentN * 5 >= labelsN) {
+        val full = Components.merge(
+          spark.read.parquet(lp).select("id", "comp"), edges)
+          .withColumn("ib", labelsBucketOf(col("id")))
+        val stagedPath = s"${lp}__stage-${java.util.UUID.randomUUID()}"
+        full.repartition(col("ib"))
+          .write.partitionBy("ib").mode("error").parquet(stagedPath)
+        Sinks.swapPartitions(spark, stagedPath, lp)
+        return
+      }
       // components the delta touches: id-bucket-pruned lookup
       val c0 = StateStore.prunedByTouched(spark, lp, "ib", incident, col("ib"))
         .join(broadcast(incident.select("id")), Seq("id"))
