@@ -68,7 +68,7 @@ object ClusterMaintenance {
     * shuffle-partition count at test scale; a 100 TB deployment raises
     * it (bucket count is a layout constant — changing it means a state
     * rewrite, same contract as any bucketed table). */
-  private val stateBuckets = 64
+  private val stateBuckets = 32
 
   /** Partition bucket of a band-index row: stable hash of the probe key
     * (band, bucket) — the delta's equi-join prunes to these. */
@@ -142,7 +142,7 @@ object ClusterMaintenance {
       if (!fs.exists(new Path(bandsPath(statePath)))) dd.limit(0)
       else {
         val idx = StateStore.prunedByTouched(spark, bandsPath(statePath),
-          "pb", deltaBands, col("pb"))
+          "pb", deltaBands, col("pb"), stateBuckets, deltaBands.count())
         val cand = Staging.stage(idx
           .select(col("doc_id").as("corpus_id"), col("band"),
             col("bucket"), col("b0").as("b0_c"))
@@ -154,7 +154,8 @@ object ClusterMaintenance {
           .filter(col("delta_id") =!= col("corpus_id"))
           .select("delta_id", "corpus_id"))
         val corpusToks = StateStore.prunedByTouched(spark,
-          toksPath(statePath), "tb", cand, tokBucket(col("corpus_id")))
+          toksPath(statePath), "tb", cand, tokBucket(col("corpus_id")),
+          stateBuckets, cand.count())
         val scored = corpusToks
           .select(col("doc_id").as("corpus_id"), col("toks").as("toks_c"))
           .join(broadcast(cand), Seq("corpus_id"))
@@ -291,8 +292,7 @@ object ClusterMaintenance {
   private def migrateLegacyLabels(spark: SparkSession, lp: String): Unit = {
     val fs = new Path(lp)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val partitioned = fs.exists(new Path(lp)) &&
-      spark.read.parquet(lp).columns.contains("ib")
+    val partitioned = StateStore.isBucketed(spark, lp, "ib")
     if (!partitioned && Sinks.snapshotExists(spark, lp)) {
       val legacy = Staging.stage(
         Sinks.readSnapshot(spark, lp).select("id", "comp"))
@@ -380,10 +380,7 @@ object ClusterMaintenance {
     * published by the pre-delta code (it migrates on the next fold). */
   def labels(spark: SparkSession, statePath: String): DataFrame = {
     val lp = labelsPath(statePath)
-    val fs = new Path(lp)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(lp)) &&
-        spark.read.parquet(lp).columns.contains("ib"))
+    if (StateStore.isBucketed(spark, lp, "ib"))
       spark.read.parquet(lp).select("id", "comp")
     else if (Sinks.snapshotExists(spark, lp)) Sinks.readSnapshot(spark, lp)
     else {

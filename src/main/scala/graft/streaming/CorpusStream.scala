@@ -86,13 +86,17 @@ object CorpusStream {
     StateStore.ensureBucketed(spark, hashesPath(statePath), "hb",
       hashBucketOf(col("content_hash")))
     val novel = Staging.stage(StateStore.novelAgainst(hashesPath(statePath),
-      firsts, Seq("content_hash"), "hb", col("hb")))
+      firsts, Seq("content_hash"), "hb", col("hb"), 256, firsts.count()))
 
+    // DOCS BEFORE HASHES: a crash between the two appends must err
+    // toward re-admitting a doc on replay (finalize's dropDuplicates
+    // collapses it), never toward losing one — hash-committed-but-
+    // doc-missing would make the replay probe drop the doc as seen
+    val docs = Staging.stage(novel.drop("content_hash", "hb"))
+    docs.write.mode("append").parquet(docsPath(statePath))
     novel.select("content_hash", "hb")
       .repartition(col("hb"))
       .write.partitionBy("hb").mode("append").parquet(hashesPath(statePath))
-    val docs = Staging.stage(novel.drop("content_hash", "hb"))
-    docs.write.mode("append").parquet(docsPath(statePath))
     // incremental near-dup labeling over the SCRUBBED novel docs — the
     // batch pipeline shingles scrubbed text too, so bands agree
     ClusterMaintenance.foldBatch(docs, clusterPath(statePath), threshold)

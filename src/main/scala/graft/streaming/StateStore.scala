@@ -21,15 +21,23 @@ object StateStore {
   def exists(spark: SparkSession, path: String): Boolean =
     fs(spark, path).exists(new Path(path))
 
+  /** Does `path` hold the bucketed (partition-dir) layout? One listing,
+    * not a schema inference — this runs on every fold. */
+  def isBucketed(spark: SparkSession, path: String, bucketCol: String): Boolean = {
+    val p = new Path(path)
+    val f = fs(spark, path)
+    f.exists(p) && f.listStatus(p)
+      .exists(_.getPath.getName.startsWith(bucketCol + "="))
+  }
+
   /** One-time unbucketed→bucketed migration: state written by a
     * pre-bucketing engine version has no bucket column; derive it and
     * rewrite through the atomic snapshot swap (∝ state, once) so the
-    * first post-upgrade fold finds the layout it probes. No-op when the
-    * column is already there. */
+    * first post-upgrade fold finds the layout it probes. No-op (one
+    * directory listing) when the layout is already bucketed. */
   def ensureBucketed(spark: SparkSession, path: String, bucketCol: String,
                      bucketOf: Column): Unit =
-    if (exists(spark, path) &&
-        !spark.read.parquet(path).columns.contains(bucketCol))
+    if (exists(spark, path) && !isBucketed(spark, path, bucketCol))
       graft.sinks.Sinks.snapshotSwap(
         spark.read.parquet(path).withColumn(bucketCol, bucketOf)
           .repartition(col(bucketCol)),
@@ -39,12 +47,22 @@ object StateStore {
     * delta's distinct bucket values (a bounded collect — at most the
     * bucket-count, the `Upsert.partitioned` touched-partition category).
     * The returned frame is meant to be SCANNED against a broadcast of
-    * the delta, never shuffled. */
+    * the delta, never shuffled.
+    *
+    * @param deltaRows the delta's row count when the caller already has
+    *   it: a delta with many times more rows than there are buckets has
+    *   touched every bucket with near-certainty, so the pruning collect
+    *   is a wasted job — read the table whole (same bytes either way). */
   def prunedByTouched(spark: SparkSession, path: String, bucketCol: String,
-                      delta: DataFrame, deltaBucket: Column): DataFrame = {
-    val touched = delta.select(deltaBucket.as("__b")).distinct()
-      .collect().map(_.get(0)).toIndexedSeq
-    spark.read.parquet(path).filter(col(bucketCol).isin(touched: _*))
+                      delta: DataFrame, deltaBucket: Column,
+                      buckets: Int = 0, deltaRows: Long = -1L): DataFrame = {
+    if (buckets > 0 && deltaRows >= buckets.toLong * 16)
+      spark.read.parquet(path)
+    else {
+      val touched = delta.select(deltaBucket.as("__b")).distinct()
+        .collect().map(_.get(0)).toIndexedSeq
+      spark.read.parquet(path).filter(col(bucketCol).isin(touched: _*))
+    }
   }
 
   /** Delta rows whose `keys` are NOT yet in the bucketed state table —
@@ -55,11 +73,13 @@ object StateStore {
     * delta-sized regardless of accumulated state. `delta` must carry
     * the key columns under the state's names. */
   def novelAgainst(path: String, delta: DataFrame, keys: Seq[String],
-                   bucketCol: String, deltaBucket: Column): DataFrame = {
+                   bucketCol: String, deltaBucket: Column,
+                   buckets: Int = 0, deltaRows: Long = -1L): DataFrame = {
     val spark = delta.sparkSession
     if (!exists(spark, path)) delta
     else {
-      val state = prunedByTouched(spark, path, bucketCol, delta, deltaBucket)
+      val state = prunedByTouched(spark, path, bucketCol, delta, deltaBucket,
+        buckets, deltaRows)
       val seen = state
         .join(broadcast(delta.select(keys.map(col): _*)), keys)
         .select(keys.map(col): _*).distinct()
