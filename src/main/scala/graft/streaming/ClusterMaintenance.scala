@@ -82,9 +82,10 @@ object ClusterMaintenance {
 
   /** Partition bucket of a label row: stable hash of the member id. The
     * id (unlike the comp) never changes, so a row never moves buckets —
-    * a label update rewrites exactly the buckets its members live in. */
-  private def labelsBucketOf(id: Column) =
-    pmod(xxhash64(id), lit(stateBuckets)).cast("int")
+    * a label update rewrites exactly the buckets its members live in.
+    * Same function as [[tokBucket]] by design (one id-bucketing
+    * contract across the id-keyed state tables). */
+  private def labelsBucketOf(id: Column) = tokBucket(id)
 
   /** Fold one micro-batch of documents (`doc_id`, `text`) into the
     * persisted clustering state. Callable directly for batch ingests;
@@ -107,10 +108,12 @@ object ClusterMaintenance {
     val deltaToks = Staging.stage(batch.select(col("doc_id"),
       expr(s"array_distinct(${Llm.toksExpr})").as("toks"))
       .withColumn("tb", tokBucket(col("doc_id"))))
-    // one-time unbucketed->bucketed migration for pre-upgrade state
-    StateStore.ensureBucketed(spark, bandsPath(statePath), "pb", bandBucket)
+    // one-time migration for pre-upgrade state: unbucketed layouts and
+    // stale (larger) bucket moduli both rewrite in place
+    StateStore.ensureBucketed(spark, bandsPath(statePath), "pb", bandBucket,
+      stateBuckets)
     StateStore.ensureBucketed(spark, toksPath(statePath), "tb",
-      tokBucket(col("doc_id")))
+      tokBucket(col("doc_id")), stateBuckets)
 
     // delta-vs-delta candidates: the batch's internal band self-join,
     // same exactly-once lowest-agreeing-band emission as batch q46
@@ -206,6 +209,15 @@ object ClusterMaintenance {
                          lp: String): Unit = {
     val fs = new Path(lp)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the partitioned labeling commits through per-dir renames; under
+    // the object-store marker protocol those are non-atomic copies —
+    // refuse loudly rather than silently forfeit the atomicity the
+    // caller asked for (the Upsert.partitioned precedent)
+    if (spark.conf.get("spark.graft.swap", "rename") == "marker")
+      throw new IllegalStateException(
+        "partitioned label maintenance requires rename-atomic storage; " +
+          "spark.graft.swap=marker deployments need the whole-snapshot " +
+          "labeling (pre-delta layout) or rename-capable state storage")
     migrateLegacyLabels(spark, lp)
     if (!fs.exists(new Path(lp))) {
       Components.connected(edges)
@@ -232,7 +244,7 @@ object ClusterMaintenance {
       // are cheap (staged delta; parquet metadata count).
       val incidentN = incident.count()
       val labelsN = spark.read.parquet(lp).count()
-      if (incidentN * 5 >= labelsN) {
+      def fullMergeSwap(): Unit = {
         val full = Components.merge(
           spark.read.parquet(lp).select("id", "comp"), edges)
           .withColumn("ib", labelsBucketOf(col("id")))
@@ -240,8 +252,8 @@ object ClusterMaintenance {
         full.repartition(col("ib"))
           .write.partitionBy("ib").mode("error").parquet(stagedPath)
         Sinks.swapPartitions(spark, stagedPath, lp)
-        return
       }
+      if (incidentN * 5 >= labelsN) { fullMergeSwap(); return }
       // components the delta touches: id-bucket-pruned lookup
       val c0 = StateStore.prunedByTouched(spark, lp, "ib", incident, col("ib"))
         .join(broadcast(incident.select("id")), Seq("id"))
@@ -269,6 +281,11 @@ object ClusterMaintenance {
           affected = next
         }
       }
+      // a tiny delta can still strike a GIANT component (the dense
+      // template-spam regime): the delta machinery below broadcasts
+      // affected-subgraph-sized frames, so when the affected set rivals
+      // the labeling, the full-merge path is both safer and cheaper
+      if (affected.count() * 5 >= labelsN) { fullMergeSwap(); return }
       val updated = Staging.stage(
         Components.merge(affected, edges)
           .withColumn("ib", labelsBucketOf(col("id"))))
@@ -294,11 +311,14 @@ object ClusterMaintenance {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val partitioned = StateStore.isBucketed(spark, lp, "ib")
     if (!partitioned && Sinks.snapshotExists(spark, lp)) {
-      val legacy = Staging.stage(
-        Sinks.readSnapshot(spark, lp).select("id", "comp"))
-      legacy.withColumn("ib", labelsBucketOf(col("id")))
-        .repartition(col("ib"))
-        .write.partitionBy("ib").mode("overwrite").parquet(lp)
+      // through the atomic swap, never a live-path overwrite: a
+      // mid-migration crash must leave the complete legacy labeling,
+      // not a half-written bucketed one that isBucketed would adopt
+      Sinks.snapshotSwap(
+        Staging.stage(Sinks.readSnapshot(spark, lp).select("id", "comp"))
+          .withColumn("ib", labelsBucketOf(col("id")))
+          .repartition(col("ib")),
+        lp, Seq("ib"))
       fs.delete(new Path(lp + "__current"), false)
       fs.delete(new Path(lp + "__versions"), true)
     }
@@ -337,8 +357,10 @@ object ClusterMaintenance {
     * snapshot swap ([[Sinks.snapshotSwap]]: readers see complete-old or
     * complete-new), deduplicating exact rows — duplicates arise ONLY
     * from replay (band/token rows are deterministic per doc), so
-    * `distinct` restores the exactly-once state. The labels snapshot
-    * republishes whole per batch and needs no compaction. [[sink]]
+    * `distinct` restores the exactly-once state. The labels table needs
+    * no compaction for a different reason: each fold rewrites its
+    * touched id-buckets WHOLE (swap, not append), so labels/ never
+    * accretes per-batch file sets. [[sink]]
     * schedules this every `compactEvery` micro-batches; it can also run
     * between drains (AvailableNow) or on an external maintenance
     * schedule, like the snapshot compaction. */

@@ -84,7 +84,7 @@ object CorpusStream {
     // shuffled, per batch or ever. ensureBucketed migrates a
     // pre-bucketing (flat) hashes/ table once on first contact.
     StateStore.ensureBucketed(spark, hashesPath(statePath), "hb",
-      hashBucketOf(col("content_hash")))
+      hashBucketOf(col("content_hash")), 256)
     val novel = Staging.stage(StateStore.novelAgainst(hashesPath(statePath),
       firsts, Seq("content_hash"), "hb", col("hb"), 256, firsts.count()))
 

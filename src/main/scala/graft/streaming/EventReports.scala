@@ -119,10 +119,12 @@ object EventReports {
     else spark.range(0).select(col("id").as("user_id"),
       lit(null).cast("timestamp_ntz").as("cohort"))
 
-  /** days/ as a frame — empty (correct schema) before any fold. */
-  private def daysOf(spark: SparkSession, statePath: String): DataFrame =
+  /** days/ as a raw (possibly replay-duplicated) frame — empty with the
+    * correct schema before any fold. Consumers dedup at THEIR key
+    * granularity, so no report pays two distinct passes. */
+  private def daysRaw(spark: SparkSession, statePath: String): DataFrame =
     if (StateStore.exists(spark, daysPath(statePath)))
-      spark.read.parquet(daysPath(statePath)).select("user_id", "d").distinct()
+      spark.read.parquet(daysPath(statePath)).select("user_id", "d")
     else spark.range(0).select(col("id").as("user_id"),
       lit(null).cast("date").as("d"))
 
@@ -131,7 +133,7 @@ object EventReports {
   def retention(spark: SparkSession, statePath: String): DataFrame =
     Relational.retentionReport(
       cohortsOf(spark, statePath),
-      daysOf(spark, statePath)
+      daysRaw(spark, statePath)
         .select(col("user_id"),
           date_trunc("week", col("d").cast("timestamp_ntz")).as("wk"))
         .distinct())
@@ -139,5 +141,5 @@ object EventReports {
   /** The q109 rolling-7-day-WAU report over the folded state — the
     * batch query body (`Relational.wauReport`) on streaming inputs. */
   def rollingActive(spark: SparkSession, statePath: String): DataFrame =
-    Relational.wauReport(daysOf(spark, statePath))
+    Relational.wauReport(daysRaw(spark, statePath).distinct())
 }

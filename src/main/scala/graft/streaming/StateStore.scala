@@ -30,18 +30,39 @@ object StateStore {
       .exists(_.getPath.getName.startsWith(bucketCol + "="))
   }
 
-  /** One-time unbucketed→bucketed migration: state written by a
-    * pre-bucketing engine version has no bucket column; derive it and
-    * rewrite through the atomic snapshot swap (∝ state, once) so the
-    * first post-upgrade fold finds the layout it probes. No-op (one
-    * directory listing) when the layout is already bucketed. */
+  /** One-time layout migration: state written by a pre-bucketing engine
+    * version has no bucket column — derive it and rewrite through the
+    * atomic snapshot swap (∝ state, once) so the first post-upgrade
+    * fold finds the layout it probes. Also re-buckets state written
+    * under a LARGER bucket count (`buckets` > 0): a dir value ≥ the
+    * current modulus proves a stale modulus, and since bucket-count
+    * changes in this engine are power-of-two halvings/doublings, values
+    * BELOW the modulus are already consistent (hash mod 2k in [0, k)
+    * equals hash mod k) — a non-divisor change requires an explicit
+    * rewrite, which is exactly what this triggers. No-op (one directory
+    * listing) when the layout and modulus already match. */
   def ensureBucketed(spark: SparkSession, path: String, bucketCol: String,
-                     bucketOf: Column): Unit =
-    if (exists(spark, path) && !isBucketed(spark, path, bucketCol))
-      graft.sinks.Sinks.snapshotSwap(
-        spark.read.parquet(path).withColumn(bucketCol, bucketOf)
-          .repartition(col(bucketCol)),
-        path, Seq(bucketCol))
+                     bucketOf: Column, buckets: Int = 0): Unit =
+    if (exists(spark, path)) {
+      val staleModulus = buckets > 0 && isBucketed(spark, path, bucketCol) &&
+        fs(spark, path).listStatus(new Path(path)).exists { st =>
+          val n = st.getPath.getName
+          n.startsWith(bucketCol + "=") &&
+            scala.util.Try(n.stripPrefix(bucketCol + "=").toInt)
+              .toOption.exists(_ >= buckets)
+        }
+      if (staleModulus)
+        graft.sinks.Sinks.snapshotSwap(
+          spark.read.parquet(path).drop(bucketCol)
+            .withColumn(bucketCol, bucketOf)
+            .repartition(col(bucketCol)),
+          path, Seq(bucketCol))
+      else if (!isBucketed(spark, path, bucketCol))
+        graft.sinks.Sinks.snapshotSwap(
+          spark.read.parquet(path).withColumn(bucketCol, bucketOf)
+            .repartition(col(bucketCol)),
+          path, Seq(bucketCol))
+    }
 
   /** The state slice a delta's probe touches: partition-pruned by the
     * delta's distinct bucket values (a bounded collect — at most the
