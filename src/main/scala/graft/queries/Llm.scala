@@ -2902,6 +2902,95 @@ object Llm {
               .mkString("\nUNION ALL\n")}
             ORDER BY step"""))
 
+  // ---- unigram-LM (SentencePiece-style) Viterbi segmentation -----------
+  // The tokenizer family's OTHER half (Kudo 2018, arXiv:1804.10959):
+  // where BPE applies learned merge rules, the unigram model tokenizes
+  // each word as its maximum-likelihood segmentation over a piece
+  // inventory with log-probs — SentencePiece's encode path and the
+  // E-step of its EM trainer. llm/Unigram seeds the inventory (top-S
+  // substrings + single-char coverage, 6 dp-rounded log-probs) and runs
+  // the Viterbi DP as in-row lambdas against the broadcast inventory;
+  // the oracle replays the DP as a recursive CTE that carries each
+  // word's best-score/backpointer arrays forward one position per
+  // iteration, with the (score DESC, split DESC) tie-break matching
+  // Spark's array_max over (s, j) structs exactly. Floats are safe
+  // without mid-DP rounding: every candidate score is a sum of the SAME
+  // rounded log-probs in the SAME order on both engines, so the
+  // compared bits are identical. Output is the q105 report shape, so
+  // the two tokenizer families read side-by-side.
+  private val umMaxLen = 4
+  private val umTopS = 200
+
+  private val unigramSegment = Q(
+    "q115_unigram_segment",
+    (s, dir) => {
+      val wh = corpusWordHist(s, dir)
+      val inv = graft.llm.Unigram.inventory(wh, umMaxLen, umTopS)
+      val segs = graft.llm.Unigram.segmentCounts(wh, inv, umMaxLen)
+        .select(col("word"), col("n_pieces"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(toksExpr)).as("word"))
+        .join(segs, Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_words"),
+          sum(length(col("word"))).cast("long").as("n_chars"),
+          sum(col("n_pieces")).cast("long").as("n_um_tokens"))
+        .withColumn("compression",
+          round(col("n_chars").cast("double") / col("n_um_tokens"), 6))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE
+            ut0 AS (SELECT $toksSql AS toks FROM documents),
+            uww AS (SELECT unnest(toks) AS word FROM ut0),
+            uwh AS (SELECT word, count(*) AS cnt FROM uww GROUP BY word),
+            usub AS (SELECT substr(w.word, st.s, ll.l) AS piece, w.cnt
+                FROM uwh w,
+                     LATERAL unnest(generate_series(1, length(w.word))) AS st(s),
+                     LATERAL unnest(generate_series(1, $umMaxLen)) AS ll(l)
+                WHERE st.s + ll.l - 1 <= length(w.word)),
+            upc AS (SELECT piece, sum(cnt) AS pcnt FROM usub GROUP BY piece),
+            utop AS (SELECT piece, pcnt FROM upc
+                QUALIFY row_number() OVER (ORDER BY pcnt DESC, piece) <= $umTopS),
+            usingle AS (SELECT piece, pcnt FROM upc WHERE length(piece) = 1),
+            uinv0 AS (SELECT DISTINCT piece, pcnt FROM
+                (SELECT * FROM utop UNION ALL SELECT * FROM usingle)),
+            utot AS (SELECT CAST(sum(pcnt) AS DOUBLE) AS t FROM uinv0),
+            uinv AS (SELECT piece, round(ln(pcnt / t), 6) AS logp
+                FROM uinv0, utot),
+            useg AS (
+              SELECT word, cnt, 0 AS pos,
+                [struct_pack(s := CAST(0 AS DOUBLE), j := CAST(0 AS BIGINT))] AS m
+              FROM uwh
+              UNION ALL
+              SELECT useg.word, useg.cnt, useg.pos + 1 AS pos,
+                list_append(useg.m, struct_pack(s := best.s, j := best.j)) AS m
+              FROM useg, LATERAL (
+                SELECT useg.m[useg.pos + 2 - l.l].s + iv.logp AS s,
+                       CAST(useg.pos + 1 - l.l AS BIGINT) AS j
+                FROM unnest(generate_series(1,
+                       least(useg.pos + 1, $umMaxLen))) AS l(l)
+                JOIN uinv iv
+                  ON iv.piece = substr(useg.word, useg.pos + 2 - l.l, l.l)
+                ORDER BY s DESC, j DESC LIMIT 1
+              ) best
+              WHERE useg.pos < length(useg.word)),
+            ufin AS (SELECT word, m FROM useg WHERE pos = length(word)),
+            ubt AS (
+              SELECT word, length(word) AS pos, m, 0 AS npieces FROM ufin
+              UNION ALL
+              SELECT word, m[pos + 1].j AS pos, m, npieces + 1
+              FROM ubt WHERE pos > 0),
+            ucnt AS (SELECT word, npieces FROM ubt WHERE pos = 0),
+            udx AS (SELECT doc_id, unnest($toksSql) AS word FROM documents)
+            SELECT udx.doc_id,
+              CAST(count(*) AS BIGINT) AS n_words,
+              CAST(sum(length(udx.word)) AS BIGINT) AS n_chars,
+              CAST(sum(u.npieces) AS BIGINT) AS n_um_tokens,
+              round(CAST(sum(length(udx.word)) AS DOUBLE) / sum(u.npieces), 6)
+                AS compression
+            FROM udx JOIN ucnt u USING (word)
+            GROUP BY udx.doc_id ORDER BY doc_id"""))
+
   private val bpeEncode = Q(
     "q105_bpe_encode",
     (s, dir) => {
@@ -3181,5 +3270,5 @@ object Llm {
     leakageSafeSplits, dupSpanScrub, perplexityBuckets, pqTopK, budgetEpochs,
     gopherRules, contamFrac, qualitySurvivors, kmeansTopics,
     semDedupTrained, topicSample, bpeMerges, bpeEncode, stupidBackoff,
-    gumbelSample, pqTrained, bpeIncMerges)
+    gumbelSample, pqTrained, bpeIncMerges, unigramSegment)
 }

@@ -1,0 +1,97 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Unigram
+
+/** Unigram-LM Viterbi segmentation vs a driver-side sequential DP with
+  * the same (score, split) tie-break — the BpePropSpec discipline for
+  * the tokenizer family's other half. The distributed operator runs the
+  * DP as in-row lambdas against a broadcast inventory map; this spec
+  * proves the reformulation on seeded corpora whose small alphabets
+  * maximize ambiguous segmentations (exactly where tie-breaks bite). */
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Textbook Viterbi: best[i] = max over l of best[i-l] + logp(piece),
+    * ties to the larger split point. Returns the piece count. */
+  private def model(word: String, inv: Map[String, Double], maxLen: Int): Int = {
+    val n = word.length
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val ptr = Array.fill(n + 1)(-1)
+    best(0) = 0.0
+    for (i <- 1 to n) {
+      var bs = Double.NegativeInfinity
+      var bj = -1
+      for (l <- 1 to math.min(i, maxLen)) {
+        inv.get(word.substring(i - l, i)).foreach { lp =>
+          val s = best(i - l) + lp
+          val j = i - l
+          if (s > bs || (s == bs && j > bj)) { bs = s; bj = j }
+        }
+      }
+      best(i) = bs
+      ptr(i) = bj
+    }
+    var pos = n
+    var k = 0
+    while (pos > 0) { pos = ptr(pos); k += 1 }
+    k
+  }
+
+  private def run(words: Map[String, Long], maxLen: Int, topS: Int)
+      : (Map[String, Long], Map[String, Double]) = {
+    val wh = words.toSeq.toDF("word", "cnt")
+    val inv = Unigram.inventory(wh, maxLen, topS)
+    val invMap = inv.collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val got = Unigram.segmentCounts(wh, inv, maxLen).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    (got, invMap)
+  }
+
+  test("distributed DP equals the sequential Viterbi on 10 seeded corpora") {
+    val rnd = new Random(4242)
+    for (i <- 1 to 10) {
+      val alphabet = "ab" + (if (rnd.nextBoolean()) "c" else "")
+      val words = (1 to 4 + rnd.nextInt(8)).map { _ =>
+        val len = 1 + rnd.nextInt(10)
+        (List.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString,
+          (1 + rnd.nextInt(20)).toLong)
+      }.toMap
+      val maxLen = 2 + rnd.nextInt(2)
+      val topS = 4 + rnd.nextInt(10)
+      val (got, invMap) = run(words, maxLen, topS)
+      val want = words.keys.map(w => w -> model(w, invMap, maxLen).toLong).toMap
+      assert(got === want, s"iteration $i: words=$words maxLen=$maxLen topS=$topS")
+    }
+  }
+
+  test("single-char coverage keeps every word segmentable; counts are sane") {
+    val words = Map("zzzz" -> 1L, "zqzq" -> 1L, "q" -> 1L)
+    val (got, _) = run(words, maxLen = 3, topS = 2)
+    words.keys.foreach { w =>
+      assert(got(w) >= 1 && got(w) <= w.length, s"$w -> ${got(w)}")
+    }
+  }
+
+  test("a dominant long piece wins over char-by-char segmentation") {
+    // "abab" appears heavily: its substrings dominate the inventory and
+    // the ML segmentation of "abab"-words uses multi-char pieces
+    val words = Map("abab" -> 50L, "ababab" -> 30L, "cd" -> 1L)
+    val (got, invMap) = run(words, maxLen = 4, topS = 8)
+    assert(invMap.contains("abab"), "the dominant substring must be selected")
+    assert(got("abab") === 1L, "one 4-char piece beats four singles")
+    val want = words.keys.map(w => w -> model(w, invMap, 4).toLong).toMap
+    assert(got === want)
+  }
+
+  test("segmentation is deterministic across runs") {
+    val words = Map("aab" -> 3L, "abb" -> 2L, "bba" -> 4L)
+    val a = run(words, 3, 6)
+    val b = run(words, 3, 6)
+    assert(a === b)
+  }
+}
