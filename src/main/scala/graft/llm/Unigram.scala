@@ -55,29 +55,43 @@ object Unigram {
         round(log(col("pcnt") / col("t")), 6).as("logp"))
   }
 
-  /** Maximum-likelihood piece count per word: the Viterbi DP over
-    * positions 1..len (best[i] = max over piece lengths l of
-    * best[i-l] + logp(word[i-l+1..i])) followed by the backpointer
-    * walk, both as in-row lambdas against the broadcast inventory map.
-    * Requires the inventory to cover every character of every word
-    * (guaranteed when it came from [[inventory]] over the same corpus).
-    * @return (word, cnt, n_pieces) */
-  def segmentCounts(words: DataFrame, inv: DataFrame, maxLen: Int): DataFrame = {
+  /** The Viterbi DP table as a column: m[i+1] = (best score, backpointer)
+    * for position i (best[i] = max over piece lengths l of
+    * best[i-l] + logp(word[i-l+1..i]); ties to the larger split) — an
+    * in-row lambda against the broadcast inventory map. */
+  private def withDp(words: DataFrame, inv: DataFrame, maxLen: Int): DataFrame = {
     val pm = inv.agg(map_from_entries(
       collect_list(struct(col("piece"), col("logp")))).as("pm"))
+    // unreachable positions (possible under a PRUNED inventory: a char
+    // inside a longer piece's span may have no piece path of its own)
+    // carry a -Infinity sentinel, never a null — -Inf + logp stays -Inf,
+    // loses every comparison, and the backtrace can't reach it because
+    // the final position is always reachable (the word's own previous
+    // segmentation survives pruning)
     words.crossJoin(broadcast(pm))
       .withColumn("m", expr(
         s"""aggregate(sequence(1, length(word)),
               array(named_struct('s', CAST(0 AS DOUBLE), 'j', 0)),
               (acc, i) -> array_append(acc,
-                array_max(filter(transform(sequence(1, least(i, $maxLen)), l ->
-                  CASE WHEN try_element_at(pm, substring(word, i - l + 1, l))
-                            IS NOT NULL
-                       THEN named_struct(
-                         's', element_at(acc, i - l + 1).s
-                              + try_element_at(pm, substring(word, i - l + 1, l)),
-                         'j', i - l)
-                  END), x -> x IS NOT NULL))))"""))
+                coalesce(
+                  array_max(filter(transform(sequence(1, least(i, $maxLen)), l ->
+                    CASE WHEN try_element_at(pm, substring(word, i - l + 1, l))
+                              IS NOT NULL
+                         THEN named_struct(
+                           's', element_at(acc, i - l + 1).s
+                                + try_element_at(pm, substring(word, i - l + 1, l)),
+                           'j', i - l)
+                    END), x -> x IS NOT NULL)),
+                  named_struct('s', CAST('-Infinity' AS DOUBLE), 'j', -1))))"""))
+  }
+
+  /** Maximum-likelihood piece count per word — the DP plus the
+    * backpointer walk. Requires the inventory to cover every character
+    * of every word (guaranteed when it came from [[inventory]] over the
+    * same corpus).
+    * @return (word, cnt, n_pieces) */
+  def segmentCounts(words: DataFrame, inv: DataFrame, maxLen: Int): DataFrame =
+    withDp(words, inv, maxLen)
       .withColumn("n_pieces", expr(
         """aggregate(sequence(1, length(word)),
              named_struct('pos', length(word), 'n', 0),
@@ -87,5 +101,51 @@ object Unigram {
                ELSE acc END).n"""))
       .select(col("word"), col("cnt"),
         col("n_pieces").cast("long").as("n_pieces"))
+
+  /** The maximum-likelihood segmentation itself — the backpointer walk
+    * emitting the pieces (order: last piece first; consumers count or
+    * set-aggregate, never rely on order).
+    * @return (word, cnt, pieces: array<string>) */
+  def segments(words: DataFrame, inv: DataFrame, maxLen: Int): DataFrame =
+    withDp(words, inv, maxLen)
+      .withColumn("pieces", expr(
+        """aggregate(sequence(1, length(word)),
+             named_struct('pos', length(word),
+                          'ps', CAST(array() AS ARRAY<STRING>)),
+             (acc, x) -> CASE WHEN acc.pos > 0
+               THEN named_struct(
+                 'pos', element_at(m, acc.pos + 1).j,
+                 'ps', array_append(acc.ps,
+                   substring(word, element_at(m, acc.pos + 1).j + 1,
+                     acc.pos - element_at(m, acc.pos + 1).j)))
+               ELSE acc END).ps"""))
+      .select(col("word"), col("cnt"), col("pieces"))
+
+  /** Hard-EM inventory refinement (Viterbi-EM, the deterministic form
+    * of SentencePiece's trainer): each iteration re-segments the word
+    * histogram under the current inventory (the E-step IS [[segments]]),
+    * re-estimates piece log-probs from weighted usage counts rounded to
+    * 6 dp (the k-means per-iteration rounding discipline — training
+    * itself becomes a DuckDB-replayable oracle row, q116), and HARD-
+    * prunes unused pieces. Pruning is safe: every piece used by
+    * iteration i survives into iteration i+1, so each word's previous
+    * segmentation stays feasible and coverage never breaks. Per
+    * iteration the corpus is untouched — one map-only DP over the
+    * vocabulary plus a piece-sized count aggregation, the [[Bpe]] cost
+    * model.
+    * @return (piece, pcnt, logp) — the refined inventory */
+  def emTrain(words: DataFrame, maxLen: Int, topS: Int, iters: Int): DataFrame = {
+    var inv = Staging.stage(inventory(words, maxLen, topS))
+    for (_ <- 1 to iters) {
+      val use = Staging.stage(
+        segments(words, inv, maxLen)
+          .select(col("cnt"), explode(col("pieces")).as("piece"))
+          .groupBy("piece").agg(sum(col("cnt")).as("pcnt")))
+      val tot = use.agg(sum("pcnt").cast("double").as("t"))
+      inv = Staging.stage(use.crossJoin(broadcast(tot))
+        .select(col("piece"), col("pcnt"),
+          round(log(col("pcnt") / col("t")), 6).as("logp")))
+    }
+    inv
   }
 }

@@ -2920,6 +2920,73 @@ object Llm {
   // the two tokenizer families read side-by-side.
   private val umMaxLen = 4
   private val umTopS = 200
+  private val umEmIters = 2
+
+  /** Seed-inventory CTEs → `uinv0` (piece, pcnt, logp): word histogram,
+    * substring counts, top-S + single-char coverage, 6 dp log-probs.
+    * Shared by q115 (segmentation) and q116 (EM training). */
+  private val umSeedSql: String =
+    s"""ut0 AS (SELECT $toksSql AS toks FROM documents),
+        uww AS (SELECT unnest(toks) AS word FROM ut0),
+        uwh AS (SELECT word, count(*) AS cnt FROM uww GROUP BY word),
+        usub AS (SELECT substr(w.word, st.s, ll.l) AS piece, w.cnt
+            FROM uwh w,
+                 LATERAL unnest(generate_series(1, length(w.word))) AS st(s),
+                 LATERAL unnest(generate_series(1, $umMaxLen)) AS ll(l)
+            WHERE st.s + ll.l - 1 <= length(w.word)),
+        upc AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS pcnt
+            FROM usub GROUP BY piece),
+        utop AS (SELECT piece, pcnt FROM upc
+            QUALIFY row_number() OVER (ORDER BY pcnt DESC, piece) <= $umTopS),
+        usingle AS (SELECT piece, pcnt FROM upc WHERE length(piece) = 1),
+        uraw0 AS (SELECT DISTINCT piece, pcnt FROM
+            (SELECT * FROM utop UNION ALL SELECT * FROM usingle)),
+        utot0 AS (SELECT CAST(sum(pcnt) AS DOUBLE) AS t FROM uraw0),
+        uinv0 AS (SELECT piece, pcnt, round(ln(pcnt / t), 6) AS logp
+            FROM uraw0, utot0)"""
+
+  /** One Viterbi pass against `uinv${i-1}`: the recursive DP carrying
+    * each word's (score, backpointer) arrays one position per
+    * iteration, then the piece-emitting backtrace → `ubt$i` (one row
+    * per segmentation step, `piece` NULL on the anchor row). */
+  private def umSegSql(i: Int): String =
+    s"""useg$i AS (
+          SELECT word, cnt, 0 AS pos,
+            [struct_pack(s := CAST(0 AS DOUBLE), j := CAST(0 AS BIGINT))] AS m
+          FROM uwh
+          UNION ALL
+          SELECT useg$i.word, useg$i.cnt, useg$i.pos + 1 AS pos,
+            list_append(useg$i.m, struct_pack(
+              s := COALESCE(best.s, CAST('-infinity' AS DOUBLE)),
+              j := COALESCE(best.j, CAST(-1 AS BIGINT)))) AS m
+          FROM useg$i LEFT JOIN LATERAL (
+            SELECT useg$i.m[useg$i.pos + 2 - l.l].s + iv.logp AS s,
+                   CAST(useg$i.pos + 1 - l.l AS BIGINT) AS j
+            FROM unnest(generate_series(1,
+                   least(useg$i.pos + 1, $umMaxLen))) AS l(l)
+            JOIN uinv${i - 1} iv
+              ON iv.piece = substr(useg$i.word, useg$i.pos + 2 - l.l, l.l)
+            ORDER BY s DESC, j DESC LIMIT 1
+          ) best ON true
+          WHERE useg$i.pos < length(useg$i.word)),
+        ufin$i AS (SELECT word, cnt, m FROM useg$i WHERE pos = length(word)),
+        ubt$i AS (
+          SELECT word, cnt, length(word) AS pos, m,
+                 CAST(NULL AS VARCHAR) AS piece
+          FROM ufin$i
+          UNION ALL
+          SELECT word, cnt, m[pos + 1].j AS pos, m,
+                 substr(word, m[pos + 1].j + 1, pos - m[pos + 1].j) AS piece
+          FROM ubt$i WHERE pos > 0)"""
+
+  /** M-step: weighted usage counts off `ubt$i` → next rounded
+    * inventory `uinv$i` (zero-usage pieces hard-pruned by absence). */
+  private def umUseSql(i: Int): String =
+    s"""uuse$i AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS pcnt
+            FROM ubt$i WHERE piece IS NOT NULL GROUP BY piece),
+        utot$i AS (SELECT CAST(sum(pcnt) AS DOUBLE) AS t FROM uuse$i),
+        uinv$i AS (SELECT piece, pcnt, round(ln(pcnt / t), 6) AS logp
+            FROM uuse$i, utot$i)"""
 
   private val unigramSegment = Q(
     "q115_unigram_segment",
@@ -2939,48 +3006,10 @@ object Llm {
           round(col("n_chars").cast("double") / col("n_um_tokens"), 6))
         .orderBy("doc_id")
     },
-    Some(s"""WITH RECURSIVE
-            ut0 AS (SELECT $toksSql AS toks FROM documents),
-            uww AS (SELECT unnest(toks) AS word FROM ut0),
-            uwh AS (SELECT word, count(*) AS cnt FROM uww GROUP BY word),
-            usub AS (SELECT substr(w.word, st.s, ll.l) AS piece, w.cnt
-                FROM uwh w,
-                     LATERAL unnest(generate_series(1, length(w.word))) AS st(s),
-                     LATERAL unnest(generate_series(1, $umMaxLen)) AS ll(l)
-                WHERE st.s + ll.l - 1 <= length(w.word)),
-            upc AS (SELECT piece, sum(cnt) AS pcnt FROM usub GROUP BY piece),
-            utop AS (SELECT piece, pcnt FROM upc
-                QUALIFY row_number() OVER (ORDER BY pcnt DESC, piece) <= $umTopS),
-            usingle AS (SELECT piece, pcnt FROM upc WHERE length(piece) = 1),
-            uinv0 AS (SELECT DISTINCT piece, pcnt FROM
-                (SELECT * FROM utop UNION ALL SELECT * FROM usingle)),
-            utot AS (SELECT CAST(sum(pcnt) AS DOUBLE) AS t FROM uinv0),
-            uinv AS (SELECT piece, round(ln(pcnt / t), 6) AS logp
-                FROM uinv0, utot),
-            useg AS (
-              SELECT word, cnt, 0 AS pos,
-                [struct_pack(s := CAST(0 AS DOUBLE), j := CAST(0 AS BIGINT))] AS m
-              FROM uwh
-              UNION ALL
-              SELECT useg.word, useg.cnt, useg.pos + 1 AS pos,
-                list_append(useg.m, struct_pack(s := best.s, j := best.j)) AS m
-              FROM useg, LATERAL (
-                SELECT useg.m[useg.pos + 2 - l.l].s + iv.logp AS s,
-                       CAST(useg.pos + 1 - l.l AS BIGINT) AS j
-                FROM unnest(generate_series(1,
-                       least(useg.pos + 1, $umMaxLen))) AS l(l)
-                JOIN uinv iv
-                  ON iv.piece = substr(useg.word, useg.pos + 2 - l.l, l.l)
-                ORDER BY s DESC, j DESC LIMIT 1
-              ) best
-              WHERE useg.pos < length(useg.word)),
-            ufin AS (SELECT word, m FROM useg WHERE pos = length(word)),
-            ubt AS (
-              SELECT word, length(word) AS pos, m, 0 AS npieces FROM ufin
-              UNION ALL
-              SELECT word, m[pos + 1].j AS pos, m, npieces + 1
-              FROM ubt WHERE pos > 0),
-            ucnt AS (SELECT word, npieces FROM ubt WHERE pos = 0),
+    Some(s"""WITH RECURSIVE $umSeedSql,
+            ${umSegSql(1)},
+            ucnt AS (SELECT word, CAST(count(piece) AS BIGINT) AS npieces
+                FROM ubt1 WHERE piece IS NOT NULL GROUP BY word),
             udx AS (SELECT doc_id, unnest($toksSql) AS word FROM documents)
             SELECT udx.doc_id,
               CAST(count(*) AS BIGINT) AS n_words,
@@ -2990,6 +3019,29 @@ object Llm {
                 AS compression
             FROM udx JOIN ucnt u USING (word)
             GROUP BY udx.doc_id ORDER BY doc_id"""))
+
+  // ---- unigram-LM EM training ------------------------------------------
+  // Trained-models-as-oracle-rows, unigram edition: k-means (q99), PQ
+  // (q111), and BPE (q104/q114) already replay their TRAINING in DuckDB;
+  // this closes the tokenizer family. Hard EM (Viterbi-EM): each
+  // iteration's E-step is q115's DP verbatim, the M-step re-estimates
+  // piece log-probs from weighted usage (rounded 6 dp — the per-
+  // iteration discipline that collapses cross-engine ln noise before it
+  // can steer the next E-step), and zero-usage pieces hard-prune.
+  // Pruning never breaks coverage: every piece used at iteration i
+  // survives to i+1, so each word's previous segmentation stays
+  // feasible. The oracle unrolls the fixed iteration count — each
+  // E-step one recursive DP + backtrace chain, each M-step a count
+  // re-normalization — and the driver verifies the final inventory.
+  private val unigramEm = Q(
+    "q116_unigram_em",
+    (s, dir) => graft.llm.Unigram
+      .emTrain(corpusWordHist(s, dir), umMaxLen, umTopS, umEmIters)
+      .orderBy("piece"),
+    Some(s"""WITH RECURSIVE $umSeedSql,
+            ${(1 to umEmIters).map(i =>
+              umSegSql(i) + ",\n" + umUseSql(i)).mkString(",\n")}
+            SELECT piece, pcnt, logp FROM uinv$umEmIters ORDER BY piece"""))
 
   private val bpeEncode = Q(
     "q105_bpe_encode",
@@ -3270,5 +3322,5 @@ object Llm {
     leakageSafeSplits, dupSpanScrub, perplexityBuckets, pqTopK, budgetEpochs,
     gopherRules, contamFrac, qualitySurvivors, kmeansTopics,
     semDedupTrained, topicSample, bpeMerges, bpeEncode, stupidBackoff,
-    gumbelSample, pqTrained, bpeIncMerges, unigramSegment)
+    gumbelSample, pqTrained, bpeIncMerges, unigramSegment, unigramEm)
 }

@@ -88,6 +88,78 @@ class UnigramSpec extends SparkSpec {
     assert(got === want)
   }
 
+  /** [[model]]'s backtrace, emitting the pieces. */
+  private def modelPieces(word: String, inv: Map[String, Double],
+                          maxLen: Int): List[String] = {
+    val n = word.length
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val ptr = Array.fill(n + 1)(-1)
+    best(0) = 0.0
+    for (i <- 1 to n) {
+      var bs = Double.NegativeInfinity
+      var bj = -1
+      for (l <- 1 to math.min(i, maxLen)) {
+        inv.get(word.substring(i - l, i)).foreach { lp =>
+          val s = best(i - l) + lp
+          if (s > bs || (s == bs && (i - l) > bj)) { bs = s; bj = i - l }
+        }
+      }
+      best(i) = bs
+      ptr(i) = bj
+    }
+    var pos = n
+    val ps = List.newBuilder[String]
+    while (pos > 0) { ps += word.substring(ptr(pos), pos); pos = ptr(pos) }
+    ps.result()
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("hard-EM training equals the sequential model on seeded corpora") {
+    val rnd = new Random(9090)
+    for (i <- 1 to 6) {
+      val alphabet = "ab" + (if (rnd.nextBoolean()) "c" else "")
+      val words = (1 to 4 + rnd.nextInt(6)).map { _ =>
+        val len = 1 + rnd.nextInt(8)
+        (List.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString,
+          (1 + rnd.nextInt(20)).toLong)
+      }.toMap
+      val (maxLen, topS, iters) = (2 + rnd.nextInt(2), 4 + rnd.nextInt(8), 2)
+      val wh = words.toSeq.toDF("word", "cnt")
+      // seed from the operator itself (its selection is already pinned
+      // by the segmentation tests); EM iterations replayed driver-side
+      var inv = Unigram.inventory(wh, maxLen, topS).collect()
+        .map(r => r.getString(0) -> r.getDouble(2)).toMap
+      var want: Map[String, (Long, Double)] = Map.empty
+      for (_ <- 1 to iters) {
+        val use = scala.collection.mutable.Map[String, Long]()
+        words.foreach { case (w, c) =>
+          modelPieces(w, inv, maxLen)
+            .foreach(p => use(p) = use.getOrElse(p, 0L) + c)
+        }
+        val tot = use.values.sum.toDouble
+        inv = use.map { case (p, c) => p -> round6(math.log(c / tot)) }.toMap
+        want = use.map { case (p, c) => p -> ((c, inv(p))) }.toMap
+      }
+      val got = Unigram.emTrain(wh, maxLen, topS, iters).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got === want, s"iteration $i: words=$words maxLen=$maxLen topS=$topS")
+    }
+  }
+
+  test("EM pruning never breaks coverage: every word segments under the trained inventory") {
+    val words = Map("ababab" -> 30L, "bababa" -> 20L, "cdcd" -> 5L, "dc" -> 1L)
+    val wh = words.toSeq.toDF("word", "cnt")
+    val trained = Unigram.emTrain(wh, 4, 10, 2)
+    val got = Unigram.segmentCounts(wh, trained, 4).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    words.keys.foreach { w =>
+      assert(got(w) >= 1 && got(w) <= w.length,
+        s"$w must stay segmentable after pruning, got ${got.get(w)}")
+    }
+  }
+
   test("segmentation is deterministic across runs") {
     val words = Map("aab" -> 3L, "abb" -> 2L, "bba" -> 4L)
     val a = run(words, 3, 6)
