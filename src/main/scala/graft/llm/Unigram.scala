@@ -34,6 +34,17 @@ import graft.core.Staging
   */
 object Unigram {
 
+  /** (piece, pcnt) → (piece, pcnt, logp): the rounded renormalization.
+    * ONE definition on purpose — the seed inventory and every EM
+    * iteration must renormalize bit-identically or the oracle's replay
+    * diverges. */
+  private def normalized(counts: DataFrame): DataFrame = {
+    val tot = counts.agg(sum("pcnt").cast("double").as("t"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("piece"), col("pcnt"),
+        round(log(col("pcnt") / col("t")), 6).as("logp"))
+  }
+
   /** Top-S substring inventory with 6 dp-rounded log-probs.
     * @param words (word, cnt) histogram
     * @return (piece, pcnt, logp) */
@@ -48,11 +59,7 @@ object Unigram {
       .groupBy("piece").agg(sum(col("cnt")).as("pcnt")))
     val top = subs.orderBy(col("pcnt").desc, col("piece")).limit(topS)
     val singles = subs.filter(length(col("piece")) === 1)
-    val inv0 = Staging.stage(top.unionByName(singles).distinct())
-    val tot = inv0.agg(sum("pcnt").cast("double").as("t"))
-    inv0.crossJoin(broadcast(tot))
-      .select(col("piece"), col("pcnt"),
-        round(log(col("pcnt") / col("t")), 6).as("logp"))
+    normalized(Staging.stage(top.unionByName(singles).distinct()))
   }
 
   /** The Viterbi DP table as a column: m[i+1] = (best score, backpointer)
@@ -68,20 +75,24 @@ object Unigram {
     // loses every comparison, and the backtrace can't reach it because
     // the final position is always reachable (the word's own previous
     // segmentation survives pruning)
+    // one map probe per candidate: bind the lookup in an inner struct,
+    // filter the misses, THEN add the prefix score — the probe is a
+    // linear scan of the broadcast map and this loop is the hot path
     words.crossJoin(broadcast(pm))
       .withColumn("m", expr(
         s"""aggregate(sequence(1, length(word)),
               array(named_struct('s', CAST(0 AS DOUBLE), 'j', 0)),
               (acc, i) -> array_append(acc,
                 coalesce(
-                  array_max(filter(transform(sequence(1, least(i, $maxLen)), l ->
-                    CASE WHEN try_element_at(pm, substring(word, i - l + 1, l))
-                              IS NOT NULL
-                         THEN named_struct(
-                           's', element_at(acc, i - l + 1).s
-                                + try_element_at(pm, substring(word, i - l + 1, l)),
-                           'j', i - l)
-                    END), x -> x IS NOT NULL)),
+                  array_max(transform(
+                    filter(transform(sequence(1, least(i, $maxLen)), l ->
+                      named_struct(
+                        'lp', try_element_at(pm, substring(word, i - l + 1, l)),
+                        'j', i - l)),
+                      c -> c.lp IS NOT NULL),
+                    c -> named_struct(
+                      's', element_at(acc, c.j + 1).s + c.lp,
+                      'j', c.j))),
                   named_struct('s', CAST('-Infinity' AS DOUBLE), 'j', -1))))"""))
   }
 
@@ -135,16 +146,16 @@ object Unigram {
     * model.
     * @return (piece, pcnt, logp) — the refined inventory */
   def emTrain(words: DataFrame, maxLen: Int, topS: Int, iters: Int): DataFrame = {
-    var inv = Staging.stage(inventory(words, maxLen, topS))
+    // the histogram is staged ONCE: the seed's substring pass and every
+    // iteration's DP re-scan the materialization, never the corpus
+    val wh = Staging.stage(words)
+    var inv = Staging.stage(inventory(wh, maxLen, topS))
     for (_ <- 1 to iters) {
       val use = Staging.stage(
-        segments(words, inv, maxLen)
+        segments(wh, inv, maxLen)
           .select(col("cnt"), explode(col("pieces")).as("piece"))
           .groupBy("piece").agg(sum(col("cnt")).as("pcnt")))
-      val tot = use.agg(sum("pcnt").cast("double").as("t"))
-      inv = Staging.stage(use.crossJoin(broadcast(tot))
-        .select(col("piece"), col("pcnt"),
-          round(log(col("pcnt") / col("t")), 6).as("logp")))
+      inv = Staging.stage(normalized(use))
     }
     inv
   }

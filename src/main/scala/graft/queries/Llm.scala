@@ -2991,7 +2991,9 @@ object Llm {
   private val unigramSegment = Q(
     "q115_unigram_segment",
     (s, dir) => {
-      val wh = corpusWordHist(s, dir)
+      // staged once: the inventory's substring pass and the DP both
+      // re-scan the materialized histogram, never the corpus
+      val wh = Staging.stage(corpusWordHist(s, dir))
       val inv = graft.llm.Unigram.inventory(wh, umMaxLen, umTopS)
       val segs = graft.llm.Unigram.segmentCounts(wh, inv, umMaxLen)
         .select(col("word"), col("n_pieces"))
