@@ -64,10 +64,11 @@ object ClusterMaintenance {
     * streaming state) — per-batch probe IO is bounded by
     * touched-buckets x bucket-size instead of the whole table, and the
     * probes below never SHUFFLE a state row at all (the delta rides a
-    * broadcast). 64 buckets keeps the per-fold file count near the
-    * shuffle-partition count at test scale; a 100 TB deployment raises
-    * it (bucket count is a layout constant — changing it means a state
-    * rewrite, same contract as any bucketed table). */
+    * broadcast). 32 buckets matches the session's shuffle-partition
+    * count, so a fold appends at most one file per task at test scale; a
+    * 100 TB deployment raises it (bucket count is a layout constant —
+    * changing it means a state rewrite, detected and performed by
+    * `StateStore.ensureBucketed` via the persisted `_buckets` marker). */
   private val stateBuckets = 32
 
   /** Partition bucket of a band-index row: stable hash of the probe key
@@ -170,13 +171,11 @@ object ClusterMaintenance {
 
     val edges = Staging.stage(dd.unionByName(dc))
 
-    // appends BEFORE the label publish (see replay note in the docstring).
-    // Bucket-partitioned layout; the delta-sized repartition co-locates
-    // each bucket in one task so a fold appends ≤ stateBuckets files
-    deltaBands.repartition(col("pb"))
-      .write.partitionBy("pb").mode("append").parquet(bandsPath(statePath))
-    deltaToks.repartition(col("tb"))
-      .write.partitionBy("tb").mode("append").parquet(toksPath(statePath))
+    // appends BEFORE the label publish (see replay note in the docstring)
+    StateStore.appendBucketed(deltaBands, bandsPath(statePath), "pb",
+      stateBuckets)
+    StateStore.appendBucketed(deltaToks, toksPath(statePath), "tb",
+      stateBuckets)
 
     if (!edges.isEmpty) foldLabels(spark, edges, labelsPath(statePath))
   }
@@ -380,6 +379,9 @@ object ClusterMaintenance {
           Sinks.snapshotSwap(
             spark.read.parquet(p).distinct().repartition(files, col(bcol)),
             p, Seq(bcol))
+          // the swap replaced the directory wholesale — re-stamp the
+          // layout's modulus marker it carried
+          StateStore.writeModulus(spark, p, stateBuckets)
         }
       }
   }

@@ -94,9 +94,8 @@ object CorpusStream {
     // doc-missing would make the replay probe drop the doc as seen
     val docs = Staging.stage(novel.drop("content_hash", "hb"))
     docs.write.mode("append").parquet(docsPath(statePath))
-    novel.select("content_hash", "hb")
-      .repartition(col("hb"))
-      .write.partitionBy("hb").mode("append").parquet(hashesPath(statePath))
+    StateStore.appendBucketed(novel.select("content_hash", "hb"),
+      hashesPath(statePath), "hb", 256)
     // incremental near-dup labeling over the SCRUBBED novel docs — the
     // batch pipeline shingles scrubbed text too, so bands agree
     ClusterMaintenance.foldBatch(docs, clusterPath(statePath), threshold)
@@ -146,11 +145,14 @@ object CorpusStream {
     // the hash store keeps its hb partitioning through the rewrite —
     // one file per touched bucket (bucket = the compaction granule)
     val hashesP = hashesPath(statePath)
-    if (fs.exists(new Path(hashesP)))
+    if (fs.exists(new Path(hashesP))) {
       graft.sinks.Sinks.snapshotSwap(
         spark.read.parquet(hashesP).distinct()
           .repartition(fileBudget(hashesP), col("hb")),
         hashesP, Seq("hb"))
+      // the swap replaced the directory — re-stamp the modulus marker
+      StateStore.writeModulus(spark, hashesP, 256)
+    }
     ClusterMaintenance.compactState(spark, clusterPath(statePath), targetFileBytes)
   }
 

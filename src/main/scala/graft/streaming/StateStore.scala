@@ -30,39 +30,99 @@ object StateStore {
       .exists(_.getPath.getName.startsWith(bucketCol + "="))
   }
 
+  /** Path of the persisted bucket-modulus marker: a one-line layout
+    * descriptor next to the partition dirs. Underscore-prefixed so
+    * parquet readers skip it. The marker is the AUTHORITATIVE record of
+    * the modulus the layout was written under — dir-value inference
+    * cannot detect a DOUBLING (old modulus k → new 2k leaves every dir
+    * value below 2k while rows hashed to v+k still sit in dir v, which a
+    * pruned probe would silently miss), so any bucket-count change is
+    * detected here by comparison, not inferred from names. */
+  private def modulusMarker(path: String) = new Path(path, "_buckets")
+
+  /** The modulus recorded when the layout was written, if any. A torn or
+    * unparseable marker reads as absent — callers then fall back to the
+    * legacy dir-value inference, which never misclassifies a consistent
+    * layout as stale. */
+  def readModulus(spark: SparkSession, path: String): Option[Int] = {
+    val f = fs(spark, path)
+    val m = modulusMarker(path)
+    if (!f.exists(m)) None
+    else {
+      val in = f.open(m)
+      val s = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+      scala.util.Try(s.toInt).toOption
+    }
+  }
+
+  /** Record the layout's modulus. A crash mid-write leaves a torn marker
+    * that reads as absent (safe: inference path). */
+  def writeModulus(spark: SparkSession, path: String, buckets: Int): Unit = {
+    val out = fs(spark, path).create(modulusMarker(path), true)
+    try out.write(buckets.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** One-time layout migration: state written by a pre-bucketing engine
     * version has no bucket column — derive it and rewrite through the
     * atomic snapshot swap (∝ state, once) so the first post-upgrade
-    * fold finds the layout it probes. Also re-buckets state written
-    * under a LARGER bucket count (`buckets` > 0): a dir value ≥ the
-    * current modulus proves a stale modulus, and since bucket-count
-    * changes in this engine are power-of-two halvings/doublings, values
-    * BELOW the modulus are already consistent (hash mod 2k in [0, k)
-    * equals hash mod k) — a non-divisor change requires an explicit
-    * rewrite, which is exactly what this triggers. No-op (one directory
-    * listing) when the layout and modulus already match. */
+    * fold finds the layout it probes.
+    *
+    * Modulus staleness is decided by the persisted `_buckets` marker
+    * when present: ANY mismatch (halving, doubling, non-power-of-two)
+    * triggers the rewrite, and a match is the per-fold fast path — one
+    * small-file read, no directory listing. A marker-less bucketed
+    * layout (written by a pre-marker engine version) falls back to
+    * dir-value inference — a dir value ≥ the current modulus proves
+    * staleness — which detects DECREASES only; the consistent layout it
+    * adopts is then stamped with the marker so every later change is
+    * caught by comparison. */
   def ensureBucketed(spark: SparkSession, path: String, bucketCol: String,
                      bucketOf: Column, buckets: Int = 0): Unit =
     if (exists(spark, path)) {
-      val staleModulus = buckets > 0 && isBucketed(spark, path, bucketCol) &&
-        fs(spark, path).listStatus(new Path(path)).exists { st =>
-          val n = st.getPath.getName
-          n.startsWith(bucketCol + "=") &&
-            scala.util.Try(n.stripPrefix(bucketCol + "=").toInt)
-              .toOption.exists(_ >= buckets)
-        }
-      if (staleModulus)
+      def rewrite(dropFirst: Boolean): Unit = {
+        val base = spark.read.parquet(path)
         graft.sinks.Sinks.snapshotSwap(
-          spark.read.parquet(path).drop(bucketCol)
+          (if (dropFirst) base.drop(bucketCol) else base)
             .withColumn(bucketCol, bucketOf)
             .repartition(col(bucketCol)),
           path, Seq(bucketCol))
-      else if (!isBucketed(spark, path, bucketCol))
-        graft.sinks.Sinks.snapshotSwap(
-          spark.read.parquet(path).withColumn(bucketCol, bucketOf)
-            .repartition(col(bucketCol)),
-          path, Seq(bucketCol))
+        if (buckets > 0) writeModulus(spark, path, buckets)
+      }
+      readModulus(spark, path).filter(_ => buckets > 0) match {
+        case Some(m) if m == buckets => () // fast path: marker agrees
+        case Some(_) => rewrite(dropFirst = true)
+        case None =>
+          val bucketed = isBucketed(spark, path, bucketCol)
+          val staleModulus = buckets > 0 && bucketed &&
+            fs(spark, path).listStatus(new Path(path)).exists { st =>
+              val n = st.getPath.getName
+              n.startsWith(bucketCol + "=") &&
+                scala.util.Try(n.stripPrefix(bucketCol + "=").toInt)
+                  .toOption.exists(_ >= buckets)
+            }
+          if (staleModulus) rewrite(dropFirst = true)
+          else if (!bucketed) rewrite(dropFirst = false)
+          else if (buckets > 0) writeModulus(spark, path, buckets)
+      }
     }
+
+  /** Append a delta into the bucketed layout, stamping the modulus
+    * marker when the write CREATES the layout — so a later
+    * [[ensureBucketed]] can detect any bucket-count change by
+    * comparison. The delta-sized repartition co-locates each bucket in
+    * one task, so a fold appends at most `buckets` files. */
+  def appendBucketed(delta: DataFrame, path: String, bucketCol: String,
+                     buckets: Int): Unit = {
+    val spark = delta.sparkSession
+    val hadMarker = readModulus(spark, path).isDefined
+    delta.repartition(col(bucketCol))
+      .write.partitionBy(bucketCol).mode("append").parquet(path)
+    if (!hadMarker) writeModulus(spark, path, buckets)
+  }
 
   /** The state slice a delta's probe touches: partition-pruned by the
     * delta's distinct bucket values (a bounded collect — at most the

@@ -42,4 +42,36 @@ class StateStoreSpec extends SparkSpec {
     CorpusStream.foldBatch(docs.filter(col("doc_id") >= 250), state)
     assert(spark.read.parquet(s"$state/docs").count() > docsAfterFirst)
   }
+
+  test("a bucket-count DOUBLING is detected via the modulus marker and rewritten") {
+    import graft.streaming.StateStore
+    import spark.implicits._
+    // dir-value inference is blind to a doubling: with old modulus 4 and
+    // new modulus 8, every dir value is below 8, yet a key with
+    // hash mod 8 = v+4 sits in dir v — a pruned probe would read the
+    // wrong bucket and re-admit seen keys. The persisted marker is what
+    // catches it.
+    val p = Files.createTempDirectory("modulus-state").toString + "/keys"
+    def bucketOf(m: Int) = pmod(xxhash64(col("k")), lit(m)).cast("int")
+    val keys = (0L until 64L).toDF("k")
+    StateStore.appendBucketed(keys.withColumn("b", bucketOf(4)), p, "b", 4)
+    assert(StateStore.readModulus(spark, p) === Some(4))
+
+    StateStore.ensureBucketed(spark, p, "b", bucketOf(8), 8)
+    assert(StateStore.readModulus(spark, p) === Some(8),
+      "the mismatching marker must trigger a rewrite and be re-stamped")
+    val rows = spark.read.parquet(p)
+    assert(rows.count() === 64)
+    assert(rows.filter(col("b") =!= bucketOf(8)).count() === 0,
+      "every row must sit in the dir its new-modulus hash names")
+    // the probe that used to silently miss: every stored key must now be
+    // recognized as seen under the new modulus
+    val delta = keys.withColumn("b", bucketOf(8))
+    val novel = StateStore.novelAgainst(p, delta, Seq("k"), "b", col("b"), 8)
+    assert(novel.count() === 0,
+      "a pruned probe after the rewrite must see every stored key")
+    // and a match is a no-op fast path (marker agrees — nothing rewritten)
+    StateStore.ensureBucketed(spark, p, "b", bucketOf(8), 8)
+    assert(spark.read.parquet(p).count() === 64)
+  }
 }
