@@ -88,6 +88,39 @@ object ClusterMaintenance {
     * contract across the id-keyed state tables). */
   private def labelsBucketOf(id: Column) = tokBucket(id)
 
+  /** Partition bucket of a comp-projection row: same hash family,
+    * applied to the COMPONENT key — the projection exists so the member
+    * lookup can partition-prune by comp (see [[foldLabels]]). A row here
+    * DOES move buckets when its comp changes; the fold handles that by
+    * swapping both the old comp's bucket (known from the affected set)
+    * and the new one's. */
+  private def compBucketOf(c: Column) = tokBucket(c)
+
+  /** Generation tag syncing the labeling with its comp projection: each
+    * label publish advances `_gen` on `labels/` BEFORE touching data, and
+    * the projection is stamped with the same value only AFTER its own
+    * swap completes — so any crash between the two, and any bulk fold
+    * (which skips the projection on purpose), leaves a mismatch, and the
+    * next delta fold rebuilds the projection wholesale from the labeling
+    * before trusting it. */
+  private val GenTag = "_gen"
+  private def newGen() = java.util.UUID.randomUUID().toString
+
+  /** Run two independent Spark actions concurrently and wait for both —
+    * SparkContext is thread-safe and schedules the two job DAGs across
+    * the same executor pool, so independent fixed costs (staging
+    * materializations, sibling-table writes) overlap instead of
+    * serializing. Failures propagate: if either side throws, the fold
+    * aborts before any dependent step. */
+  private def awaitBoth[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(a)
+    val fb = Future(b)
+    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+  }
+
   /** Fold one micro-batch of documents (`doc_id`, `text`) into the
     * persisted clustering state. Callable directly for batch ingests;
     * [[sink]] wires it as the foreachBatch of a stream. */
@@ -104,11 +137,16 @@ object ClusterMaintenance {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
     // the delta's own artifacts, staged once — the band expression and
-    // the tokenizer each run one time however many joins consume them
-    val deltaBands = Staging.stage(NearDup.bands(batch).withColumn("pb", bandBucket))
-    val deltaToks = Staging.stage(batch.select(col("doc_id"),
-      expr(s"array_distinct(${Llm.toksExpr})").as("toks"))
-      .withColumn("tb", tokBucket(col("doc_id"))))
+    // the tokenizer each run one time however many joins consume them.
+    // The two stagings are independent Spark jobs over the same input;
+    // run them concurrently (the scheduler interleaves their stages
+    // across the executor pool) — at 32 local cores this roughly halves
+    // the fold's fixed staging wall-clock
+    val (deltaBands, deltaToks) = awaitBoth(
+      Staging.stage(NearDup.bands(batch).withColumn("pb", bandBucket)),
+      Staging.stage(batch.select(col("doc_id"),
+        expr(s"array_distinct(${Llm.toksExpr})").as("toks"))
+        .withColumn("tb", tokBucket(col("doc_id")))))
     // one-time migration for pre-upgrade state: unbucketed layouts and
     // stale (larger) bucket moduli both rewrite in place
     StateStore.ensureBucketed(spark, bandsPath(statePath), "pb", bandBucket,
@@ -169,13 +207,18 @@ object ClusterMaintenance {
           .select(col("delta_id").as("src"), col("corpus_id").as("dst"))
       }
 
-    val edges = Staging.stage(dd.unionByName(dc))
-
-    // appends BEFORE the label publish (see replay note in the docstring)
-    StateStore.appendBucketed(deltaBands, bandsPath(statePath), "pb",
-      stateBuckets)
-    StateStore.appendBucketed(deltaToks, toksPath(statePath), "tb",
-      stateBuckets)
+    // appends BEFORE the label publish (see replay note in the
+    // docstring); edge verification reads no appended state, so it
+    // overlaps the index/token writes (distinct directories, independent
+    // commit protocols — three concurrent job DAGs), and only the label
+    // fold waits on all of them
+    val (edges, _) = awaitBoth(
+      Staging.stage(dd.unionByName(dc)),
+      awaitBoth(
+        StateStore.appendBucketed(deltaBands, bandsPath(statePath), "pb",
+          stateBuckets),
+        StateStore.appendBucketed(deltaToks, toksPath(statePath), "tb",
+          stateBuckets)))
 
     if (!edges.isEmpty) foldLabels(spark, edges, labelsPath(statePath))
   }
@@ -183,18 +226,35 @@ object ClusterMaintenance {
   /** Fold verified delta edges into the persisted labeling — touching
     * only the AFFECTED components, never republishing the whole table.
     *
-    * The labeling is id-bucket-partitioned (`ib`, [[labelsBucketOf]]).
-    * Per fold: the incident ids' components come from an
-    * id-bucket-PRUNED scan (delta-bounded); their members come from one
-    * map-only pass over the label table with the component set riding a
-    * broadcast (the one unprunable pass — scan-only, zero shuffle; a
-    * comp-keyed secondary index would prune it at extreme scale);
-    * `Components.merge` then runs over the affected subgraph alone, and
-    * the rewrite swaps only the id-buckets holding updated rows
+    * The labeling is id-bucket-partitioned (`ib`, [[labelsBucketOf]]),
+    * and a second, comp-bucketed PROJECTION of the same rows
+    * (`labels_comp/`, `cb` = [[compBucketOf]]) exists so the member
+    * lookup can partition-prune by component. Per fold: the incident
+    * ids' components come from an id-bucket-pruned scan of `labels/`
+    * (delta-bounded); their members come from comp-bucket-pruned scans
+    * of the projection (plus id-bucket-pruned scans of `labels/` for
+    * crash-era pointer chains) with the key set pushed into the parquet
+    * scan as an IN filter when small — member IO is
+    * touched-buckets-sized, and within a bucket the comp-sorted row
+    * groups let the pushed filter skip non-matching groups at real
+    * scale. `Components.merge` then runs over the affected subgraph
+    * alone, and the rewrite swaps only the id-buckets (and
+    * comp-buckets of the projection) holding updated rows
     * (`Sinks.swapPartitions` — per-dir atomic, crash-repaired on the
     * next fold). Per-batch shuffle is affected-subgraph-sized, not
-    * labeling-sized — measured flat under 8× labeling growth in
-    * ShuffleGrowthSpec.
+    * labeling-sized — measured in ShuffleGrowthSpec, and the member
+    * pass's input BYTES are measured flat under labeling growth outside
+    * the touched buckets in LabelFoldIoSpec.
+    *
+    * The projection is maintained lazily: bulk folds and the creation
+    * path skip it (they never run a member pass) and just advance the
+    * labeling's generation, invalidating it; the next fold that
+    * actually NEEDS a member lookup (its delta strikes existing
+    * components) rebuilds it wholesale from the labeling (∝ labeling,
+    * amortized across the delta folds in between — see [[GenTag]]),
+    * and while it is valid every fold maintains it with the same
+    * touched-bucket swap discipline as the labeling itself. All-novel
+    * batches neither read nor write it.
     *
     * Crash consistency: a fold interrupted mid-swap leaves MIXED
     * generations across buckets, where a member's comp can point at a
@@ -203,31 +263,46 @@ object ClusterMaintenance {
     * detected unclean start (repaired retirees or orphaned stage dirs)
     * the member pass iterates to a fixpoint so chained rows join the
     * affected set, and the replayed batch converges to the labeling a
-    * crash-free run would have produced. */
-  private def foldLabels(spark: SparkSession, edges: DataFrame,
-                         lp: String): Unit = {
+    * crash-free run would have produced. The projection needs no repair
+    * pass of its own: any crash around its swap leaves its generation
+    * behind the labeling's, which is the rebuild trigger.
+    *
+    * Under the object-store marker protocol (`spark.graft.swap=marker`)
+    * the per-dir renames this layout commits through are non-atomic
+    * copies, so the fold degrades to the pre-delta WHOLE-SNAPSHOT
+    * labeling: one full `Components.merge` published via
+    * `Sinks.snapshotPublish` (single atomic pointer flip). Correct on
+    * any storage, at whole-table rewrite cost per fold — rename-capable
+    * state storage is what makes the delta layout available. */
+  private[streaming] def foldLabels(spark: SparkSession, edges: DataFrame,
+                                    lp: String): Unit = {
     val fs = new Path(lp)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // the partitioned labeling commits through per-dir renames; under
-    // the object-store marker protocol those are non-atomic copies —
-    // refuse loudly rather than silently forfeit the atomicity the
-    // caller asked for (the Upsert.partitioned precedent)
-    if (spark.conf.get("spark.graft.swap", "rename") == "marker")
-      throw new IllegalStateException(
-        "partitioned label maintenance requires rename-atomic storage; " +
-          "spark.graft.swap=marker deployments need the whole-snapshot " +
-          "labeling (pre-delta layout) or rename-capable state storage")
+    if (spark.conf.get("spark.graft.swap", "rename") == "marker") {
+      val full =
+        if (Sinks.snapshotExists(spark, lp))
+          Components.merge(
+            Sinks.readSnapshot(spark, lp).select("id", "comp"), edges)
+        else Components.connected(edges)
+      Sinks.snapshotPublish(Staging.stage(full).select("id", "comp"), lp)
+      return
+    }
     migrateLegacyLabels(spark, lp)
+    val cp = lp + "_comp"
     if (!fs.exists(new Path(lp))) {
       Components.connected(edges)
         .withColumn("ib", labelsBucketOf(col("id")))
-        .repartition(col("ib"))
+        .repartition(col("ib")).sortWithinPartitions("id")
         .write.partitionBy("ib").mode("overwrite").parquet(lp)
+      StateStore.writeTag(spark, lp, GenTag, newGen())
+      // no projection yet — the first delta fold builds it on demand
     } else {
       val restored = Sinks.recoverPartitionSwaps(spark, lp)
       val orphans = fs.globStatus(new Path(lp + "__stage-*"))
       val unclean = restored.nonEmpty || orphans.nonEmpty
       orphans.foreach(st => fs.delete(st.getPath, true))
+      fs.globStatus(new Path(cp + "__stage-*"))
+        .foreach(st => fs.delete(st.getPath, true))
 
       val incident = Staging.stage(
         edges.select(col("src").as("id"))
@@ -240,33 +315,86 @@ object ClusterMaintenance {
       // they save. One full merge + full swap instead — chain-safe
       // without the closure loop, because the merge sees every row and
       // star edges connect any crash-era pointer chains. Both counts
-      // are cheap (staged delta; parquet metadata count).
+      // are cheap (staged delta; driver-side parquet footer walk).
       val incidentN = incident.count()
-      val labelsN = spark.read.parquet(lp).count()
+      val labelsN = StateStore.parquetRowCount(spark, lp)
       def fullMergeSwap(): Unit = {
         val full = Components.merge(
           spark.read.parquet(lp).select("id", "comp"), edges)
           .withColumn("ib", labelsBucketOf(col("id")))
+        // advance the generation FIRST: the projection is not rewritten
+        // on this path, and the mismatch is what invalidates it
+        StateStore.writeTag(spark, lp, GenTag, newGen())
         val stagedPath = s"${lp}__stage-${java.util.UUID.randomUUID()}"
-        full.repartition(col("ib"))
+        full.repartition(col("ib")).sortWithinPartitions("id")
           .write.partitionBy("ib").mode("error").parquet(stagedPath)
         Sinks.swapPartitions(spark, stagedPath, lp)
       }
       if (incidentN * 5 >= labelsN) { fullMergeSwap(); return }
+
       // components the delta touches: id-bucket-pruned lookup
-      val c0 = StateStore.prunedByTouched(spark, lp, "ib", incident, col("ib"))
-        .join(broadcast(incident.select("id")), Seq("id"))
-        .select(col("comp").as("k")).distinct()
-      // members of a key set, matched by comp (the normal linkage) or by
-      // id (a chained row's comp points at a member's ID mid-crash)
-      def members(keys: DataFrame): DataFrame = {
-        val lbl = spark.read.parquet(lp)
-        lbl.join(broadcast(keys), lbl("comp") === keys("k"), "left_semi")
-          .unionByName(
-            lbl.join(broadcast(keys), lbl("id") === keys("k"), "left_semi"))
-          .select("id", "comp").distinct()
+      val c0 = Staging.stage(
+        StateStore.prunedByTouched(spark, lp, "ib", incident, col("ib"))
+          .join(broadcast(incident.select("id")), Seq("id"))
+          .select(col("comp").as("k")).distinct())
+      // a member lookup only runs when the delta strikes EXISTING
+      // components (or a crash left pointer chains to chase); an
+      // all-novel batch skips the projection entirely
+      val needMembers = c0.count() > 0 || unclean
+
+      // the member lookup's comp-bucketed projection: valid only while
+      // its generation matches the labeling's. A bulk fold, crash,
+      // legacy migration, or pre-projection labeling leaves it behind —
+      // rebuild wholesale from the labeling, but ONLY when this fold
+      // actually needs a lookup (∝ labeling once, amortized across the
+      // delta folds in between; an invalid projection otherwise just
+      // stays invalid and unmaintained)
+      val lpGen = StateStore.readTag(spark, lp, GenTag).getOrElse {
+        val g = newGen(); StateStore.writeTag(spark, lp, GenTag, g); g
       }
-      var affected = Staging.stage(members(c0))
+      var cpValid = fs.exists(new Path(cp)) &&
+        StateStore.readTag(spark, cp, GenTag).contains(lpGen)
+      if (needMembers && !cpValid) {
+        spark.read.parquet(lp).select("id", "comp")
+          .withColumn("cb", compBucketOf(col("comp")))
+          .repartition(col("cb")).sortWithinPartitions("comp")
+          .write.partitionBy("cb").mode("overwrite").parquet(cp)
+        StateStore.writeTag(spark, cp, GenTag, lpGen)
+        cpValid = true
+      }
+      // members of a key set, matched by comp (the normal linkage — the
+      // comp-bucket-pruned projection) or by id (a chained row's comp
+      // points at a member's ID mid-crash — the id-bucket-pruned
+      // labeling). Both scans prune to the keys' buckets; a small key
+      // set additionally rides INTO the scan as a pushed IN filter, so
+      // sorted row groups skip. The fallback for a huge key set keeps
+      // the broadcast-semi-join shape (state scanned, never shuffled).
+      val maxPushdown = 4096
+      def members(keys0: DataFrame): DataFrame = {
+        val keys = Staging.stage(keys0) // three consumers below
+        val byComp = StateStore.prunedByTouched(spark, cp, "cb", keys,
+          tokBucket(col("k")), stateBuckets)
+        val byId = StateStore.prunedByTouched(spark, lp, "ib", keys,
+          tokBucket(col("k")), stateBuckets)
+        val kv = keys.limit(maxPushdown + 1).collect()
+        val matched =
+          if (kv.length <= maxPushdown) {
+            val ks = kv.map(_.getLong(0)).toIndexedSeq
+            byComp.filter(col("comp").isin(ks: _*)).select("id", "comp")
+              .unionByName(
+                byId.filter(col("id").isin(ks: _*)).select("id", "comp"))
+          } else {
+            byComp.join(broadcast(keys), col("comp") === col("k"), "left_semi")
+              .select("id", "comp")
+              .unionByName(
+                byId.join(broadcast(keys), col("id") === col("k"), "left_semi")
+                  .select("id", "comp"))
+          }
+        matched.distinct()
+      }
+      var affected =
+        if (needMembers) Staging.stage(members(c0))
+        else spark.range(0).select(col("id"), col("id").as("comp"))
       if (unclean) {
         var n = affected.count()
         var grew = true
@@ -288,6 +416,11 @@ object ClusterMaintenance {
       val updated = Staging.stage(
         Components.merge(affected, edges)
           .withColumn("ib", labelsBucketOf(col("id"))))
+      // labeling first (authoritative), projection second; the
+      // generation write up front makes any crash in between rebuild
+      // the projection rather than trust it
+      val gNew = newGen()
+      StateStore.writeTag(spark, lp, GenTag, gNew)
       val touched = updated.select("ib").distinct()
         .collect().map(_.getInt(0)).toIndexedSeq
       val keep = spark.read.parquet(lp)
@@ -296,9 +429,44 @@ object ClusterMaintenance {
       val stagedPath = s"${lp}__stage-${java.util.UUID.randomUUID()}"
       keep.select("id", "comp", "ib")
         .unionByName(updated.select("id", "comp", "ib"))
-        .repartition(col("ib"))
+        .repartition(col("ib")).sortWithinPartitions("id")
         .write.partitionBy("ib").mode("error").parquet(stagedPath)
       Sinks.swapPartitions(spark, stagedPath, lp)
+      // projection delta — only while the projection is live: rows LEAVE
+      // via their old comp's bucket (known from the affected set) and
+      // ENTER via their new comp's; swap exactly those comp-buckets. An
+      // invalid projection stays invalid (gNew above keeps it behind)
+      // until the next fold that needs a lookup rebuilds it.
+      if (cpValid) {
+        val updatedC = Staging.stage(
+          updated.select("id", "comp")
+            .withColumn("cb", compBucketOf(col("comp"))))
+        val touchedC = updatedC.select("cb")
+          .unionByName(affected.select(compBucketOf(col("comp")).as("cb")))
+          .distinct().collect().map(_.getInt(0)).toIndexedSeq
+        val keepC = spark.read.parquet(cp)
+          .filter(col("cb").isin(touchedC: _*))
+          .join(broadcast(updated.select("id")), Seq("id"), "left_anti")
+        val stagedC = s"${cp}__stage-${java.util.UUID.randomUUID()}"
+        keepC.select("id", "comp", "cb")
+          .unionByName(updatedC.select("id", "comp", "cb"))
+          .repartition(col("cb")).sortWithinPartitions("comp")
+          .write.partitionBy("cb").mode("error").parquet(stagedC)
+        // a comp-bucket can EMPTY OUT entirely (every member moved to a
+        // merged comp in another bucket): the staged write then produces
+        // no dir for it and swapPartitions would leave the stale one —
+        // capture which touched buckets the stage actually wrote, and
+        // drop the rest after the swap. A crash in between leaves the
+        // generation tag unwritten, so the stale projection rebuilds.
+        val stagedDirs = fs.listStatus(new Path(stagedC))
+          .filter(_.isDirectory).map(_.getPath.getName).toSet
+        Sinks.swapPartitions(spark, stagedC, cp)
+        touchedC.foreach { b =>
+          if (!stagedDirs.contains(s"cb=$b"))
+            fs.delete(new Path(cp, s"cb=$b"), true)
+        }
+        StateStore.writeTag(spark, cp, GenTag, gNew)
+      }
     }
   }
 

@@ -30,40 +30,74 @@ object StateStore {
       .exists(_.getPath.getName.startsWith(bucketCol + "="))
   }
 
-  /** Path of the persisted bucket-modulus marker: a one-line layout
-    * descriptor next to the partition dirs. Underscore-prefixed so
-    * parquet readers skip it. The marker is the AUTHORITATIVE record of
-    * the modulus the layout was written under — dir-value inference
-    * cannot detect a DOUBLING (old modulus k → new 2k leaves every dir
-    * value below 2k while rows hashed to v+k still sit in dir v, which a
-    * pruned probe would silently miss), so any bucket-count change is
-    * detected here by comparison, not inferred from names. */
-  private def modulusMarker(path: String) = new Path(path, "_buckets")
-
-  /** The modulus recorded when the layout was written, if any. A torn or
-    * unparseable marker reads as absent — callers then fall back to the
-    * legacy dir-value inference, which never misclassifies a consistent
-    * layout as stale. */
-  def readModulus(spark: SparkSession, path: String): Option[Int] = {
+  /** Read a small one-line tag file inside a state layout (underscore
+    * names — parquet readers skip them). A torn or missing file reads as
+    * absent. */
+  def readTag(spark: SparkSession, path: String, name: String): Option[String] = {
     val f = fs(spark, path)
-    val m = modulusMarker(path)
+    val m = new Path(path, name)
     if (!f.exists(m)) None
     else {
       val in = f.open(m)
       val s = try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8).trim
       finally in.close()
-      scala.util.Try(s.toInt).toOption
+      if (s.isEmpty) None else Some(s)
     }
   }
 
+  /** Write a tag file (see [[readTag]]). A crash mid-write leaves a torn
+    * tag that reads as absent — every caller treats absence as the safe
+    * (re-derive / re-migrate) direction. */
+  def writeTag(spark: SparkSession, path: String, name: String,
+               value: String): Unit = {
+    val out = fs(spark, path).create(new Path(path, name), true)
+    try out.write(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The modulus recorded when the layout was written (the `_buckets`
+    * tag), if any. The marker is the AUTHORITATIVE record — dir-value
+    * inference cannot detect a DOUBLING (old modulus k → new 2k leaves
+    * every dir value below 2k while rows hashed to v+k still sit in dir
+    * v, which a pruned probe would silently miss), so any bucket-count
+    * change is detected by comparison against this record. A torn or
+    * unparseable marker reads as absent — callers then fall back to the
+    * legacy dir-value inference, which never misclassifies a consistent
+    * layout as stale. */
+  def readModulus(spark: SparkSession, path: String): Option[Int] =
+    readTag(spark, path, "_buckets")
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+
   /** Record the layout's modulus. A crash mid-write leaves a torn marker
     * that reads as absent (safe: inference path). */
-  def writeModulus(spark: SparkSession, path: String, buckets: Int): Unit = {
-    val out = fs(spark, path).create(modulusMarker(path), true)
-    try out.write(buckets.toString.getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+  def writeModulus(spark: SparkSession, path: String, buckets: Int): Unit =
+    writeTag(spark, path, "_buckets", buckets.toString)
+
+  /** Exact row count of a parquet layout from file FOOTERS, on the
+    * driver — no Spark job. The per-fold sizing decisions (bulk-ingest
+    * escape ratios) need the count every micro-batch, and a footer walk
+    * over the layout's files costs milliseconds where a count() job pays
+    * scheduling overhead each time. Hidden/underscore entries (tags,
+    * retired partition dirs) are skipped. At a scale where the file
+    * census itself is large, the count is only steering a ratio test —
+    * callers tolerate the listing cost or precompute. */
+  def parquetRowCount(spark: SparkSession, path: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = fs(spark, path)
+    def walk(p: Path): Iterator[Path] =
+      f.listStatus(p).iterator.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(".") || n.startsWith("_")) Iterator.empty
+        else if (st.isDirectory) walk(st.getPath)
+        else if (n.endsWith(".parquet")) Iterator.single(st.getPath)
+        else Iterator.empty
+      }
+    walk(new Path(path)).map { p =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
   }
 
   /** One-time layout migration: state written by a pre-bucketing engine

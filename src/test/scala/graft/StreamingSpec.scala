@@ -240,6 +240,37 @@ class StreamingSpec extends SparkSpec {
     assert(after === before, "an empty fold must not republish labels")
   }
 
+  test("marker-swap deployments fold labels via the whole-snapshot fallback") {
+    import graft.streaming.ClusterMaintenance
+    // under spark.graft.swap=marker the per-dir renames the delta label
+    // layout commits through are non-atomic object-store copies, so the
+    // fold must degrade to the pre-delta whole-snapshot labeling (one
+    // Components.merge published through the atomic pointer flip) —
+    // same labels, object-store-safe, never a hard error
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val state = Files.createTempDirectory("cm-marker-state").toString
+    spark.conf.set("spark.graft.swap", "marker")
+    try {
+      ClusterMaintenance.foldBatch(docs.filter(col("doc_id") < 250), state)
+      ClusterMaintenance.foldBatch(docs.filter(col("doc_id") >= 250), state)
+    } finally spark.conf.unset("spark.graft.swap")
+    // published via the marker protocol: pointer file present, no
+    // partitioned layout
+    val lp = s"$state/labels"
+    assert(Files.exists(java.nio.file.Paths.get(lp + "__current")),
+      "marker mode must publish through the version pointer")
+    assert(!graft.streaming.StateStore.isBucketed(spark, lp, "ib"),
+      "marker mode must not write the rename-swapped partitioned layout")
+    val streamed = ClusterMaintenance.labels(spark, state)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.Components
+      .connected(graft.queries.Llm.jaccardEdgesOf(docs), "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "fixture must contain near-dup pairs")
+    assert(streamed === batch,
+      "marker-mode folds must converge to the batch labeling")
+  }
+
   test("sink-scheduled compaction keeps the state file count bounded") {
     import graft.streaming.ClusterMaintenance
     val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
