@@ -108,8 +108,17 @@ object Shards {
     * over the shard files: every shard present, no extras, and rows /
     * rank range / content hash all matching. One distributed pass over
     * the export — no file listing, no ordering assumption.
+    * A missing manifest is itself a FINDING, not a read error: a crash
+    * between the shard write and the manifest write leaves exactly this
+    * shape, and the integrity check must report it as incomplete rather
+    * than die on PATH_NOT_FOUND.
     * @return mismatch descriptions, empty when the export is intact */
   def verify(spark: SparkSession, path: String): Seq[String] = {
+    val mp = new org.apache.hadoop.fs.Path(manifestPath(path))
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mp))
+      return Seq("manifest missing — export incomplete (crash between " +
+        "shard write and manifest write, or not a manifested export)")
     val m = manifest(spark, path)
       .select(col("shard"), col("rows").as("m_rows"),
         col("min_rank").as("m_min"), col("max_rank").as("m_max"),

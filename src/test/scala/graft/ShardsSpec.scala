@@ -86,6 +86,23 @@ class ShardsSpec extends SparkSpec {
       "a fresh export must verify clean")
   }
 
+  test("a missing manifest is a verify FINDING, not a read error") {
+    // the crash window between shard write and manifest write leaves
+    // shards with no _manifest/ — the one partial-export shape the
+    // integrity check most needs to report, so it must describe it
+    // instead of dying on PATH_NOT_FOUND
+    val dir = java.nio.file.Files.createTempDirectory("shards-nomanifest").toString
+    Shards.write(corpus, dir, 64, col("h"))
+    val mp = new java.io.File(s"$dir/_manifest")
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
+    }
+    rmTree(mp)
+    val findings = Shards.verify(spark, dir)
+    assert(findings.nonEmpty && findings.head.contains("manifest missing"),
+      s"absent manifest must surface as an incomplete-export finding: $findings")
+  }
+
   test("a tampered shard is detected by the census") {
     val dir = java.nio.file.Files.createTempDirectory("shards-tamper").toString
     Shards.write(corpus, dir, 64, col("h"))
