@@ -159,4 +159,70 @@ object Unigram {
     }
     inv
   }
+
+  /** The FULL SentencePiece outer loop (Kudo 2018 §3.2) in its
+    * deterministic hard-EM form: alternate EM with LOSS-RANKED pruning
+    * of the piece inventory down toward a target vocabulary size.
+    *
+    * Per outer iteration:
+    *  1. E-step — re-segment the word histogram ([[segments]], q115's
+    *     DP);
+    *  2. M-step — weighted usage counts;
+    *  3. prune — rank MULTI-char pieces by attributed log-likelihood
+    *     mass, `loss = pcnt × logp` (under Viterbi counts, the
+    *     likelihood the corpus loses if the piece's occurrences must
+    *     re-segment — the paper's lattice-marginal loss collapses to
+    *     this attributed mass in the hard-EM limit; most-negative =
+    *     most valuable, ties lexicographic on piece) and KEEP
+    *     `max(targetS − |alphabet|, ceil(n_multi × keepFrac))` of them
+    *     — the bottom slice re-segments via surviving pieces;
+    *  4. renormalize (the shared 6 dp rounding).
+    *
+    * Single-character pieces are NEVER pruned: they are the coverage
+    * guarantee that every word stays segmentable after any multi-char
+    * piece disappears. An alphabet piece Viterbi stopped using keeps a
+    * floor count of 1 (a Laplace floor confined to the coverage
+    * alphabet — without it, ln(0) would eject the piece and an
+    * unlucky prune could strand a character with no path at all).
+    *
+    * Scale shape is [[emTrain]]'s: per iteration one map-only DP over
+    * the staged vocabulary + piece-sized aggregations; the loss rank is
+    * a TakeOrdered over the (bounded) multi-piece set, never a global
+    * sort of anything corpus-sized.
+    * @return (piece, pcnt, logp) — the pruned, refined inventory */
+  def emTrainPruned(words: DataFrame, maxLen: Int, seedS: Int, targetS: Int,
+                    iters: Int, keepFrac: Double = 0.8): DataFrame = {
+    val wh = Staging.stage(words)
+    var inv = Staging.stage(inventory(wh, maxLen, seedS))
+    // the coverage alphabet: every single-char piece of the SEED
+    // inventory (= every character of the corpus), fixed across
+    // iterations
+    val alphabet = Staging.stage(
+      inv.filter(length(col("piece")) === 1).select("piece"))
+    val alphabetN = alphabet.count()
+    val targetMulti = math.max(0L, targetS.toLong - alphabetN)
+    for (_ <- 1 to iters) {
+      val use = Staging.stage(
+        segments(wh, inv, maxLen)
+          .select(col("cnt"), explode(col("pieces")).as("piece"))
+          .groupBy("piece").agg(sum(col("cnt")).as("pcnt")))
+      // coverage floor: alphabet pieces survive at max(usage, 1)
+      val singles = alphabet
+        .join(use.filter(length(col("piece")) === 1), Seq("piece"), "left")
+        .select(col("piece"), greatest(coalesce(col("pcnt"), lit(0L)), lit(1L))
+          .as("pcnt"))
+      // loss rank over multi-char pieces: pcnt × the CURRENT logp (both
+      // 6 dp-deterministic, so the ranking replays bit-identically)
+      val multi = use.filter(length(col("piece")) > 1)
+        .join(inv.select(col("piece"), col("logp")), Seq("piece"))
+        .withColumn("loss", col("pcnt") * col("logp"))
+      val nMulti = multi.count()
+      val k = math.max(targetMulti, math.ceil(nMulti * keepFrac).toLong)
+      val kept = multi.orderBy(col("loss"), col("piece"))
+        .limit(k.toInt).select("piece", "pcnt")
+      inv = Staging.stage(normalized(
+        Staging.stage(kept.unionByName(singles))))
+    }
+    inv
+  }
 }

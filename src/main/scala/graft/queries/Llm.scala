@@ -3045,6 +3045,57 @@ object Llm {
               umSegSql(i) + ",\n" + umUseSql(i)).mkString(",\n")}
             SELECT piece, pcnt, logp FROM uinv$umEmIters ORDER BY piece"""))
 
+  // ---- unigram-LM inventory pruning (the full SentencePiece loop) ------
+  // q116 refines log-probs of whatever EM keeps using; the paper's outer
+  // loop (Kudo 2018 §3.2) ALTERNATES EM with dropping the lowest-loss
+  // pieces until a target vocabulary size. Deterministic form: rank
+  // multi-char pieces by attributed likelihood mass (pcnt × logp — the
+  // hard-EM collapse of the lattice-marginal loss), keep
+  // max(target − alphabet, ceil(n × keepFrac)) per iteration, and floor
+  // the coverage alphabet at count 1 so no character can ever lose its
+  // char-by-char fallback path. The oracle replays prune+EM: each
+  // iteration is q115's recursive-CTE DP, then a loss-ranked QUALIFY
+  // (the "DELETE") whose keep-count folds the same greatest/ceil
+  // arithmetic, then the shared renormalization.
+  private val umTargetS = 80
+  private val umKeepFrac = 0.5
+  private val umPruneIters = 2
+
+  /** Prune+renormalize step `i`: usage counts off `ubt$i`, the coverage
+    * floor over `ualpha`, the loss-ranked keep, and the 6 dp
+    * renormalization → `uinv$i`. */
+  private def umPruneSql(i: Int): String =
+    s"""uuse$i AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS pcnt
+            FROM ubt$i WHERE piece IS NOT NULL GROUP BY piece),
+        usng$i AS (SELECT a.piece, greatest(COALESCE(u.pcnt, 0), 1) AS pcnt
+            FROM ualpha a LEFT JOIN uuse$i u ON u.piece = a.piece),
+        ukeep$i AS (SELECT u.piece, u.pcnt
+            FROM uuse$i u JOIN uinv${i - 1} iv ON iv.piece = u.piece
+            WHERE length(u.piece) > 1
+            QUALIFY row_number() OVER (ORDER BY u.pcnt * iv.logp, u.piece)
+              <= greatest(
+                   greatest(CAST($umTargetS AS BIGINT)
+                     - (SELECT count(*) FROM ualpha), 0),
+                   CAST(ceil(count(*) OVER () * $umKeepFrac) AS BIGINT))),
+        uraw$i AS (SELECT piece, pcnt FROM ukeep$i
+            UNION ALL SELECT piece, pcnt FROM usng$i),
+        utot$i AS (SELECT CAST(sum(pcnt) AS DOUBLE) AS t FROM uraw$i),
+        uinv$i AS (SELECT piece, pcnt, round(ln(pcnt / t), 6) AS logp
+            FROM uraw$i, utot$i)"""
+
+  private val unigramPruned = Q(
+    "q117_unigram_pruned",
+    (s, dir) => graft.llm.Unigram
+      .emTrainPruned(corpusWordHist(s, dir), umMaxLen, umTopS, umTargetS,
+        umPruneIters, umKeepFrac)
+      .orderBy("piece"),
+    Some(s"""WITH RECURSIVE $umSeedSql,
+            ualpha AS (SELECT piece FROM uinv0 WHERE length(piece) = 1),
+            ${(1 to umPruneIters).map(i =>
+              umSegSql(i) + ",\n" + umPruneSql(i)).mkString(",\n")}
+            SELECT piece, pcnt, logp FROM uinv$umPruneIters
+            ORDER BY piece"""))
+
   private val bpeEncode = Q(
     "q105_bpe_encode",
     (s, dir) => {
@@ -3324,5 +3375,6 @@ object Llm {
     leakageSafeSplits, dupSpanScrub, perplexityBuckets, pqTopK, budgetEpochs,
     gopherRules, contamFrac, qualitySurvivors, kmeansTopics,
     semDedupTrained, topicSample, bpeMerges, bpeEncode, stupidBackoff,
-    gumbelSample, pqTrained, bpeIncMerges, unigramSegment, unigramEm)
+    gumbelSample, pqTrained, bpeIncMerges, unigramSegment, unigramEm,
+    unigramPruned)
 }

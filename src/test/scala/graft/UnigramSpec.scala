@@ -160,6 +160,35 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("loss-ranked pruning spares the alphabet and lands at the target size") {
+    // the full SentencePiece outer loop: prune toward targetS, but the
+    // single-char coverage alphabet is NEVER pruned (floor count 1 even
+    // when Viterbi stops using a char), so every word keeps a
+    // char-by-char fallback no matter which multi-char pieces die
+    val words = Map("ababab" -> 30L, "bababa" -> 20L, "cdcd" -> 5L,
+      "dc" -> 1L, "xyx" -> 2L, "zz" -> 1L)
+    val wh = words.toSeq.toDF("word", "cnt")
+    val alphabet = words.keys.flatMap(_.toSeq).map(_.toString).toSet
+    val targetS = alphabet.size + 3
+    val trained = Unigram.emTrainPruned(wh, 4, 40, targetS, 3, keepFrac = 0.5)
+    val pieces = trained.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val singles = pieces.filter(_._1.length == 1).map(_._1).toSet
+    assert(singles === alphabet,
+      s"every corpus character must survive pruning: $singles vs $alphabet")
+    assert(pieces.forall(p => !p._3.isNaN && !p._3.isInfinite),
+      "floored alphabet pieces must carry finite log-probs")
+    assert(pieces.length <= targetS + 2,
+      s"inventory must shrink toward the target: ${pieces.length} vs $targetS")
+    // and the pruned inventory still segments everything
+    val got = Unigram.segmentCounts(wh, trained, 4).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    words.keys.foreach { w =>
+      assert(got(w) >= 1 && got(w) <= w.length,
+        s"$w must stay segmentable under the pruned inventory")
+    }
+  }
+
   test("segmentation is deterministic across runs") {
     val words = Map("aab" -> 3L, "abb" -> 2L, "bba" -> 4L)
     val a = run(words, 3, 6)
