@@ -60,15 +60,23 @@ object CorpusStream {
   private def hashBucketOf(h: Column) =
     conv(substring(h, 1, 2), 16, 10).cast("int")
 
-  /** Fold one micro-batch of raw documents into the corpus state. */
+  /** Fold one micro-batch of raw documents into the corpus state.
+    *
+    * When a benchmark exclusion set has been folded ([[foldBenchmark]]),
+    * arriving docs are gated against it FIRST — a contaminated doc
+    * never enters `docs/`, the hash store, or the cluster state (the
+    * ingest-time tier of the q65/q80 gate; `finalize`'s
+    * decontamination stage still runs over the survivors, so a
+    * benchmark folded AFTER some corpus batches still catches them). */
   def foldBatch(batch: DataFrame, statePath: String,
                 cfg: CorpusPipeline.Config = CorpusPipeline.Config(),
                 threshold: Double = 0.5): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
+    val admitted = Decontam.gate(batch, statePath)
 
     // stage-1 gate+scrub — the batch pipeline's own code
-    val gated = CorpusPipeline.gateScrub(batch, cfg)
+    val gated = CorpusPipeline.gateScrub(admitted, cfg)
       .withColumn("content_hash", md5(col("text")))
     // within-batch first wins (deterministic), then drop already-seen.
     // hb = the hash's first two hex digits as an int — the state
@@ -153,8 +161,14 @@ object CorpusStream {
       // the swap replaced the directory — re-stamp the modulus marker
       StateStore.writeModulus(spark, hashesP, 256)
     }
+    Decontam.compactState(spark, statePath, targetFileBytes)
     ClusterMaintenance.compactState(spark, clusterPath(statePath), targetFileBytes)
   }
+
+  /** Fold a batch of benchmark/eval docs into the persisted exclusion
+    * set that [[foldBatch]] gates against — see [[Decontam]]. */
+  def foldBenchmark(bench: DataFrame, statePath: String): Unit =
+    Decontam.foldBenchmark(bench, statePath)
 
   /** The corpus-global tail (collapse → decontaminate → temperature mix →
     * packing) over the accumulated state: clusters come from the

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Staging
+import graft.queries.Llm
+
+/** Streaming benchmark decontamination — the persisted-state tier of the
+  * q65/q80 gate: the benchmark's shingle-hash set lives as a bucketed
+  * state table, arriving corpus micro-batches are gated against it with
+  * the `StateStore` novelty discipline, and the benchmark itself can
+  * GROW over time (new eval suites fold in incrementally) without ever
+  * rebuilding or re-broadcasting a driver-side array.
+  *
+  * Where it sits relative to the existing gates:
+  *  - q65/q80/q81 (batch): one-shot joins/bloom probes — the benchmark
+  *    is re-shingled per run;
+  *  - `NearDup.decontaminateStream`: a stateless per-row filter against
+  *    a DRIVER-COLLECTED hash array — right for one small eval suite
+  *    baked into a pipeline, wrong once the exclusion set outgrows a
+  *    literal or must be maintained by a separate ingest;
+  *  - this module: the exclusion set is STATE. `foldBenchmark` appends
+  *    novel hashes (dedup via the pruned-probe novelty join), `gate`
+  *    drops contaminated docs with state-scan-only IO.
+  *
+  * The gate is EXACT (the distinct-hash set, not a bloom) — bucketed
+  * storage makes the memory argument the bloom filter answered moot:
+  * state is on disk, probes read only the buckets the batch's own
+  * hashes touch, and no state row is ever shuffled (the batch's hash
+  * set rides broadcasts both ways). Per-batch shuffle is batch-sized
+  * regardless of accumulated benchmark size — measured flat in
+  * DecontamStreamSpec. False positives: zero, by construction.
+  *
+  * Replay safety: `foldBenchmark` appends are idempotent in effect
+  * (duplicate hash rows change no gate decision — the probe distincts);
+  * `gate` is a pure filter, safe to re-run.
+  */
+object Decontam {
+
+  private[streaming] def ngramsPath(state: String) = s"$state/bench_ngrams"
+
+  /** 256-way partition key of a shingle-hash row: first two hex digits
+    * of the md5 — the CorpusStream hash-store contract. */
+  private def hashBucketOf(h: Column) =
+    conv(substring(h, 1, 2), 16, 10).cast("int")
+
+  /** Fold a batch of benchmark/eval documents (`doc_id`, `text`) into
+    * the persisted exclusion set: distinct shingle hashes, novel-only
+    * append (the probe prunes to touched buckets; the batch's hashes
+    * ride a broadcast). Null-shingle docs contribute nothing, matching
+    * the batch gate's equi-join semantics. */
+  def foldBenchmark(bench: DataFrame, statePath: String): Unit = {
+    if (bench.isEmpty) return
+    val p = ngramsPath(statePath)
+    val hs = Staging.stage(Llm.shingleHashes(bench)
+      .select("h").filter(col("h").isNotNull).distinct()
+      .withColumn("hb", hashBucketOf(col("h"))))
+    val novel = StateStore.novelAgainst(p, hs, Seq("h"), "hb", col("hb"),
+      256, hs.count())
+    StateStore.appendBucketed(novel.select("h", "hb"), p, "hb", 256)
+  }
+
+  /** Drop documents sharing at least `minShared` distinct shingle
+    * hashes with the persisted benchmark set — q65's contamination rule
+    * against state instead of a literal. Pass-through when no benchmark
+    * has been folded. The state is partition-pruned to the batch's
+    * touched buckets and only scanned; every join keyed on the batch
+    * side is against a broadcast of batch-derived (bounded) frames, so
+    * per-batch shuffle is batch-sized however large the benchmark
+    * grows. */
+  def gate(batch: DataFrame, statePath: String, minShared: Int = 2): DataFrame = {
+    val spark = batch.sparkSession
+    val p = ngramsPath(statePath)
+    if (!StateStore.exists(spark, p)) return batch
+    // the batch's (doc_id, h) pairs — staged once, consumed three times
+    // (bucket prune, the seen-set probe, the per-doc count)
+    val pairs = Staging.stage(Llm.shingleHashes(batch)
+      .filter(col("h").isNotNull)
+      .withColumn("hb", hashBucketOf(col("h"))))
+    val batchHashes = pairs.select("h", "hb").distinct()
+    // state ∩ batch: pruned scan vs broadcast batch hashes — ≤ batch-sized
+    val seen = StateStore.prunedByTouched(spark, p, "hb", batchHashes,
+      col("hb"), 256)
+      .join(broadcast(batchHashes.select("h")), Seq("h"))
+      .select("h").distinct()
+    val flagged = pairs
+      .join(broadcast(seen), Seq("h"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("h")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select("doc_id")
+    batch.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+  }
+
+  /** Compact the exclusion set (append-only, one file set per folded
+    * benchmark batch): the usual snapshot swap + exact-row dedup, one
+    * file per bucket. */
+  def compactState(spark: SparkSession, statePath: String,
+                   targetFileBytes: Long = 128L << 20): Unit = {
+    val p = ngramsPath(statePath)
+    if (StateStore.exists(spark, p)) {
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+      val files = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      graft.sinks.Sinks.snapshotSwap(
+        spark.read.parquet(p).distinct().repartition(files, col("hb")),
+        p, Seq("hb"))
+      StateStore.writeModulus(spark, p, 256)
+    }
+  }
+}

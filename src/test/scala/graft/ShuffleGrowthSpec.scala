@@ -204,6 +204,36 @@ class ShuffleGrowthSpec extends SparkSpec {
       s"label fold shuffle must not grow with the labeling: $rec1 -> $rec8")
   }
 
+  test("decontamination gate shuffle stays ~flat as the benchmark set grows 8x") {
+    // the streaming exclusion set is bucketed state probed with the
+    // StateStore discipline: the gate's joins keep the batch side on
+    // broadcasts and only SCAN the pruned state, so per-batch shuffle
+    // must not grow with accumulated benchmark size. Growth fixture:
+    // replicated docs with perturbed tokens — disjoint shingles, so the
+    // 8x state shares nothing with the probe batch.
+    import graft.streaming.Decontam
+    val probe = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") >= 10 && col("doc_id") < 110)
+    def stateOf(k: Int): String = {
+      val st = java.nio.file.Files
+        .createTempDirectory(s"decontam-growth-$k").toString
+      Decontam.foldBenchmark(
+        corpus(k).filter(col("doc_id") % 100000L < 10), st)
+      st
+    }
+    val s1 = stateOf(1)
+    val s8 = stateOf(8)
+    val (rec1, byt1) = measureShuffle { Decontam.gate(probe, s1).count() }
+    val (rec8, byt8) = measureShuffle { Decontam.gate(probe, s8).count() }
+    info(f"gate shuffle records 1x=$rec1 8x=$rec8 ratio=${rec8.toDouble / rec1}%.2f; " +
+      f"bytes 1x=$byt1 8x=$byt8 ratio=${byt8.toDouble / byt1}%.2f")
+    assert(rec1 > 0, "the gate must actually shuffle its batch-side work")
+    assert(rec8 <= rec1 * 2,
+      s"gate shuffle must not grow with the benchmark set: $rec1 -> $rec8")
+    assert(byt8 <= byt1 * 2,
+      s"gate shuffle bytes must not grow with the benchmark set: $byt1 -> $byt8")
+  }
+
   test("incremental BPE steps after the first are delta-sized, not vocabulary-sized") {
     // the full trainer re-explodes every position of every word on every
     // merge; the incremental trainer pays the corpus-sized histogram
