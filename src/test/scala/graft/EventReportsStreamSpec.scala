@@ -78,4 +78,36 @@ class EventReportsStreamSpec extends SparkSpec {
     assert(rows(EventReports.retention(spark, state)) === wantR)
     assert(rows(EventReports.rollingActive(spark, state)) === wantW)
   }
+
+  test("a crash between append and compaction replays to the same reports") {
+    // the compaction-cadence crash window: batch k's appends landed, the
+    // scheduled compaction did NOT run (or died mid-swap). foreachBatch
+    // redelivers batch k on restart, appends land AGAIN, and the next
+    // compaction collapses everything — both reports must equal the
+    // crash-free run's. This is the CorpusStream replay discipline
+    // crash-REPLAYED rather than argued from duplicate absorption.
+    val ev = events
+    val b1 = ev.filter(col("user_id") % 3 === 0)
+    val b2 = ev.filter(col("user_id") % 3 === 1)
+    val b3 = ev.filter(col("user_id") % 3 === 2)
+    val state = java.nio.file.Files.createTempDirectory("evrep-crash").toString
+    EventReports.foldBatch(b1, state)
+    EventReports.foldBatch(b2, state)
+    // -- crash here: compaction due after b2 never ran; additionally a
+    // compaction that died BEFORE its atomic rename leaves a stale
+    // __tmp staging dir, which the next snapshotSwap must overwrite
+    spark.read.parquet(s"$state/cohorts")
+      .write.mode("overwrite").parquet(s"$state/cohorts__tmp")
+    // -- restart: b2 redelivered, then the stream proceeds and compacts
+    EventReports.foldBatch(b2, state)
+    EventReports.foldBatch(b3, state)
+    EventReports.compactState(spark, state)
+    assert(!new java.io.File(s"$state/cohorts__tmp").exists(),
+      "compaction must clear the crash-era staging dir")
+    val (wantR, wantW) = batchReports
+    assert(rows(EventReports.retention(spark, state)) === wantR,
+      "retention after crash-replay must equal the crash-free report")
+    assert(rows(EventReports.rollingActive(spark, state)) === wantW,
+      "rolling WAU after crash-replay must equal the crash-free report")
+  }
 }
