@@ -190,6 +190,125 @@ object Unigram {
     * a TakeOrdered over the (bounded) multi-piece set, never a global
     * sort of anything corpus-sized.
     * @return (piece, pcnt, logp) — the pruned, refined inventory */
+  /** Quantized log-sum-exp forward pass as ONE column expression: the
+    * array `a` with `a[i+1]` = α(i) = log Σ over segmentations of
+    * `word[1..i]` of their probability. SOFT-EM's lattice marginal — the
+    * same DP shape as [[withDp]] with max replaced by summation.
+    *
+    * Cross-engine determinism (the oracle-row discipline, extended to
+    * transcendentals): `ln`/`exp` are only ~1-ulp reproducible across
+    * engines, and a soft DP COMPOUNDS them, so every transcendental
+    * output is quantized immediately —
+    *  - the l-candidates `x_l = α(j) + logp` are sums of already-6dp
+    *    values (exact IEEE adds, identical everywhere);
+    *  - the log-sum-exp is max-rescaled and each `exp(x_l − M)` is
+    *    rounded into 1e-7 FIXED-POINT and summed as a LONG (exact,
+    *    order-free — a float sum would be partial-aggregation-order
+    *    dependent);
+    *  - α itself is rounded to 6 dp before the next position reads it.
+    * A 1-ulp engine difference then flips a rounding only when the true
+    * value sits within ~1e-15 of a quantum boundary — negligible across
+    * the whole table (the q116 argument, applied per quantization).
+    * Unreachable positions carry -Infinity exactly as in [[withDp]]. */
+  private def withAlpha(words: DataFrame, inv: DataFrame, maxLen: Int,
+                        wordCol: String, outCol: String): DataFrame = {
+    val pm = inv.agg(map_from_entries(
+      collect_list(struct(col("piece"), col("logp")))).as("pm"))
+    def cands(i: String) =
+      s"""filter(transform(sequence(1, least($i, $maxLen)), l ->
+            element_at(acc, $i - l + 1)
+              + try_element_at(pm, substring($wordCol, $i - l + 1, l))),
+            x -> x IS NOT NULL AND x > CAST('-Infinity' AS DOUBLE))"""
+    words.crossJoin(broadcast(pm))
+      .withColumn(outCol, expr(
+        s"""aggregate(sequence(1, length($wordCol)),
+              array(CAST(0 AS DOUBLE)),
+              (acc, i) -> array_append(acc,
+                CASE WHEN size(${cands("i")}) = 0
+                     THEN CAST('-Infinity' AS DOUBLE)
+                     ELSE round(array_max(${cands("i")})
+                       + ln(CAST(aggregate(${cands("i")}, CAST(0 AS BIGINT),
+                           (s, x) -> s + CAST(round(
+                             exp(x - array_max(${cands("i")})) * 1e7, 0)
+                             AS BIGINT)) AS DOUBLE) / 1e7), 6)
+                END))"""))
+      .drop("pm")
+  }
+
+  /** Expected piece counts under the lattice posterior (soft-EM's
+    * E-step), in 1e-6 fixed-point: for every in-inventory occurrence of
+    * a piece at (j, l), its posterior mass is
+    * `exp(α(j) + logp + β(j+l) − α(n))`, weighted by the word count and
+    * rounded into micro-units so the cross-word SUM is an exact BIGINT
+    * (order-free). β comes from running the SAME forward machinery on
+    * the REVERSED word against the reversed-piece inventory
+    * (β(j) = α_rev(n−j)) — one DP implementation, zero drift between
+    * the two passes.
+    * @return (piece, pcm) — micro-unit expected counts, zero rows
+    *         dropped */
+  private def expectedCounts(words: DataFrame, inv: DataFrame,
+                             maxLen: Int): DataFrame = {
+    val rinv = inv.select(reverse(col("piece")).as("piece"), col("logp"))
+    val pm = inv.agg(map_from_entries(
+      collect_list(struct(col("piece"), col("logp")))).as("pm"))
+    val withBoth = withAlpha(
+      withAlpha(words.withColumn("rword", reverse(col("word"))),
+        inv, maxLen, "word", "fa"),
+      rinv, maxLen, "rword", "ra")
+    withBoth.crossJoin(broadcast(pm))
+      .select(col("cnt"), col("word"), col("fa"), col("ra"), col("pm"))
+      .withColumn("contrib", expr(
+        s"""filter(flatten(transform(sequence(0, length(word) - 1), j ->
+              transform(sequence(1, least(length(word) - j, $maxLen)), l ->
+                named_struct(
+                  'piece', substring(word, j + 1, l),
+                  'lp', try_element_at(pm, substring(word, j + 1, l)),
+                  'fj', element_at(fa, j + 1),
+                  'bj', element_at(ra, length(word) - j - l + 1))))),
+              c -> c.lp IS NOT NULL
+                AND c.fj > CAST('-Infinity' AS DOUBLE)
+                AND c.bj > CAST('-Infinity' AS DOUBLE))"""))
+      .select(col("cnt"), col("word"),
+        element_at(col("fa"), size(col("fa"))).as("z"),
+        explode(col("contrib")).as("c"))
+      // a word whose lattice lost ALL its mass (coverage gap after
+      // piece loss) has z = -Inf; its posterior is undefined — it
+      // contributes nothing rather than an overflowing exp(+Inf)
+      .filter(col("z") > lit(Double.NegativeInfinity))
+      .select(col("c.piece").as("piece"), expr(
+        """CAST(round(cnt * exp(c.fj + c.lp + c.bj - z) * 1e6, 0)
+             AS BIGINT)""").as("cm"))
+      .groupBy("piece").agg(sum(col("cm")).as("pcm"))
+      .filter(col("pcm") > 0)
+  }
+
+  /** SOFT-EM unigram training (Kudo 2018 §3.2's actual E-step): piece
+    * counts are lattice-posterior EXPECTATIONS over all segmentations
+    * (forward-backward), not Viterbi-path counts — the statistically
+    * faithful trainer, where [[emTrain]] is its hard-EM limit. Every
+    * transcendental is quantized on computation (see [[withAlpha]]),
+    * expected counts accumulate in exact micro-unit BIGINTs, and the
+    * M-step renormalizes those with the shared 6 dp rounding — so
+    * training replays bit-identically in DuckDB (q118), the most
+    * float-hostile trained-model-as-oracle-row in the suite.
+    *
+    * Scale shape is [[emTrain]]'s: per iteration two map-only DPs over
+    * the staged word histogram (forward + reversed-word forward) and a
+    * piece-sized exact aggregation; the corpus is touched once for the
+    * histogram.
+    * @return (piece, pcnt, logp) — pcnt in 1e-6 expected-count units */
+  def softEmTrain(words: DataFrame, maxLen: Int, topS: Int,
+                  iters: Int): DataFrame = {
+    val wh = Staging.stage(words)
+    var inv = Staging.stage(inventory(wh, maxLen, topS))
+    for (_ <- 1 to iters) {
+      val use = Staging.stage(expectedCounts(wh, inv, maxLen)
+        .select(col("piece"), col("pcm").as("pcnt")))
+      inv = Staging.stage(normalized(use))
+    }
+    inv
+  }
+
   def emTrainPruned(words: DataFrame, maxLen: Int, seedS: Int, targetS: Int,
                     iters: Int, keepFrac: Double = 0.8): DataFrame = {
     val wh = Staging.stage(words)

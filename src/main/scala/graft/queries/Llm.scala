@@ -3083,6 +3083,100 @@ object Llm {
         uinv$i AS (SELECT piece, pcnt, round(ln(pcnt / t), 6) AS logp
             FROM uraw$i, utot$i)"""
 
+  // ---- unigram-LM SOFT-EM training (forward-backward) ------------------
+  // q116 is hard EM (Viterbi counts); the paper's E-step uses lattice
+  // EXPECTED counts — forward-backward over all segmentations. The
+  // float-determinism problem is that ln/exp are only ~1-ulp
+  // reproducible across engines and a soft DP compounds them, so the
+  // operator QUANTIZES every transcendental on computation: α/β entries
+  // round to 6 dp before the next position reads them, log-sum-exp
+  // terms round into 1e-7 fixed-point and sum as exact BIGINTs
+  // (order-free — a float sum would be partial-aggregation-order
+  // dependent), and per-occurrence expected counts round into 1e-6
+  // micro-units summed as BIGINTs. Both engines then see bit-identical
+  // inputs at every step; a 1-ulp difference only flips a rounding when
+  // the true value sits within ~1e-15 of a quantum boundary. β is the
+  // forward pass run on the REVERSED word against the reversed-piece
+  // inventory (β(j) = α_rev(n−j)) on BOTH engines — one DP shape, and
+  // the fixed-point sums make candidate order irrelevant.
+  private val umSoftIters = 2
+
+  /** Quantized-LSE forward DP over `$wordCol` of `$wordTable` against
+    * `$invName` → `$out` (word key, cnt, segmented string `w`, α array
+    * `a`). The lateral computes max-rescaled fixed-point log-sum-exp:
+    * candidates x = α(j) + logp (already-quantized doubles), terms
+    * round(exp(x − mx)·1e7) summed as BIGINT, result rounded to 6 dp. */
+  private def umFwdSql(i: Int, wordTable: String, wordCol: String,
+                       invName: String, out: String): String =
+    s"""$out AS (
+          SELECT word, cnt, $wordCol AS w, 0 AS pos,
+            [CAST(0 AS DOUBLE)] AS a
+          FROM $wordTable
+          UNION ALL
+          SELECT f.word, f.cnt, f.w, f.pos + 1 AS pos,
+            list_append(f.a,
+              COALESCE(best.v, CAST('-infinity' AS DOUBLE))) AS a
+          FROM $out f LEFT JOIN LATERAL (
+            SELECT round(max(q.mx) + ln(CAST(sum(
+                     CAST(round(exp(q.x - q.mx) * 1e7) AS BIGINT))
+                     AS DOUBLE) / 1e7), 6) AS v
+            FROM (
+              SELECT c.x, max(c.x) OVER () AS mx
+              FROM (
+                SELECT f.a[f.pos + 2 - l.l] + iv.logp AS x
+                FROM unnest(generate_series(1,
+                       least(f.pos + 1, $umMaxLen))) AS l(l)
+                JOIN $invName iv
+                  ON iv.piece = substr(f.w, f.pos + 2 - l.l, l.l)
+                WHERE f.a[f.pos + 2 - l.l] > CAST('-infinity' AS DOUBLE)
+              ) c
+            ) q
+          ) best ON true
+          WHERE f.pos < length(f.w))"""
+
+  /** One soft-EM iteration: forward on the word, forward on the
+    * reversed word (reversed inventory), lattice-posterior expected
+    * counts in 1e-6 fixed-point, exact BIGINT sum, 6 dp
+    * renormalization → `uinv$i`. */
+  private def umSoftSql(i: Int): String =
+    s"""urinv$i AS (SELECT reverse(piece) AS piece, logp FROM uinv${i - 1}),
+        ${umFwdSql(i, "uwh", "word", s"uinv${i - 1}", s"ufw$i")},
+        ${umFwdSql(i, "urv", "rword", s"urinv$i", s"urw$i")},
+        ufx$i AS (SELECT word, cnt, a FROM ufw$i WHERE pos = length(w)),
+        urx$i AS (SELECT word, a AS ra FROM urw$i WHERE pos = length(w)),
+        uex$i AS (
+          SELECT iv.piece,
+            CAST(round(f.cnt * exp(f.a[j.j + 1] + iv.logp
+              + x.ra[length(f.word) - j.j - l.l + 1]
+              - f.a[length(f.word) + 1]) * 1e6) AS BIGINT) AS cm
+          FROM ufx$i f, urx$i x,
+               LATERAL unnest(generate_series(0, length(f.word) - 1)) AS j(j),
+               LATERAL unnest(generate_series(1, $umMaxLen)) AS l(l),
+               uinv${i - 1} iv
+          WHERE x.word = f.word
+            AND j.j + l.l <= length(f.word)
+            AND iv.piece = substr(f.word, j.j + 1, l.l)
+            AND f.a[length(f.word) + 1] > CAST('-infinity' AS DOUBLE)
+            AND f.a[j.j + 1] > CAST('-infinity' AS DOUBLE)
+            AND x.ra[length(f.word) - j.j - l.l + 1]
+              > CAST('-infinity' AS DOUBLE)),
+        uuse$i AS (SELECT piece, CAST(sum(cm) AS BIGINT) AS pcnt
+            FROM uex$i GROUP BY piece HAVING sum(cm) > 0),
+        utot$i AS (SELECT CAST(sum(pcnt) AS DOUBLE) AS t FROM uuse$i),
+        uinv$i AS (SELECT piece, pcnt, round(ln(pcnt / t), 6) AS logp
+            FROM uuse$i, utot$i)"""
+
+  private val unigramSoftEm = Q(
+    "q118_unigram_soft_em",
+    (s, dir) => graft.llm.Unigram
+      .softEmTrain(corpusWordHist(s, dir), umMaxLen, umTopS, umSoftIters)
+      .orderBy("piece"),
+    Some(s"""WITH RECURSIVE $umSeedSql,
+            urv AS (SELECT word, cnt, reverse(word) AS rword FROM uwh),
+            ${(1 to umSoftIters).map(umSoftSql).mkString(",\n")}
+            SELECT piece, pcnt, logp FROM uinv$umSoftIters
+            ORDER BY piece"""))
+
   private val unigramPruned = Q(
     "q117_unigram_pruned",
     (s, dir) => graft.llm.Unigram
@@ -3376,5 +3470,5 @@ object Llm {
     gopherRules, contamFrac, qualitySurvivors, kmeansTopics,
     semDedupTrained, topicSample, bpeMerges, bpeEncode, stupidBackoff,
     gumbelSample, pqTrained, bpeIncMerges, unigramSegment, unigramEm,
-    unigramPruned)
+    unigramPruned, unigramSoftEm)
 }

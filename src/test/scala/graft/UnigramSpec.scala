@@ -189,6 +189,91 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("soft-EM equals a sequential quantized forward-backward on seeded corpora") {
+    // the operator's quantization contract, replayed sequentially:
+    // 6 dp α/β, 1e-7 fixed-point log-sum-exp terms, 1e-6 fixed-point
+    // expected counts — all order-free (LONG sums), so direct backward
+    // here must equal the operator's forward-on-reversed-word bitwise
+    def round6(x: Double): Double =
+      if (x.isInfinite) x
+      else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def fixLong(x: Double, scale: Double): Long =
+      BigDecimal(x * scale).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def lse(xs: Seq[Double]): Double =
+      if (xs.isEmpty) Double.NegativeInfinity
+      else {
+        val mx = xs.max
+        val s = xs.map(x => fixLong(math.exp(x - mx), 1e7)).sum
+        round6(mx + math.log(s / 1e7))
+      }
+    def alpha(word: String, inv: Map[String, Double], maxLen: Int): Array[Double] = {
+      val n = word.length
+      val a = Array.fill(n + 1)(Double.NegativeInfinity)
+      a(0) = 0.0
+      for (i <- 1 to n) a(i) = lse(
+        (1 to math.min(i, maxLen)).flatMap { l =>
+          inv.get(word.substring(i - l, i))
+            .filter(_ => a(i - l) > Double.NegativeInfinity)
+            .map(lp => a(i - l) + lp)
+        })
+      a
+    }
+    def beta(word: String, inv: Map[String, Double], maxLen: Int): Array[Double] = {
+      val n = word.length
+      val b = Array.fill(n + 1)(Double.NegativeInfinity)
+      b(n) = 0.0
+      for (j <- n - 1 to 0 by -1) b(j) = lse(
+        (1 to math.min(n - j, maxLen)).flatMap { l =>
+          inv.get(word.substring(j, j + l))
+            .filter(_ => b(j + l) > Double.NegativeInfinity)
+            .map(lp => lp + b(j + l))
+        })
+      b
+    }
+    val rnd = new Random(7)
+    (1 to 6).foreach { i =>
+      val alphabetN = 2 + rnd.nextInt(3)
+      val words = (1 to (4 + rnd.nextInt(6))).map { _ =>
+        (1 to (2 + rnd.nextInt(6)))
+          .map(_ => ('a' + rnd.nextInt(alphabetN)).toChar).mkString
+      }.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+      val maxLen = 2 + rnd.nextInt(3)
+      val topS = 4 + rnd.nextInt(10)
+      val iters = 1 + rnd.nextInt(2)
+      val wh = words.toSeq.toDF("word", "cnt")
+      var inv = Unigram.inventory(wh, maxLen, topS).collect()
+        .map(r => r.getString(0) -> r.getDouble(2)).toMap
+      var want: Map[String, (Long, Double)] = Map.empty
+      for (_ <- 1 to iters) {
+        val use = scala.collection.mutable.Map[String, Long]()
+        words.foreach { case (w, c) =>
+          val a = alpha(w, inv, maxLen)
+          val b = beta(w, inv, maxLen)
+          val z = a(w.length)
+          if (z > Double.NegativeInfinity)
+            for (j <- 0 until w.length; l <- 1 to math.min(w.length - j, maxLen)) {
+              val p = w.substring(j, j + l)
+              inv.get(p).foreach { lp =>
+                if (a(j) > Double.NegativeInfinity &&
+                    b(j + l) > Double.NegativeInfinity) {
+                  val cm = fixLong(c * math.exp(a(j) + lp + b(j + l) - z), 1e6)
+                  use(p) = use.getOrElse(p, 0L) + cm
+                }
+              }
+            }
+        }
+        val kept = use.filter(_._2 > 0)
+        val tot = kept.values.sum.toDouble
+        inv = kept.map { case (p, c) => p -> round6(math.log(c / tot)) }.toMap
+        want = kept.map { case (p, c) => p -> ((c, inv(p))) }.toMap
+      }
+      val got = Unigram.softEmTrain(wh, maxLen, topS, iters).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got === want,
+        s"corpus $i: words=$words maxLen=$maxLen topS=$topS iters=$iters")
+    }
+  }
+
   test("segmentation is deterministic across runs") {
     val words = Map("aab" -> 3L, "abb" -> 2L, "bba" -> 4L)
     val a = run(words, 3, 6)
