@@ -1,0 +1,81 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+import graft.core.Tables
+
+/** One-off scale-slope sanity harness: replicate the documents/events
+  * fixtures k× (replica i offsets ids and perturbs tokens, so shingle
+  * sets are disjoint and each replica keeps the base occupancy
+  * structure — "more corpus", not "deeper clusters"), write them as a
+  * synthetic scale-factor directory, and run the dedup / clustering /
+  * event-report families through the REAL `SparkEntry.queries` bodies,
+  * recording wall-clock and shuffle volume per query.
+  *
+  * The point is the SLOPE: ShuffleGrowthSpec pins linearity on small
+  * fixtures inside the test suite; this main checks the same claim at a
+  * 10–100× synthetic scale-up outside the driver contract (the numbers
+  * land in BENCH_SF1.md). Not part of Verify/Bench; run by hand:
+  *
+  *   runMain graft.tools.ScaleSanity /root/testdata/sf0.1 10 /tmp/sfx10
+  */
+object ScaleSanity {
+
+  private val queries = Seq(
+    "q43_fingerprint", "q45_minhash_sig", "q46_minhash_pairs",
+    "q73_dup_clusters", "q107_funnel", "q108_retention",
+    "q109_rolling_active")
+
+  def main(args: Array[String]): Unit = {
+    val Array(baseSf, kStr, outDir) = args.take(3)
+    val k = kStr.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.core.GraftSession.local(cpus)
+
+    // synthetic sf dir: k disjoint replicas of documents + events
+    val docs = Tables.load(spark, baseSf, "documents")
+    (0 until k).map { i =>
+      if (i == 0) docs
+      else docs
+        .withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1z$i"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val events = Tables.load(spark, baseSf, "events")
+    (0 until k).map { i =>
+      if (i == 0) events
+      else events.withColumn("user_id", col("user_id") + lit(i * 10000000L))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    val records = new AtomicLong
+    val bytes = new AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    }
+    queries.foreach { name =>
+      records.set(0); bytes.set(0)
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, outDir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // listener events are async; settle before reading
+      var prev = -1L
+      while (records.get != prev) { prev = records.get; Thread.sleep(300) }
+      spark.sparkContext.removeSparkListener(listener)
+      println(f"""{"query":"$name","k":$k,"rows":$n,"sec":$sec%.2f,""" +
+        s""""shuffle_records":${records.get},"shuffle_mb":${bytes.get / 1048576}}""")
+    }
+    spark.stop()
+  }
+}
