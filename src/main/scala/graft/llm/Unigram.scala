@@ -219,19 +219,24 @@ object Unigram {
             element_at(acc, $i - l + 1)
               + try_element_at(pm, substring($wordCol, $i - l + 1, l))),
             x -> x IS NOT NULL AND x > CAST('-Infinity' AS DOUBLE))"""
+    // the candidate array (a broadcast-map probe per element) and its
+    // max are BOUND once per position via single-element transform
+    // wrappers — inlining them would rebuild the array O(candidates)
+    // times per position in this hot loop. Values are identical.
     words.crossJoin(broadcast(pm))
       .withColumn(outCol, expr(
         s"""aggregate(sequence(1, length($wordCol)),
               array(CAST(0 AS DOUBLE)),
               (acc, i) -> array_append(acc,
-                CASE WHEN size(${cands("i")}) = 0
-                     THEN CAST('-Infinity' AS DOUBLE)
-                     ELSE round(array_max(${cands("i")})
-                       + ln(CAST(aggregate(${cands("i")}, CAST(0 AS BIGINT),
-                           (s, x) -> s + CAST(round(
-                             exp(x - array_max(${cands("i")})) * 1e7, 0)
-                             AS BIGINT)) AS DOUBLE) / 1e7), 6)
-                END))"""))
+                element_at(transform(array(${cands("i")}), cs ->
+                  CASE WHEN size(cs) = 0
+                       THEN CAST('-Infinity' AS DOUBLE)
+                       ELSE element_at(transform(array(array_max(cs)), mx ->
+                         round(mx + ln(CAST(aggregate(cs, CAST(0 AS BIGINT),
+                             (s, x) -> s + CAST(round(
+                               exp(x - mx) * 1e7, 0) AS BIGINT))
+                           AS DOUBLE) / 1e7), 6)), 1)
+                  END), 1)))"""))
       .drop("pm")
   }
 

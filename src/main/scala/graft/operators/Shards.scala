@@ -116,7 +116,14 @@ object Shards {
   def verify(spark: SparkSession, path: String): Seq[String] = {
     val mp = new org.apache.hadoop.fs.Path(manifestPath(path))
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(mp))
+    // a crash DURING the manifest write leaves the dir present but with
+    // no committed parquet (only the commit protocol's _temporary) —
+    // the same incomplete-export shape as a fully absent manifest
+    val committed = fs.exists(mp) && fs.listStatus(mp).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".") && n.endsWith(".parquet")
+    }
+    if (!committed)
       return Seq("manifest missing — export incomplete (crash between " +
         "shard write and manifest write, or not a manifested export)")
     val m = manifest(spark, path)

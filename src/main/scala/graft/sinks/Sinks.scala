@@ -119,6 +119,14 @@ object Sinks {
     currentVersion(spark, path).isDefined || fs.exists(new Path(path))
   }
 
+  /** Is a MARKER-protocol version pointer present at `path`? Discriminates
+    * the marker layout from a plain/partitioned directory — readers that
+    * must prefer marker-published data over a pre-switch rename-era
+    * layout at the same path key on this, not on [[snapshotExists]]
+    * (which answers "any snapshot at all"). */
+  def versionPointerExists(spark: SparkSession, path: String): Boolean =
+    currentVersion(spark, path).isDefined
+
   private def currentVersion(spark: SparkSession, path: String): Option[String] = {
     val marker = new Path(s"${path}__current")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)

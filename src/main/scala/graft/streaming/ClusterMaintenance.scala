@@ -279,12 +279,31 @@ object ClusterMaintenance {
     val fs = new Path(lp)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (spark.conf.get("spark.graft.swap", "rename") == "marker") {
-      val full =
-        if (Sinks.snapshotExists(spark, lp))
-          Components.merge(
-            Sinks.readSnapshot(spark, lp).select("id", "comp"), edges)
-        else Components.connected(edges)
+      // existing labels under the READER's precedence (see [[labels]]):
+      // marker pointer first, then a pre-switch rename-era layout. A
+      // deployment that built partitioned state under rename and then
+      // switched to marker must ABSORB the old labeling into the first
+      // marker publish — and retire the old layout afterwards, or the
+      // reader would shadow every marker publish with the frozen
+      // pre-switch rows forever
+      val bucketed = StateStore.isBucketed(spark, lp, "ib")
+      val existing =
+        if (Sinks.versionPointerExists(spark, lp))
+          Some(Sinks.readSnapshot(spark, lp).select("id", "comp"))
+        else if (bucketed) Some(spark.read.parquet(lp).select("id", "comp"))
+        else if (Sinks.snapshotExists(spark, lp))
+          Some(Sinks.readSnapshot(spark, lp).select("id", "comp"))
+        else None
+      val full = existing match {
+        case Some(old) => Components.merge(Staging.stage(old), edges)
+        case None => Components.connected(edges)
+      }
       Sinks.snapshotPublish(Staging.stage(full).select("id", "comp"), lp)
+      // retire the rename-era remnants AFTER the publish: a crash in
+      // between leaves both, and the next fold re-absorbs the (frozen,
+      // subset) layout idempotently before retiring it again
+      if (bucketed) fs.delete(new Path(lp), true)
+      fs.delete(new Path(lp + "_comp"), true)
       return
     }
     migrateLegacyLabels(spark, lp)
@@ -295,8 +314,15 @@ object ClusterMaintenance {
         .repartition(col("ib")).sortWithinPartitions("id")
         .write.partitionBy("ib").mode("overwrite").parquet(lp)
       StateStore.writeTag(spark, lp, GenTag, newGen())
+      StateStore.writeModulus(spark, lp, stateBuckets)
       // no projection yet — the first delta fold builds it on demand
     } else {
+      // the labeling participates in the same modulus discipline as the
+      // band/token stores: a bucket-count change re-buckets it here
+      // (the rewrite drops the _gen tag with the directory, which
+      // correctly invalidates the projection below)
+      StateStore.ensureBucketed(spark, lp, "ib",
+        labelsBucketOf(col("id")), stateBuckets)
       val restored = Sinks.recoverPartitionSwaps(spark, lp)
       val orphans = fs.globStatus(new Path(lp + "__stage-*"))
       val unclean = restored.nonEmpty || orphans.nonEmpty
@@ -353,13 +379,15 @@ object ClusterMaintenance {
         val g = newGen(); StateStore.writeTag(spark, lp, GenTag, g); g
       }
       var cpValid = fs.exists(new Path(cp)) &&
-        StateStore.readTag(spark, cp, GenTag).contains(lpGen)
+        StateStore.readTag(spark, cp, GenTag).contains(lpGen) &&
+        StateStore.readModulus(spark, cp).contains(stateBuckets)
       if (needMembers && !cpValid) {
         spark.read.parquet(lp).select("id", "comp")
           .withColumn("cb", compBucketOf(col("comp")))
           .repartition(col("cb")).sortWithinPartitions("comp")
           .write.partitionBy("cb").mode("overwrite").parquet(cp)
         StateStore.writeTag(spark, cp, GenTag, lpGen)
+        StateStore.writeModulus(spark, cp, stateBuckets)
         cpValid = true
       }
       // members of a key set, matched by comp (the normal linkage — the
@@ -532,27 +560,16 @@ object ClusterMaintenance {
     * between drains (AvailableNow) or on an external maintenance
     * schedule, like the snapshot compaction. */
   def compactState(spark: SparkSession, statePath: String,
-                   targetFileBytes: Long = 128L << 20): Unit = {
-    val fs = new Path(statePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+                   targetFileBytes: Long = 128L << 20): Unit =
     // bucket-partitioned rewrite: repartitioning BY the bucket column
     // lands each bucket whole in one task, so the compacted state is
     // one file per bucket (the bucket is the compaction granule — at
     // 100 TB the bucket count, not this routine, sizes the files)
     Seq(bandsPath(statePath) -> "pb", toksPath(statePath) -> "tb")
       .foreach { case (p, bcol) =>
-        if (fs.exists(new Path(p))) {
-          val bytes = fs.getContentSummary(new Path(p)).getLength
-          val files = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-          Sinks.snapshotSwap(
-            spark.read.parquet(p).distinct().repartition(files, col(bcol)),
-            p, Seq(bcol))
-          // the swap replaced the directory wholesale — re-stamp the
-          // layout's modulus marker it carried
-          StateStore.writeModulus(spark, p, stateBuckets)
-        }
+        StateStore.compactBucketed(spark, p, bcol, stateBuckets,
+          targetFileBytes)
       }
-  }
 
   /** Production leakage-safe split assignment (the q91 transformation
     * consuming the PERSISTED labeling instead of re-clustering): split =
@@ -568,13 +585,19 @@ object ClusterMaintenance {
         .select(col("id").as("doc_id"), col("comp").as("cluster_id")))
 
   /** The current labeling (empty if no pairs have been verified yet).
-    * Reads the id-bucket-partitioned layout; falls back to a labeling
-    * published by the pre-delta code (it migrates on the next fold). */
+    * Precedence: a marker-protocol version POINTER wins — it only
+    * exists when marker-mode folds have published, and a pre-switch
+    * rename-era partitioned layout awaiting retirement must not shadow
+    * it; then the id-bucket-partitioned layout; then a labeling
+    * published by the pre-delta code (migrates on the next fold). */
   def labels(spark: SparkSession, statePath: String): DataFrame = {
     val lp = labelsPath(statePath)
-    if (StateStore.isBucketed(spark, lp, "ib"))
+    if (Sinks.versionPointerExists(spark, lp))
+      Sinks.readSnapshot(spark, lp).select("id", "comp")
+    else if (StateStore.isBucketed(spark, lp, "ib"))
       spark.read.parquet(lp).select("id", "comp")
-    else if (Sinks.snapshotExists(spark, lp)) Sinks.readSnapshot(spark, lp)
+    else if (Sinks.snapshotExists(spark, lp))
+      Sinks.readSnapshot(spark, lp)
     else {
       import spark.implicits._
       Seq.empty[(Long, Long)].toDF("id", "comp")

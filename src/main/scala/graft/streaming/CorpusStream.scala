@@ -55,10 +55,9 @@ object CorpusStream {
   private def hashesPath(state: String) = s"$state/hashes"
   private def clusterPath(state: String) = s"$state/cluster"
 
-  /** The hash store's partition key: first two hex digits of the md5 —
-    * 256 buckets, uniform by construction. */
-  private def hashBucketOf(h: Column) =
-    conv(substring(h, 1, 2), 16, 10).cast("int")
+  /** The hash store's partition key — the shared 256-way hex-prefix
+    * contract ([[StateStore.hashPrefixBucket]]). */
+  private def hashBucketOf(h: Column) = StateStore.hashPrefixBucket(h)
 
   /** Fold one micro-batch of raw documents into the corpus state.
     *
@@ -152,15 +151,8 @@ object CorpusStream {
         spark.read.parquet(docsP).distinct().repartition(fileBudget(docsP)), docsP)
     // the hash store keeps its hb partitioning through the rewrite —
     // one file per touched bucket (bucket = the compaction granule)
-    val hashesP = hashesPath(statePath)
-    if (fs.exists(new Path(hashesP))) {
-      graft.sinks.Sinks.snapshotSwap(
-        spark.read.parquet(hashesP).distinct()
-          .repartition(fileBudget(hashesP), col("hb")),
-        hashesP, Seq("hb"))
-      // the swap replaced the directory — re-stamp the modulus marker
-      StateStore.writeModulus(spark, hashesP, 256)
-    }
+    StateStore.compactBucketed(spark, hashesPath(statePath), "hb", 256,
+      targetFileBytes)
     Decontam.compactState(spark, statePath, targetFileBytes)
     ClusterMaintenance.compactState(spark, clusterPath(statePath), targetFileBytes)
   }
@@ -191,8 +183,18 @@ object CorpusStream {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new Path(docsPath(statePath))),
       s"no corpus state at $statePath — fold at least one batch first")
-    // dropDuplicates on doc_id: replayed appends duplicate identical rows
-    val exact = spark.read.parquet(docsPath(statePath)).dropDuplicates("doc_id")
+    // dropDuplicates on doc_id: replayed appends duplicate identical rows.
+    // The persisted-benchmark gate applies RETROACTIVELY here too: docs
+    // that arrived before a benchmark was folded passed the ingest gate
+    // unchecked (the state didn't exist yet) — without this pass the
+    // foldBatch docstring's "a benchmark folded after some corpus
+    // batches still catches them" would be a promise the code doesn't
+    // keep. Gating runs on the scrubbed stored text, the same asymmetry
+    // the benchHashes stage below already has; pass-through when no
+    // benchmark state exists.
+    val exact = Decontam.gate(
+      spark.read.parquet(docsPath(statePath)).dropDuplicates("doc_id"),
+      statePath)
     val clusters = ClusterMaintenance.labels(spark, clusterPath(statePath))
       .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
     val decontaminate: DataFrame => DataFrame = corpus =>

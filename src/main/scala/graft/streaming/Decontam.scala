@@ -40,10 +40,9 @@ object Decontam {
 
   private[streaming] def ngramsPath(state: String) = s"$state/bench_ngrams"
 
-  /** 256-way partition key of a shingle-hash row: first two hex digits
-    * of the md5 — the CorpusStream hash-store contract. */
-  private def hashBucketOf(h: Column) =
-    conv(substring(h, 1, 2), 16, 10).cast("int")
+  /** 256-way partition key of a shingle-hash row — the shared
+    * hex-prefix contract ([[StateStore.hashPrefixBucket]]). */
+  private def hashBucketOf(h: Column) = StateStore.hashPrefixBucket(h)
 
   /** Fold a batch of benchmark/eval documents (`doc_id`, `text`) into
     * the persisted exclusion set: distinct shingle hashes, novel-only
@@ -94,20 +93,9 @@ object Decontam {
   }
 
   /** Compact the exclusion set (append-only, one file set per folded
-    * benchmark batch): the usual snapshot swap + exact-row dedup, one
-    * file per bucket. */
+    * benchmark batch) — the shared bucketed-compaction discipline. */
   def compactState(spark: SparkSession, statePath: String,
-                   targetFileBytes: Long = 128L << 20): Unit = {
-    val p = ngramsPath(statePath)
-    if (StateStore.exists(spark, p)) {
-      val fs = new org.apache.hadoop.fs.Path(p)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
-      val files = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-      graft.sinks.Sinks.snapshotSwap(
-        spark.read.parquet(p).distinct().repartition(files, col("hb")),
-        p, Seq("hb"))
-      StateStore.writeModulus(spark, p, 256)
-    }
-  }
+                   targetFileBytes: Long = 128L << 20): Unit =
+    StateStore.compactBucketed(spark, ngramsPath(statePath), "hb", 256,
+      targetFileBytes)
 }

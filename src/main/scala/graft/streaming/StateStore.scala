@@ -158,6 +158,34 @@ object StateStore {
     if (!hadMarker) writeModulus(spark, path, buckets)
   }
 
+  /** 256-way partition key of a hex-hash state row: first two hex
+    * digits of the (md5) hash — ONE definition of the hash-store bucket
+    * contract, shared by the corpus dedup store and the decontamination
+    * exclusion set (their layouts must bucket identically or a pruned
+    * probe reads the wrong dirs). */
+  def hashPrefixBucket(h: Column): Column =
+    conv(substring(h, 1, 2), 16, 10).cast("int")
+
+  /** Compact an append-only bucketed state table: exact-row dedup
+    * (duplicates arise only from at-least-once replay), ⌈bytes/target⌉
+    * files repartitioned by the bucket column, the atomic snapshot
+    * swap, and the modulus marker RE-STAMPED — the swap replaced the
+    * directory that carried it, and a site that forgets the restamp
+    * silently reverts the layout to marker-less inference. One
+    * definition so it can't be forgotten per caller. */
+  def compactBucketed(spark: SparkSession, path: String, bucketCol: String,
+                      buckets: Int, targetFileBytes: Long = 128L << 20): Unit =
+    if (exists(spark, path)) {
+      val p = new Path(path)
+      val bytes = fs(spark, path).getContentSummary(p).getLength
+      val files = math.max(1L,
+        (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      graft.sinks.Sinks.snapshotSwap(
+        spark.read.parquet(path).distinct().repartition(files, col(bucketCol)),
+        path, Seq(bucketCol))
+      writeModulus(spark, path, buckets)
+    }
+
   /** The state slice a delta's probe touches: partition-pruned by the
     * delta's distinct bucket values (a bounded collect — at most the
     * bucket-count, the `Upsert.partitioned` touched-partition category).

@@ -70,4 +70,32 @@ class DecontamStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$state2/docs").count() >
       landed.size.toLong, "pass-through fold must admit the flagged docs too")
   }
+
+  test("a benchmark folded AFTER corpus batches is applied retroactively at finalize") {
+    // docs that arrived before the benchmark existed passed the ingest
+    // gate unchecked; finalize must re-gate the accumulated docs against
+    // the persisted state (on the stored scrubbed text), or the
+    // foldBatch docstring's retroactive promise is hollow
+    val docs = Tables.load(spark, sf, "documents")
+    val bench = docs.filter(col("doc_id") < 10)
+    val corpus = docs.filter(col("doc_id") >= 10)
+    val state = Files.createTempDirectory("decontam-retro").toString
+    CorpusStream.foldBatch(corpus, state)       // benchmark not folded yet
+    CorpusStream.foldBenchmark(bench, state)    // arrives afterwards
+    val landed = spark.read.parquet(s"$state/docs")
+    // retroactively contaminated = the persisted gate's own verdict on
+    // the stored scrubbed docs (exact, so this is the ground truth)
+    val keptIds = Decontam.gate(landed, state)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val contaminated = landed.select("doc_id")
+      .collect().map(_.getLong(0)).toSet -- keptIds
+    assert(contaminated.nonEmpty,
+      "fixture must contain retroactively contaminated docs")
+    val (packed, _) = CorpusStream.finalize(spark, state,
+      benchHashes = Array.empty)
+    val shipped = packed.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(shipped.intersect(contaminated).isEmpty,
+      "finalize must drop docs contaminated against the late benchmark")
+    assert(shipped.nonEmpty, "clean docs must still ship")
+  }
 }

@@ -271,6 +271,36 @@ class StreamingSpec extends SparkSpec {
       "marker-mode folds must converge to the batch labeling")
   }
 
+  test("switching to marker mode absorbs and retires the rename-era labeling") {
+    import graft.streaming.ClusterMaintenance
+    // a deployment that built partitioned label state under the default
+    // rename protocol and then moves to object-store marker storage:
+    // the first marker fold must fold the OLD labeling into its
+    // snapshot and retire the partitioned layout — otherwise the
+    // reader's layout precedence would serve the frozen pre-switch
+    // labels forever while folds keep "succeeding"
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val state = Files.createTempDirectory("cm-switch-state").toString
+    ClusterMaintenance.foldBatch(docs.filter(col("doc_id") < 250), state)
+    val lp = s"$state/labels"
+    assert(graft.streaming.StateStore.isBucketed(spark, lp, "ib"),
+      "precondition: rename-era fold leaves the partitioned layout")
+    spark.conf.set("spark.graft.swap", "marker")
+    try ClusterMaintenance.foldBatch(docs.filter(col("doc_id") >= 250), state)
+    finally spark.conf.unset("spark.graft.swap")
+    assert(graft.sinks.Sinks.versionPointerExists(spark, lp),
+      "the marker fold must publish through the version pointer")
+    assert(!graft.streaming.StateStore.isBucketed(spark, lp, "ib"),
+      "the rename-era layout must be retired after the publish")
+    val streamed = ClusterMaintenance.labels(spark, state)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.Components
+      .connected(graft.queries.Llm.jaccardEdgesOf(docs), "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch,
+      "the absorbed labeling must equal the full batch re-cluster")
+  }
+
   test("sink-scheduled compaction keeps the state file count bounded") {
     import graft.streaming.ClusterMaintenance
     val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
