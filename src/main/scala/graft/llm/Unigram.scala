@@ -287,6 +287,71 @@ object Unigram {
       .filter(col("pcm") > 0)
   }
 
+  /** SAMPLED segmentation piece counts — subword regularization (Kudo
+    * 2018 §4): each word's segmentation is DRAWN from the lattice
+    * posterior instead of argmax'd, the training-time augmentation that
+    * exposes a model to alternative tokenizations. Forward-filtering
+    * backward-sampling: the forward pass is [[withAlpha]]'s quantized
+    * DP; the backward walk at position i picks the last piece's length
+    * with probability ∝ exp(α(i−l) + logp − α(i)).
+    *
+    * Determinism (the q110 discipline, taken further): the "randomness"
+    * is the 8-hex-digit md5 fold of (word, position) — no RNG state —
+    * and the inverse-CDF pick is ALL-INTEGER: candidate weights are the
+    * posteriors in 1e-7 fixed-point LONGs, and the chosen length is the
+    * first l (ascending) with `cum_l · 2³² > u · total` — exact 64-bit
+    * products on both engines (≤ 4·10⁷ · 2³² ≈ 1.7·10¹⁷ < 2⁶³), so the
+    * draw replays bit-identically in DuckDB with no float comparison
+    * anywhere in the sample path. Always terminates: u < 2³² makes the
+    * last candidate satisfy the pick inequality, and any reached
+    * position has ≥ 1 candidate (it has finite α by construction).
+    * @return (word, cnt, n_pieces) under the sampled segmentation */
+  def sampleSegmentCounts(words: DataFrame, inv: DataFrame,
+                          maxLen: Int): DataFrame = {
+    val pm = inv.agg(map_from_entries(
+      collect_list(struct(col("piece"), col("logp")))).as("pm"))
+    withAlpha(words, inv, maxLen, "word", "a")
+      .crossJoin(broadcast(pm))
+      .withColumn("n_pieces", expr(
+        s"""aggregate(sequence(1, length(word)),
+              named_struct('pos', length(word), 'n', 0),
+              (acc, step) -> CASE WHEN acc.pos <= 0 THEN acc ELSE
+                element_at(transform(array(
+                  filter(transform(sequence(1, least(acc.pos, $maxLen)), l ->
+                    named_struct('l', l, 'w',
+                      CASE WHEN element_at(a, acc.pos - l + 1)
+                                  > CAST('-Infinity' AS DOUBLE)
+                                AND try_element_at(pm,
+                                  substring(word, acc.pos - l + 1, l))
+                                  IS NOT NULL
+                           THEN CAST(round(exp(element_at(a, acc.pos - l + 1)
+                             + try_element_at(pm,
+                                 substring(word, acc.pos - l + 1, l))
+                             - element_at(a, acc.pos + 1)) * 1e7, 0)
+                             AS BIGINT) END)),
+                    c -> c.w IS NOT NULL)), cs ->
+                  element_at(transform(array(named_struct(
+                      'u', CAST(aggregate(sequence(1, 8), CAST(0 AS DOUBLE),
+                        (ua, i) -> ua + (instr('0123456789abcdef',
+                            substring(md5(concat('useg|', word, '|',
+                              CAST(acc.pos AS STRING))), i, 1)) - 1)
+                          * power(16, 8 - i)) AS BIGINT),
+                      'tot', aggregate(cs, CAST(0 AS BIGINT),
+                        (s, c) -> s + c.w))), ut ->
+                    named_struct(
+                      'pos', acc.pos - aggregate(cs,
+                        named_struct('cum', CAST(0 AS BIGINT), 'pick', 0),
+                        (st, c) -> CASE WHEN st.pick > 0 THEN st
+                          WHEN (st.cum + c.w) * 4294967296 > ut.u * ut.tot
+                          THEN named_struct('cum', st.cum + c.w, 'pick', c.l)
+                          ELSE named_struct('cum', st.cum + c.w, 'pick', 0)
+                          END).pick,
+                      'n', acc.n + 1)), 1)), 1)
+              END).n"""))
+      .select(col("word"), col("cnt"),
+        col("n_pieces").cast("long").as("n_pieces"))
+  }
+
   /** SOFT-EM unigram training (Kudo 2018 §3.2's actual E-step): piece
     * counts are lattice-posterior EXPECTATIONS over all segmentations
     * (forward-backward), not Viterbi-path counts — the statistically

@@ -3177,6 +3177,81 @@ object Llm {
             SELECT piece, pcnt, logp FROM uinv$umSoftIters
             ORDER BY piece"""))
 
+  // ---- unigram-LM sampled segmentation (subword regularization) --------
+  // Kudo 2018 §4: training-time augmentation draws each word's
+  // segmentation from the lattice posterior instead of argmax.
+  // Forward-filtering backward-sampling with NO RNG: the uniform is the
+  // q110 md5-digit fold of (word, position), and the inverse-CDF pick is
+  // all-integer — candidate weights are q118's quantized posteriors in
+  // 1e-7 fixed-point and the pick compares cum·2³² > u·total in exact
+  // 64-bit products, so the DRAW itself replays bit-identically in
+  // DuckDB (a recursive CTE walking positions, choosing via a windowed
+  // cumulative sum under the same inequality).
+  private val unigramSampled = Q(
+    "q119_unigram_sampled",
+    (s, dir) => {
+      val wh = Staging.stage(corpusWordHist(s, dir))
+      val inv = graft.llm.Unigram.inventory(wh, umMaxLen, umTopS)
+      val segs = graft.llm.Unigram.sampleSegmentCounts(wh, inv, umMaxLen)
+        .select(col("word"), col("n_pieces"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(toksExpr)).as("word"))
+        .join(segs, Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_words"),
+          sum(length(col("word"))).cast("long").as("n_chars"),
+          sum(col("n_pieces")).cast("long").as("n_sampled_tokens"))
+        .withColumn("compression",
+          round(col("n_chars").cast("double") / col("n_sampled_tokens"), 6))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $umSeedSql,
+            ${umFwdSql(1, "uwh", "word", "uinv0", "usfw")},
+            usfx AS (SELECT word, cnt, a FROM usfw WHERE pos = length(w)),
+            uwt AS (
+              SELECT f.word, p.p AS pos, l.l AS l,
+                CAST(round(exp(f.a[p.p - l.l + 1] + iv.logp
+                  - f.a[p.p + 1]) * 1e7) AS BIGINT) AS w
+              FROM usfx f,
+                   LATERAL unnest(generate_series(1, length(f.word))) AS p(p),
+                   LATERAL unnest(generate_series(1,
+                     least(p.p, $umMaxLen))) AS l(l),
+                   uinv0 iv
+              WHERE iv.piece = substr(f.word, p.p - l.l + 1, l.l)
+                AND f.a[p.p - l.l + 1] > CAST('-infinity' AS DOUBLE)
+                AND f.a[p.p + 1] > CAST('-infinity' AS DOUBLE)),
+            uchoice AS (
+              SELECT word, pos, min(l) AS pick FROM (
+                SELECT word, pos, l,
+                  sum(w) OVER (PARTITION BY word, pos ORDER BY l) AS cum,
+                  sum(w) OVER (PARTITION BY word, pos) AS total,
+                  CAST(list_sum(list_transform(range(1, 9),
+                    i -> (strpos('0123456789abcdef',
+                        substr(md5('useg|' || word || '|'
+                          || CAST(pos AS VARCHAR)), i, 1)) - 1)
+                      * power(16, 8 - i))) AS BIGINT) AS u
+                FROM uwt)
+              WHERE cum * 4294967296 > u * total
+              GROUP BY word, pos),
+            usmp AS (
+              SELECT word, cnt, length(word) AS pos, 0 AS n FROM uwh
+              UNION ALL
+              SELECT s.word, s.cnt, s.pos - ch.pick AS pos, s.n + 1 AS n
+              FROM usmp s
+              JOIN uchoice ch ON ch.word = s.word AND ch.pos = s.pos
+              WHERE s.pos > 0),
+            uscnt AS (SELECT word, CAST(n AS BIGINT) AS npieces
+                FROM usmp WHERE pos = 0),
+            usdx AS (SELECT doc_id, unnest($toksSql) AS word FROM documents)
+            SELECT usdx.doc_id,
+              CAST(count(*) AS BIGINT) AS n_words,
+              CAST(sum(length(usdx.word)) AS BIGINT) AS n_chars,
+              CAST(sum(u.npieces) AS BIGINT) AS n_sampled_tokens,
+              round(CAST(sum(length(usdx.word)) AS DOUBLE) / sum(u.npieces), 6)
+                AS compression
+            FROM usdx JOIN uscnt u USING (word)
+            GROUP BY usdx.doc_id ORDER BY doc_id"""))
+
   private val unigramPruned = Q(
     "q117_unigram_pruned",
     (s, dir) => graft.llm.Unigram
@@ -3470,5 +3545,5 @@ object Llm {
     gopherRules, contamFrac, qualitySurvivors, kmeansTopics,
     semDedupTrained, topicSample, bpeMerges, bpeEncode, stupidBackoff,
     gumbelSample, pqTrained, bpeIncMerges, unigramSegment, unigramEm,
-    unigramPruned, unigramSoftEm)
+    unigramPruned, unigramSoftEm, unigramSampled)
 }

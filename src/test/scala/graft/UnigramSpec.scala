@@ -274,6 +274,85 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("sampled segmentation equals the sequential integer-CDF draw") {
+    // the subword-regularization sampler: quantized forward DP + an
+    // ALL-INTEGER inverse-CDF pick keyed on md5(word|pos) — replayed
+    // here sequentially with the same arithmetic, bit for bit
+    def round6(x: Double): Double =
+      if (x.isInfinite) x
+      else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def fixLong(x: Double, scale: Double): Long =
+      BigDecimal(x * scale).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def lse(xs: Seq[Double]): Double =
+      if (xs.isEmpty) Double.NegativeInfinity
+      else {
+        val mx = xs.max
+        round6(mx + math.log(
+          xs.map(x => fixLong(math.exp(x - mx), 1e7)).sum / 1e7))
+      }
+    def alpha(word: String, inv: Map[String, Double], maxLen: Int): Array[Double] = {
+      val a = Array.fill(word.length + 1)(Double.NegativeInfinity)
+      a(0) = 0.0
+      for (i <- 1 to word.length) a(i) = lse(
+        (1 to math.min(i, maxLen)).flatMap { l =>
+          inv.get(word.substring(i - l, i))
+            .filter(_ => a(i - l) > Double.NegativeInfinity)
+            .map(lp => a(i - l) + lp)
+        })
+      a
+    }
+    def md5u(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val hex = d.map(b => f"$b%02x").mkString
+      (1 to 8).map(i => ("0123456789abcdef".indexOf(hex(i - 1)).toLong)
+        * math.pow(16, 8 - i).toLong).sum
+    }
+    def sampled(word: String, inv: Map[String, Double], maxLen: Int): Int = {
+      val a = alpha(word, inv, maxLen)
+      var pos = word.length
+      var n = 0
+      while (pos > 0) {
+        val cands = (1 to math.min(pos, maxLen)).flatMap { l =>
+          inv.get(word.substring(pos - l, pos))
+            .filter(_ => a(pos - l) > Double.NegativeInfinity)
+            .map(lp => (l, fixLong(math.exp(a(pos - l) + lp - a(pos)), 1e7)))
+        }
+        val tot = cands.map(_._2).sum
+        val u = md5u(s"useg|$word|$pos")
+        var cum = 0L
+        var pick = 0
+        cands.foreach { case (l, w) =>
+          if (pick == 0) {
+            cum += w
+            if (cum * 4294967296L > u * tot) pick = l
+          }
+        }
+        pos -= pick
+        n += 1
+      }
+      n
+    }
+    val rnd = new Random(11)
+    (1 to 6).foreach { i =>
+      val alphabetN = 2 + rnd.nextInt(3)
+      val words = (1 to (4 + rnd.nextInt(8))).map { _ =>
+        (1 to (2 + rnd.nextInt(7)))
+          .map(_ => ('a' + rnd.nextInt(alphabetN)).toChar).mkString
+      }.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+      val maxLen = 2 + rnd.nextInt(3)
+      val topS = 4 + rnd.nextInt(10)
+      val wh = words.toSeq.toDF("word", "cnt")
+      val inv = Unigram.inventory(wh, maxLen, topS)
+      val invMap = inv.collect()
+        .map(r => r.getString(0) -> r.getDouble(2)).toMap
+      val want = words.keys.map(w => w -> sampled(w, invMap, maxLen).toLong).toMap
+      val got = Unigram.sampleSegmentCounts(wh, inv, maxLen).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(got === want, s"corpus $i: words=$words maxLen=$maxLen topS=$topS")
+    }
+  }
+
   test("segmentation is deterministic across runs") {
     val words = Map("aab" -> 3L, "abb" -> 2L, "bba" -> 4L)
     val a = run(words, 3, 6)
