@@ -3529,6 +3529,265 @@ object Llm {
               ORDER BY approx_dist, vec_id) <= 5
             ORDER BY query_id, approx_dist, vec_id"""))
 
+  // ---- mergeable sketch summaries (KMV / HLL / CMS) --------------------
+  // The bounded-summary tier (llm/Sketches): at 100 TB, per-source
+  // distinct-token counts, cross-source overlap, and heavy-hitter
+  // frequency gates are sketch questions — one map-side-combinable pass
+  // into a fixed-size summary per group, mergeable across shards/days,
+  // estimates computed from the summary alone. Each oracle row builds
+  // the sketch AND an exact answer side by side, so the driver verifies
+  // the engine's sketch construction bit-for-bit (the md5 digit-fold
+  // hash makes every register/rank/bucket identical cross-engine) while
+  // the exact column documents the estimate's quality on the fixture.
+  private val kmvK = 256
+  private val hllP = 9 // 512 registers
+  private val cmsW = 8192
+  private val cmsTopN = 40
+
+  /** Distinct (source, shingle) pairs with the sketch family's 32-bit
+    * hash — the base all three sketch rows share. The sketched unit is
+    * the 3-word shingle (the q65 contamination unit, ~10³ per source on
+    * the fixture — enough cardinality that the k-th-order-statistic and
+    * harmonic-mean estimator branches actually execute; the fixture's
+    * whitespace vocabulary is only ~31 types, which would leave every
+    * estimator in its exact-small-set branch). Shingle-set-sized, never
+    * corpus-sized; the distinct is the one shuffle and exists only
+    * because the oracle rows also want EXACT comparison columns — a
+    * production sketch pass aggregates straight from the shingle stream
+    * with map-side partials and no distinct. */
+  private def sourceShingleHashes(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("toks", expr(toksExpr))
+      .select(col("source"),
+        explode(expr(s"array_distinct($shingleSparkExpr)")).as("item"))
+      .distinct()
+      .withColumn("hh", md5(concat(lit("kmv|"), col("item"))))
+      .select(col("source"), col("item"), graft.llm.Sketches.hexFold32("hh").as("h"))
+
+  /** The shared base as SQL CTEs: `skb` (source, item) distinct, `skv`
+    * (source, h) distinct hashes. */
+  private val sketchBaseSql =
+    s"""skt AS (SELECT source, $toksSql AS toks FROM documents),
+        skb AS (SELECT DISTINCT source, unnest(list_distinct($shingleSql)) AS item
+          FROM skt),
+        skh AS (SELECT source, item, md5('kmv|' || item) AS hh FROM skb),
+        skv AS (SELECT DISTINCT source,
+            CAST(list_sum(list_transform(range(1, 9),
+              i -> (strpos('0123456789abcdef', substr(hh, i, 1)) - 1)
+                   * power(16, 8 - i))) AS BIGINT) AS h
+          FROM skh)"""
+
+  // KMV distinct-count: k smallest hashes per source; estimate
+  // (k-1)/u_k, exact when the set is smaller than k. The rank pass is
+  // a per-source window at fixture scale; the 100 TB shape is the
+  // TopK.TopKAgg bounded-heap aggregation (map-side k-buffers, shuffle
+  // = k rows/partition/group) — same result, pinned in ApproxSpec.
+  private val kmvDistinct = Q(
+    "q120_kmv_distinct",
+    (s, dir) => {
+      val base = Staging.stage(sourceShingleHashes(s, dir))
+      val wn = Window.partitionBy("source").orderBy("h")
+      val sk = base.select("source", "h").distinct()
+        .withColumn("rn", row_number().over(wn))
+        .groupBy("source")
+        .agg(count(lit(1)).as("nh"),
+          max(when(col("rn") === kmvK, col("h"))).as("hk"))
+      val ex = base.groupBy("source").agg(countDistinct("item").as("n_exact"))
+      ex.join(sk, Seq("source"))
+        .select(col("source"), col("n_exact"),
+          graft.llm.Sketches.kmvEstimate(col("hk"), col("nh"), kmvK).as("est_kmv"))
+        .orderBy("source")
+    },
+    Some(s"""WITH $sketchBaseSql,
+            krn AS (SELECT source, h, row_number() OVER (PARTITION BY source
+                ORDER BY h) AS rn FROM skv),
+            ksk AS (SELECT source, count(*) AS nh,
+                max(CASE WHEN rn = $kmvK THEN h END) AS hk
+              FROM krn GROUP BY source),
+            kex AS (SELECT source, count(DISTINCT item) AS n_exact
+              FROM skb GROUP BY source)
+            SELECT e.source, e.n_exact,
+              round(CASE WHEN s.hk IS NULL THEN CAST(s.nh AS DOUBLE)
+                ELSE ${(kmvK - 1).toDouble} / ((s.hk + 0.5) / 4294967296.0)
+                END, 4) AS est_kmv
+            FROM kex e JOIN ksk s USING (source) ORDER BY source"""))
+
+  // KMV set algebra: the k smallest hashes of A∪B are computable from
+  // the two k-hash SKETCHES alone (min-k is mergeable), so cross-source
+  // Jaccard never re-reads either source — 20 sketch rows of k values
+  // each, a broadcastable pairwise combine. ρ = |union-sketch ∩ A ∩ B|
+  // / |union-sketch| (Beyer et al. 2007 §5); the exact Jaccard sits
+  // alongside for quality.
+  private val kmvJaccard = Q(
+    "q121_kmv_jaccard",
+    (s, dir) => {
+      val base = Staging.stage(sourceShingleHashes(s, dir))
+      val wn = Window.partitionBy("source").orderBy("h")
+      val sk = base.select("source", "h").distinct()
+        .withColumn("rn", row_number().over(wn))
+        .filter(col("rn") <= kmvK)
+        .groupBy("source").agg(sort_array(collect_list("h")).as("mins"))
+      val pairs = sk.select(col("source").as("src_a"), col("mins").as("ma"))
+        .crossJoin(broadcast(
+          sk.select(col("source").as("src_b"), col("mins").as("mb"))))
+        .filter(col("src_a") < col("src_b"))
+        .withColumn("u",
+          slice(array_sort(array_union(col("ma"), col("mb"))), 1, kmvK))
+        .withColumn("ov", size(filter(col("u"),
+          v => array_contains(col("ma"), v) && array_contains(col("mb"), v))))
+        .withColumn("est_jacc", round(col("ov") / size(col("u")), 4))
+      val sizes = base.groupBy("source").agg(countDistinct("item").as("n"))
+      val inter = base.select(col("source").as("src_a"), col("item"))
+        .join(base.select(col("source").as("src_b"), col("item")), Seq("item"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("ni"))
+      pairs
+        .join(sizes.select(col("source").as("src_a"), col("n").as("na")), Seq("src_a"))
+        .join(sizes.select(col("source").as("src_b"), col("n").as("nb")), Seq("src_b"))
+        .join(inter, Seq("src_a", "src_b"), "left")
+        .withColumn("ni", coalesce(col("ni"), lit(0L)))
+        .select(col("src_a"), col("src_b"), col("est_jacc"),
+          round(col("ni") / (col("na") + col("nb") - col("ni")), 4).as("exact_jacc"))
+        .orderBy("src_a", "src_b")
+    },
+    Some(s"""WITH $sketchBaseSql,
+            jrn AS (SELECT source, h, row_number() OVER (PARTITION BY source
+                ORDER BY h) AS rn FROM skv),
+            jmins AS (SELECT source, list(h ORDER BY h) AS mins
+              FROM jrn WHERE rn <= $kmvK GROUP BY source),
+            jpr AS (SELECT a.source AS src_a, b.source AS src_b,
+                a.mins AS ma, b.mins AS mb
+              FROM jmins a, jmins b WHERE a.source < b.source),
+            jev AS (SELECT src_a, src_b,
+                len(list_filter(list_slice(list_sort(list_distinct(
+                      list_concat(ma, mb))), 1, $kmvK),
+                  v -> list_contains(ma, v) AND list_contains(mb, v))) AS ov,
+                len(list_slice(list_sort(list_distinct(
+                      list_concat(ma, mb))), 1, $kmvK)) AS nu
+              FROM jpr),
+            jsz AS (SELECT source, count(DISTINCT item) AS n
+              FROM skb GROUP BY source),
+            jin AS (SELECT a.source AS src_a, b.source AS src_b,
+                count(*) AS ni
+              FROM skb a JOIN skb b ON a.item = b.item
+                AND a.source < b.source
+              GROUP BY a.source, b.source)
+            SELECT e.src_a, e.src_b, round(e.ov / e.nu, 4) AS est_jacc,
+              round(coalesce(i.ni, 0) /
+                (sa.n + sb.n - coalesce(i.ni, 0)), 4) AS exact_jacc
+            FROM jev e
+            JOIN jsz sa ON sa.source = e.src_a
+            JOIN jsz sb ON sb.source = e.src_b
+            LEFT JOIN jin i ON i.src_a = e.src_a AND i.src_b = e.src_b
+            ORDER BY e.src_a, e.src_b"""))
+
+  // HyperLogLog distinct-count: 512 registers of max leading-zero rank,
+  // register-wise max merge — the smallest mergeable distinct summary.
+  // The rank comes from the binary-string LENGTH of the low hash bits
+  // (integer-exact, no log2 boundary), the harmonic sum is Σ2^(24-ρ)
+  // accumulated as exact BIGINTs (every term a power of two —
+  // order-free), and the estimator (with Flajolet's small-range linear
+  // counting) is single-division double arithmetic both engines
+  // reproduce bit-for-bit. Duplicates never matter (max is idempotent),
+  // so the sketch pass needs no distinct at all at scale.
+  private val hllDistinct = Q(
+    "q122_hll_distinct",
+    (s, dir) => {
+      val base = Staging.stage(sourceShingleHashes(s, dir))
+      val regs = base
+        .withColumn("reg", graft.llm.Sketches.hllRegister(col("h"), hllP))
+        .withColumn("rho", graft.llm.Sketches.hllRho(col("h"), hllP))
+        .groupBy("source", "reg").agg(max("rho").as("mrho"))
+      val agg = regs.groupBy("source").agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 24 - mrho)")).as("spow"),
+        count(lit(1)).as("nregs"))
+      val ex = base.groupBy("source").agg(countDistinct("item").as("n_exact"))
+      ex.join(agg, Seq("source"))
+        .withColumn("v_empty", (lit(1 << hllP) - col("nregs")).cast("long"))
+        .select(col("source"), col("n_exact"), col("v_empty"),
+          graft.llm.Sketches.hllEstimate(col("spow"), col("v_empty"), hllP)
+            .as("est_hll"))
+        .orderBy("source")
+    },
+    Some(s"""WITH $sketchBaseSql,
+            hrg AS (SELECT source,
+                CAST(floor(h / 8388608) AS INT) AS reg,
+                CAST(CASE WHEN h % 8388608 = 0 THEN 24
+                  ELSE 24 - length(bin(h % 8388608)) END AS INT) AS rho
+              FROM skv),
+            hmx AS (SELECT source, reg, max(rho) AS mrho
+              FROM hrg GROUP BY source, reg),
+            hag AS (SELECT source,
+                CAST(sum(CAST(1 AS BIGINT) << (24 - mrho)) AS BIGINT) AS spow,
+                count(*) AS nregs
+              FROM hmx GROUP BY source),
+            hex AS (SELECT source, count(DISTINCT item) AS n_exact
+              FROM skb GROUP BY source)
+            SELECT e.source, e.n_exact,
+              CAST(512 - a.nregs AS BIGINT) AS v_empty,
+              round(CASE WHEN (0.7213 / (1.0 + 1.079 / 512.0)) * 262144.0
+                  / (a.spow / 16777216.0 + CAST(512 - a.nregs AS DOUBLE))
+                  <= 1280.0 AND a.nregs < 512
+                THEN 512.0 * ln(512.0 / CAST(512 - a.nregs AS DOUBLE))
+                ELSE (0.7213 / (1.0 + 1.079 / 512.0)) * 262144.0
+                  / (a.spow / 16777216.0 + CAST(512 - a.nregs AS DOUBLE))
+                END, 4) AS est_hll
+            FROM hex e JOIN hag a USING (source) ORDER BY source"""))
+
+  // Count-min heavy hitters: a 4×8192 counter grid (row-salted hashes),
+  // point estimate = min over rows — one-sided error, never an
+  // underestimate, so a heavy-hitter gate has no false negatives. The
+  // sketch build is a map-side-combinable aggregation into 4096 cells
+  // (bounded shuffle however big the corpus); estimates join the
+  // candidates against the broadcast grid. Candidates here are the
+  // exact top-N so the row also documents estimate quality; a
+  // production gate streams candidates through the grid directly.
+  private val cmsHeavy = Q(
+    "q123_cms_heavy",
+    (s, dir) => {
+      val counts = Staging.stage(t(s, dir, "documents")
+        .withColumn("toks", expr(toksExpr))
+        .select(explode(expr(shingleSparkExpr)).as("item"))
+        .groupBy("item").agg(count(lit(1)).as("cnt")))
+      def cellOf(df: DataFrame): DataFrame = df
+        .withColumn("hh",
+          md5(concat(lit("cms"), col("r").cast("string"), lit("|"), col("item"))))
+        .withColumn("c", (graft.llm.Sketches.hexFold32("hh") % cmsW).cast("int"))
+      val cells = cellOf(counts
+        .select(col("item"), col("cnt"), explode(expr("sequence(0, 3)")).as("r")))
+        .groupBy("r", "c").agg(sum("cnt").as("cell"))
+      val top = counts.orderBy(col("cnt").desc, col("item")).limit(cmsTopN)
+      cellOf(top.select(col("item"), col("cnt").as("n_true"),
+          explode(expr("sequence(0, 3)")).as("r")))
+        .join(broadcast(cells), Seq("r", "c"))
+        .groupBy("item", "n_true").agg(min("cell").as("n_est"))
+        .orderBy("item")
+    },
+    Some(s"""WITH cts AS (SELECT $toksSql AS toks FROM documents),
+            ctc AS (SELECT item, count(*) AS cnt
+              FROM (SELECT unnest($shingleSql) AS item FROM cts)
+              GROUP BY item),
+            cce AS (SELECT item, cnt, r FROM ctc,
+              LATERAL unnest(generate_series(0, 3)) AS tt(r)),
+            cch AS (SELECT item, cnt, r,
+                md5('cms' || CAST(r AS VARCHAR) || '|' || item) AS hh
+              FROM cce),
+            ccv AS (SELECT item, cnt, r,
+                CAST(CAST(list_sum(list_transform(range(1, 9),
+                  i -> (strpos('0123456789abcdef', substr(hh, i, 1)) - 1)
+                       * power(16, 8 - i))) AS BIGINT) % 8192 AS INT) AS c
+              FROM cch),
+            csk AS (SELECT r, c, CAST(sum(cnt) AS BIGINT) AS cell
+              FROM ccv GROUP BY r, c),
+            ctop AS (SELECT item, cnt FROM ctc
+              ORDER BY cnt DESC, item LIMIT $cmsTopN)
+            SELECT v.item, CAST(v.cnt AS BIGINT) AS n_true,
+              min(k.cell) AS n_est
+            FROM ccv v
+            JOIN ctop t ON t.item = v.item
+            JOIN csk k ON k.r = v.r AND k.c = v.c
+            GROUP BY v.item, v.cnt ORDER BY v.item"""))
+
   val queries: Seq[Q] = Seq(
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
     minhashSignatures, minhashPairs, jaccardPairs, simhash, simhashPairs,
@@ -3545,5 +3804,6 @@ object Llm {
     gopherRules, contamFrac, qualitySurvivors, kmeansTopics,
     semDedupTrained, topicSample, bpeMerges, bpeEncode, stupidBackoff,
     gumbelSample, pqTrained, bpeIncMerges, unigramSegment, unigramEm,
-    unigramPruned, unigramSoftEm, unigramSampled)
+    unigramPruned, unigramSoftEm, unigramSampled,
+    kmvDistinct, kmvJaccard, hllDistinct, cmsHeavy)
 }
