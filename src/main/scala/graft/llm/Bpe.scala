@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -56,8 +56,11 @@ object Bpe {
   /** The windowed greedy-merge rewrite of a positions table against a
     * 1-row best-pair frame — the scan-equivalence machinery of [[step]],
     * shared with the incremental trainer (which applies it to the
-    * matched subset only). */
-  private[graft] def applyMerge(pos: DataFrame, bp: DataFrame): DataFrame = {
+    * matched subset only) and with [[Wordpiece]] (whose merged symbol
+    * strips the continuation marker — `joinSym` is that seam; the
+    * greedy-scan/window equivalence itself is marker-agnostic). */
+  private[graft] def applyMerge(pos: DataFrame, bp: DataFrame,
+      joinSym: (Column, Column) => Column = concat(_, _)): DataFrame = {
     val wp = Window.partitionBy("word").orderBy("p")
     pos.crossJoin(broadcast(bp))
       .withColumn("mt",
@@ -70,7 +73,7 @@ object Bpe {
       .withColumn("consumed", coalesce(lag(col("keep"), 1).over(wp), lit(false)))
       .filter(!col("consumed"))
       .withColumn("s2",
-        when(col("keep"), concat(col("s"), col("ns"))).otherwise(col("s")))
+        when(col("keep"), joinSym(col("s"), col("ns"))).otherwise(col("s")))
       .groupBy("word", "cnt")
       // in-row sort by position (q92's trick): collect order is
       // partition-dependent, the array_sort makes it deterministic

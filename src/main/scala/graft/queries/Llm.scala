@@ -3788,6 +3788,115 @@ object Llm {
             JOIN csk k ON k.r = v.r AND k.c = v.c
             GROUP BY v.item, v.cnt ORDER BY v.item"""))
 
+  // ---- WordPiece training + encode (the third tokenizer family) -------
+  // llm/Wordpiece: BPE's merge loop rescored by likelihood gain —
+  // score(x,y) = count(xy)/(count(x)·count(y)) — with `##` continuation
+  // markers (Schuster & Nakajima 2012; the BERT tokenizer). The oracle
+  // replays TRAINING as the q104 unrolled CTE chain extended with a
+  // per-step unit-count CTE and the score ordering; scores compare
+  // bit-for-bit because each is one IEEE division of exact BIGINTs (no
+  // sums, no transcendentals — stronger than q115's rounded-logp
+  // argument). The encode row replays the greedy longest-match walk by
+  // precomputing every (word, pos) pick non-recursively (the q119
+  // trick) and walking them with a plain recursive equi-join.
+  private val wpSteps = 4
+  private val wpMaxPieceLen = 16 // ≥ longest unit spelling after 4 merges
+
+  private def wpStepSql(i: Int): String =
+    s"""wp$i AS (SELECT word, cnt, unnest(syms) AS s,
+              generate_subscripts(syms, 1) AS p FROM ww${i - 1}),
+        wm$i AS (SELECT *, lead(s) OVER (PARTITION BY word ORDER BY p) AS ns
+              FROM wp$i),
+        wu$i AS (SELECT s AS sym, CAST(sum(cnt) AS BIGINT) AS scnt
+              FROM wm$i GROUP BY s),
+        wc$i AS (SELECT s AS x, ns AS y, CAST(sum(cnt) AS BIGINT) AS pair_count
+              FROM wm$i WHERE ns IS NOT NULL GROUP BY s, ns),
+        wb$i AS (SELECT c.x, c.y, c.pair_count,
+              ux.scnt AS left_count, uy.scnt AS right_count
+              FROM wc$i c JOIN wu$i ux ON ux.sym = c.x
+                          JOIN wu$i uy ON uy.sym = c.y
+              ORDER BY c.pair_count / (ux.scnt * uy.scnt) DESC, c.x, c.y
+              LIMIT 1),
+        wf$i AS (SELECT m.*, b.x, b.y,
+              coalesce(m.s = b.x AND m.ns = b.y, false) AS mt
+              FROM wm$i m CROSS JOIN wb$i b),
+        wg$i AS (SELECT *, sum(CASE WHEN mt THEN 1 ELSE 0 END)
+                OVER (PARTITION BY word ORDER BY p) AS mrn FROM wf$i),
+        wr$i AS (SELECT *, CASE WHEN mt THEN p - mrn END AS run FROM wg$i),
+        wk$i AS (SELECT *, mt AND ((p - min(p)
+                OVER (PARTITION BY word, run)) % 2 = 0) AS keep FROM wr$i),
+        wx$i AS (SELECT *, coalesce(lag(keep)
+                OVER (PARTITION BY word ORDER BY p), false) AS consumed
+              FROM wk$i),
+        ww$i AS (SELECT word, cnt,
+              list(CASE WHEN keep THEN s || regexp_replace(ns, '^##', '')
+                   ELSE s END ORDER BY p) AS syms
+              FROM wx$i WHERE NOT consumed GROUP BY word, cnt)"""
+
+  /** CTEs `ww0` (##-marked char histogram) → `ww$wpSteps`, with
+    * `wb1..wb$wpSteps` the learned merges. */
+  private val wpChainSql: String =
+    s"""wt0 AS (SELECT $toksSql AS toks FROM documents),
+        wwh AS (SELECT unnest(toks) AS word FROM wt0),
+        ww0 AS (SELECT word, count(*) AS cnt,
+              list_transform(generate_series(1, length(word)),
+                i -> CASE WHEN i = 1 THEN substr(word, 1, 1)
+                     ELSE '##' || substr(word, i, 1) END) AS syms
+              FROM wwh GROUP BY word),
+        ${(1 to wpSteps).map(wpStepSql).mkString(",\n")}"""
+
+  private val wordpieceMerges = Q(
+    "q124_wordpiece_merges",
+    (s, dir) => {
+      val (merges, _) = graft.llm.Wordpiece.train(corpusWordHist(s, dir), wpSteps)
+      merges.select(col("step"), col("x").as("merge_left"),
+        col("y").as("merge_right"), col("pair_count"),
+        col("left_count"), col("right_count")).orderBy("step")
+    },
+    Some(s"""WITH $wpChainSql
+            ${(1 to wpSteps).map(i =>
+              s"""SELECT CAST($i AS INT) AS step, x AS merge_left,
+                  y AS merge_right, pair_count, left_count, right_count
+                  FROM wb$i""").mkString("\nUNION ALL\n")}
+            ORDER BY step"""))
+
+  // Greedy longest-match-first encode against the learned unit
+  // inventory (max-munch; a stuck position makes the word [UNK] — the
+  // BERT rule). The corpus pays nothing here: encode runs on the WORD
+  // HISTOGRAM against a broadcast inventory, map-only, and per-doc
+  // token counts are one keyed join away (the q105 pattern).
+  private val wordpieceEncode = Q(
+    "q125_wordpiece_encode",
+    (s, dir) => {
+      val hist = corpusWordHist(s, dir)
+      val (_, vocab) = graft.llm.Wordpiece.train(hist, wpSteps)
+      val units = vocab.select(explode(col("syms")).as("piece")).distinct()
+      graft.llm.Wordpiece.encode(hist, units, wpMaxPieceLen).orderBy("word")
+    },
+    Some(s"""WITH RECURSIVE $wpChainSql,
+            wvoc AS (SELECT DISTINCT unnest(syms) AS piece FROM ww$wpSteps),
+            wpo AS (SELECT word, cnt, unnest(generate_series(1, length(word)))
+                AS pos FROM ww0),
+            wcand AS (SELECT word, pos, l FROM wpo,
+              LATERAL unnest(generate_series(1,
+                least($wpMaxPieceLen, length(word) - pos + 1))) AS ll(l)),
+            wpick AS (SELECT c.word, c.pos, max(c.l) AS pick
+              FROM wcand c JOIN wvoc v ON v.piece =
+                CASE WHEN c.pos = 1 THEN substr(c.word, c.pos, c.l)
+                     ELSE '##' || substr(c.word, c.pos, c.l) END
+              GROUP BY c.word, c.pos),
+            wwalk AS (SELECT word, 1 AS pos, 0 AS n FROM ww0
+              UNION ALL
+              SELECT w.word, w.pos + m.pick, w.n + 1
+              FROM wwalk w JOIN wpick m ON m.word = w.word AND m.pos = w.pos),
+            wfin AS (SELECT word, max(pos) AS fpos, max(n) AS n
+              FROM wwalk GROUP BY word)
+            SELECT h.word, CAST(h.cnt AS BIGINT) AS cnt,
+              CAST(CASE WHEN f.fpos = length(h.word) + 1 THEN f.n
+                   ELSE 0 END AS BIGINT) AS n_pieces,
+              (f.fpos <> length(h.word) + 1) AS is_unk
+            FROM ww0 h JOIN wfin f USING (word) ORDER BY h.word"""))
+
   val queries: Seq[Q] = Seq(
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
     minhashSignatures, minhashPairs, jaccardPairs, simhash, simhashPairs,
@@ -3805,5 +3914,6 @@ object Llm {
     semDedupTrained, topicSample, bpeMerges, bpeEncode, stupidBackoff,
     gumbelSample, pqTrained, bpeIncMerges, unigramSegment, unigramEm,
     unigramPruned, unigramSoftEm, unigramSampled,
-    kmvDistinct, kmvJaccard, hllDistinct, cmsHeavy)
+    kmvDistinct, kmvJaccard, hllDistinct, cmsHeavy,
+    wordpieceMerges, wordpieceEncode)
 }
