@@ -42,14 +42,17 @@ import graft.sinks.Sinks
   * Jaccard threshold are all the batch code paths, and merge == full
   * re-cluster is pinned by ComponentsSpec.
   *
-  * Replay safety: `foreachBatch` redelivers a batch after a crash.
-  * State writes are ordered appends-then-publish; a replayed append
-  * duplicates index/token rows, which duplicates candidate EDGES but
-  * cannot change connectivity (Components is a fixpoint over the edge
-  * SET), and the self-pair filter below keeps a replayed delta (now
-  * visible in the index) from emitting doc==doc edges. Duplicated state
-  * rows are storage, not correctness — the next compaction/re-cluster
-  * reclaims them.
+  * Replay safety: `foreachBatch` redelivers a batch after a crash. The
+  * appends and the label publish run concurrently within a fold, but
+  * foldBatch returns — and the stream checkpoint advances — only after
+  * ALL state writes complete, so any crash mid-fold replays the whole
+  * batch. A replayed append duplicates index/token rows, which
+  * duplicates candidate EDGES but cannot change connectivity
+  * (Components is a fixpoint over the edge SET), a replayed label fold
+  * re-merges idempotently, and the self-pair filter below keeps a
+  * replayed delta (now visible in the index) from emitting doc==doc
+  * edges. Duplicated state rows are storage, not correctness — the next
+  * compaction/re-cluster reclaims them.
   */
 object ClusterMaintenance {
 
@@ -136,17 +139,18 @@ object ClusterMaintenance {
     val fs = new Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    // the delta's own artifacts, staged once — the band expression and
-    // the tokenizer each run one time however many joins consume them.
-    // The two stagings are independent Spark jobs over the same input;
-    // run them concurrently (the scheduler interleaves their stages
-    // across the executor pool) — at 32 local cores this roughly halves
-    // the fold's fixed staging wall-clock
-    val (deltaBands, deltaToks) = awaitBoth(
-      Staging.stage(NearDup.bands(batch).withColumn("pb", bandBucket)),
-      Staging.stage(batch.select(col("doc_id"),
-        expr(s"array_distinct(${Llm.toksExpr})").as("toks"))
-        .withColumn("tb", tokBucket(col("doc_id")))))
+    // the delta's own artifacts, staged once as ONE combined frame —
+    // the tokenizer and the band expression run a single time over the
+    // batch (they share the tokenize/shingle prefix, so staging them
+    // separately would pay that prefix twice); the band explode and the
+    // per-artifact bucket columns are narrow post-staging projections
+    // of the checkpointed rows, re-derived per consumer at in-memory
+    // scan cost
+    val delta = Staging.stage(NearDup.bandsAndToks(batch))
+    val deltaBands = NearDup.explodeBands(delta).drop("toks")
+      .withColumn("pb", bandBucket)
+    val deltaToks = delta.select(col("doc_id"), col("toks"))
+      .withColumn("tb", tokBucket(col("doc_id")))
     // one-time migration for pre-upgrade state: unbucketed layouts and
     // stale (larger) bucket moduli both rewrite in place
     StateStore.ensureBucketed(spark, bandsPath(statePath), "pb", bandBucket,
@@ -207,20 +211,28 @@ object ClusterMaintenance {
           .select(col("delta_id").as("src"), col("corpus_id").as("dst"))
       }
 
-    // appends BEFORE the label publish (see replay note in the
-    // docstring); edge verification reads no appended state, so it
-    // overlaps the index/token writes (distinct directories, independent
-    // commit protocols — three concurrent job DAGs), and only the label
-    // fold waits on all of them
-    val (edges, _) = awaitBoth(
-      Staging.stage(dd.unionByName(dc)),
+    // the label chain (edge staging → label fold) and the index/token
+    // appends run CONCURRENTLY: they touch disjoint directories (labels/
+    // vs bands/+toks/), edge verification's state reads were listed
+    // when `dc` was built (a pinned file index — the in-flight appends'
+    // files are invisible to it, the same property the previous
+    // edges∥appends overlap already relied on), and replay safety needs
+    // no ordering between them — foldBatch returns (and the stream
+    // checkpoint advances) only after BOTH complete, so any crash
+    // before that replays the whole batch: replayed appends duplicate
+    // index rows (absorbed — connectivity is a fixpoint over the edge
+    // SET), and a replayed label fold re-merges idempotently
+    awaitBoth(
+      {
+        val edges = Staging.stage(dd.unionByName(dc))
+        if (!edges.isEmpty) foldLabels(spark, edges, labelsPath(statePath))
+      },
       awaitBoth(
         StateStore.appendBucketed(deltaBands, bandsPath(statePath), "pb",
           stateBuckets),
         StateStore.appendBucketed(deltaToks, toksPath(statePath), "tb",
           stateBuckets)))
-
-    if (!edges.isEmpty) foldLabels(spark, edges, labelsPath(statePath))
+    ()
   }
 
   /** Fold verified delta edges into the persisted labeling — touching
@@ -330,10 +342,9 @@ object ClusterMaintenance {
       fs.globStatus(new Path(cp + "__stage-*"))
         .foreach(st => fs.delete(st.getPath, true))
 
-      val incident = Staging.stage(
-        edges.select(col("src").as("id"))
-          .unionByName(edges.select(col("dst").as("id"))).distinct()
-          .withColumn("ib", labelsBucketOf(col("id"))))
+      val incidentRaw = edges.select(col("src").as("id"))
+        .unionByName(edges.select(col("dst").as("id"))).distinct()
+        .withColumn("ib", labelsBucketOf(col("id")))
       // BULK-ingest escape: when the delta's node set rivals the whole
       // labeling (a backfill folding a large corpus slice — q82's
       // half-corpus folds), the affected subgraph would be most of the
@@ -341,8 +352,11 @@ object ClusterMaintenance {
       // they save. One full merge + full swap instead — chain-safe
       // without the closure loop, because the merge sees every row and
       // star edges connect any crash-era pointer chains. Both counts
-      // are cheap (staged delta; driver-side parquet footer walk).
-      val incidentN = incident.count()
+      // are cheap (one job off the staged edges; driver-side parquet
+      // footer walk), and the escape is decided BEFORE staging the
+      // incident set — a bulk fold never uses it, so checkpointing it
+      // first would be a wasted materialization per bulk fold.
+      val incidentN = incidentRaw.count()
       val labelsN = StateStore.parquetRowCount(spark, lp)
       def fullMergeSwap(): Unit = {
         val full = Components.merge(
@@ -357,6 +371,9 @@ object ClusterMaintenance {
         Sinks.swapPartitions(spark, stagedPath, lp)
       }
       if (incidentN * 5 >= labelsN) { fullMergeSwap(); return }
+      // delta path from here on: the incident set has three consumers
+      // (bucket pruning, the c0 probe, the closure loop) — stage it now
+      val incident = Staging.stage(incidentRaw)
 
       // components the delta touches: id-bucket-pruned lookup
       val c0 = Staging.stage(

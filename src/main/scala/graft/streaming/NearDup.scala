@@ -58,13 +58,27 @@ object NearDup {
     * frame — same band values as `Llm.bandIndexOf` (parity-tested), no
     * aggregation state. */
   def bands(docs: DataFrame): DataFrame =
+    explodeBands(bandsAndToks(docs)).drop("toks")
+
+  /** One-pass (doc_id, bs, toks): the band structs AND the distinct
+    * token array off a SINGLE tokenize/shingle evaluation — the staging
+    * unit of `ClusterMaintenance.foldBatch`, which needs both artifacts
+    * and would otherwise pay the batch tokenization twice (once per
+    * staged frame). Consumers explode the compact per-doc form AFTER
+    * staging ([[explodeBands]]) — narrow work over checkpointed rows. */
+  def bandsAndToks(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", expr(Llm.toksExpr))
       .withColumn("shingles", expr(Llm.shingleSparkExpr))
-      .select(col("doc_id"), expr(bandArrayExpr).as("bs"))
-      .select(col("doc_id"), explode(col("bs")).as("b"))
+      .select(col("doc_id"), expr(bandArrayExpr).as("bs"),
+        array_distinct(col("toks")).as("toks"))
+
+  /** The exploded (doc_id, band, bucket, b0, toks) form of
+    * [[bandsAndToks]]. */
+  def explodeBands(bt: DataFrame): DataFrame =
+    bt.select(col("doc_id"), col("toks"), explode(col("bs")).as("b"))
       .select(col("doc_id"), col("b.band").as("band"),
-        col("b.bucket").as("bucket"), col("b.b0").as("b0"))
+        col("b.bucket").as("bucket"), col("b.b0").as("b0"), col("toks"))
 
   /** Distinct shingle-hash values of a benchmark/eval corpus, collected
     * driver-side for [[decontaminateStream]]. Bounded-scalar by design:
