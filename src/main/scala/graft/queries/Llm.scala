@@ -3897,6 +3897,58 @@ object Llm {
               (f.fpos <> length(h.word) + 1) AS is_unk
             FROM ww0 h JOIN wfin f USING (word) ORDER BY h.word"""))
 
+  // ---- streaming ANN index maintenance as an oracle row ----------------
+  // The q82/q112 discipline applied to similarity search: each
+  // invocation folds the embedding table in two halves into a FRESH
+  // persisted IVF index through streaming/AnnIndex (nearest-centroid
+  // assignment, novelty-probed cell-partitioned appends), then answers
+  // q57's exact probe from the persisted index — so the driver checks
+  // the STREAMED index against the batch IVF oracle verbatim. Probe IO
+  // is partition-pruned to the probed cells; no indexed row shuffles.
+  private val annIncremental = Q(
+    "q126_incremental_ann",
+    (s, dir) => {
+      graft.plans.VectorDot.register(s)
+      val state = java.nio.file.Files
+        .createTempDirectory("graft_q126_state").toString
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("norm", sqrt(expr(dotExpr.format("v", "v"))))
+      val cents = emb.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("cent_id"), col("v").as("cvec"),
+          col("norm").as("cnorm"))
+      graft.streaming.AnnIndex.foldBatch(
+        emb.filter(col("vec_id") < 250), cents, state)
+      graft.streaming.AnnIndex.foldBatch(
+        emb.filter(col("vec_id") >= 250), cents, state)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("norm").as("qnorm"))
+      graft.streaming.AnnIndex.topK(s, state, cents, queries,
+          nprobe = 2, k = 5)
+        .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+    },
+    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+            c AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
+                  FROM en WHERE vec_id BETWEEN 1 AND 8),
+            r AS (SELECT en.vec_id, en.v, en.norm, c.cent_id,
+                    row_number() OVER (PARTITION BY en.vec_id
+                      ORDER BY list_dot_product(en.v, c.cv) / (en.norm * c.cnorm) DESC,
+                               c.cent_id) AS rk
+                  FROM en, c),
+            cells AS (SELECT vec_id, v, norm, cent_id AS cell FROM r WHERE rk = 1),
+            q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm, cent_id AS cell
+                  FROM r WHERE rk <= 2 AND vec_id < 5),
+            scored AS (
+              SELECT q.query_id, cand.vec_id,
+                list_dot_product(cand.v, q.qv) / (cand.norm * q.qnorm) AS score
+              FROM q JOIN cells cand ON q.cell = cand.cell AND cand.vec_id <> q.query_id)
+            SELECT query_id, vec_id, round(score, 6) AS score FROM scored
+            QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) <= 5
+            ORDER BY query_id, score DESC, vec_id"""))
+
   val queries: Seq[Q] = Seq(
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
     minhashSignatures, minhashPairs, jaccardPairs, simhash, simhashPairs,
@@ -3915,5 +3967,5 @@ object Llm {
     gumbelSample, pqTrained, bpeIncMerges, unigramSegment, unigramEm,
     unigramPruned, unigramSoftEm, unigramSampled,
     kmvDistinct, kmvJaccard, hllDistinct, cmsHeavy,
-    wordpieceMerges, wordpieceEncode)
+    wordpieceMerges, wordpieceEncode, annIncremental)
 }

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.TopK
+
+/** Streaming IVF ANN index maintenance — the similarity-search analog of
+  * [[CorpusStream]]'s dedup state: embeddings arrive in micro-batches
+  * and fold into a persisted inverted-file index, so ANN queries stay
+  * current without re-indexing the corpus (the q57 batch layout,
+  * maintained incrementally).
+  *
+  * The IVF practice split (Jégou et al. 2011): centroids are TRAINED
+  * offline (Kmeans / a fixed seed set — they are the index LAYOUT, like
+  * [[ClusterMaintenance.stateBuckets]]) and passed in; the online path
+  * only ASSIGNS arriving vectors to their nearest cell and appends.
+  * State under `statePath/cells/`: (vec_id, v, norm, cell),
+  * PARTITIONED by cell — a query probes its nprobe nearest cells via a
+  * partition-pruned read, so probe IO is touched-cells-sized however
+  * big the index, and the probe never shuffles an indexed row (the
+  * bounded query set rides a broadcast; selection is the bounded-heap
+  * [[TopK]] — k rows per query per partition cross the wire).
+  *
+  * Replay safety: the fold is novelty-probed on vec_id through
+  * [[StateStore.novelAgainst]] (cell = a deterministic function of the
+  * vector, so a replayed vector would land in its old cell — the
+  * id-level probe just skips it), making appends idempotent under
+  * foreachBatch redelivery.
+  */
+object AnnIndex {
+
+  private def cellsPath(state: String) = s"$state/cells"
+  private val dot = "vector_dot(%s, %s)"
+
+  /** Nearest-centroid assignment of an embedding frame against the
+    * broadcast centroid set: ties break to the lower cent_id (the q57
+    * rule). @return input columns + `cell`. */
+  private def assigned(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cent_id"))
+    emb.crossJoin(broadcast(cents))
+      .withColumn("sim",
+        expr(dot.format("v", "cvec")) / (col("norm") * col("cnorm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("norm"), col("cent_id").as("cell"))
+  }
+
+  /** Fold one micro-batch of embeddings (`vec_id`, `v`, `norm`) into the
+    * persisted index. Novel ids only; one ≤|cells| file append. */
+  def foldBatch(batch: DataFrame, cents: DataFrame, statePath: String): Unit = {
+    if (batch.isEmpty) return
+    val rows = assigned(batch, cents)
+    val novel = StateStore.novelAgainst(cellsPath(statePath), rows,
+      Seq("vec_id"), "cell", col("cell"))
+    StateStore.appendBucketed(novel, cellsPath(statePath), "cell",
+      buckets = 0)
+  }
+
+  /** ANN top-k for a query frame (`query_id`, `qv`, `qnorm`) against the
+    * persisted index: rank the centroids per query (broadcast × tiny),
+    * partition-prune the index to the probed cells, score only those
+    * cells' vectors, bounded-heap top-k.
+    * @return (query_id, vec_id, score) — score rounded at 6 dp */
+  def topK(spark: SparkSession, statePath: String, cents: DataFrame,
+           queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("cent_id"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("sim",
+        expr(dot.format("qv", "cvec")) / (col("qnorm") * col("cnorm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qnorm"),
+        col("cent_id").as("cell"))
+    val cells = StateStore.prunedByTouched(spark, cellsPath(statePath),
+      "cell", probes, col("cell"))
+    val scored = cells
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score",
+        expr(dot.format("v", "qv")) / (col("norm") * col("qnorm")))
+    val topk = TopK.topK(k)
+    scored.groupBy("query_id")
+      .agg(topk(col("vec_id"), col("score")).as("nn"))
+      .select(col("query_id"), explode(col("nn")).as("n"))
+      .select(col("query_id"), col("n.id").as("vec_id"),
+        round(col("n.score"), 6).as("score"))
+  }
+}

@@ -155,7 +155,9 @@ object StateStore {
     val hadMarker = readModulus(spark, path).isDefined
     delta.repartition(col(bucketCol))
       .write.partitionBy(bucketCol).mode("append").parquet(path)
-    if (!hadMarker) writeModulus(spark, path, buckets)
+    // buckets == 0 means the partition key is NOT a hash modulus (e.g.
+    // AnnIndex's centroid cells) — there is no layout contract to stamp
+    if (buckets > 0 && !hadMarker) writeModulus(spark, path, buckets)
   }
 
   /** 256-way partition key of a hex-hash state row: first two hex

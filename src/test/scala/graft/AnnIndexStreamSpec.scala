@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.streaming.AnnIndex
+
+/** Streaming IVF index maintenance (q126's machinery): the folded index
+  * answers exactly what a batch build answers, replay is absorbed, and
+  * the probe reads only the probed cells. */
+class AnnIndexStreamSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def emb: DataFrame = {
+    graft.plans.VectorDot.register(spark)
+    graft.core.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("norm", sqrt(expr("vector_dot(v, v)")))
+  }
+
+  private def cents(e: DataFrame): DataFrame =
+    e.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("cent_id"), col("v").as("cvec"),
+        col("norm").as("cnorm"))
+
+  private def queries(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+
+  private def topkOf(state: String, e: DataFrame): Seq[(Long, Long, Double)] =
+    AnnIndex.topK(spark, state, cents(e), queries(e), nprobe = 2, k = 5)
+      .orderBy("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  test("two streamed folds answer identically to one batch fold") {
+    val e = emb
+    val split = java.nio.file.Files.createTempDirectory("ann_split").toString
+    AnnIndex.foldBatch(e.filter(col("vec_id") < 250), cents(e), split)
+    AnnIndex.foldBatch(e.filter(col("vec_id") >= 250), cents(e), split)
+    val whole = java.nio.file.Files.createTempDirectory("ann_whole").toString
+    AnnIndex.foldBatch(e, cents(e), whole)
+    val a = topkOf(split, e)
+    assert(a == topkOf(whole, e))
+    assert(a.nonEmpty && a.map(_._1).distinct.size == 5)
+  }
+
+  test("a replayed batch is absorbed: re-folding changes nothing") {
+    val e = emb
+    val state = java.nio.file.Files.createTempDirectory("ann_replay").toString
+    AnnIndex.foldBatch(e.filter(col("vec_id") < 250), cents(e), state)
+    AnnIndex.foldBatch(e.filter(col("vec_id") >= 250), cents(e), state)
+    val before = topkOf(state, e)
+    val rowsBefore = spark.read.parquet(s"$state/cells").count()
+    AnnIndex.foldBatch(e.filter(col("vec_id") < 250), cents(e), state) // replay
+    assert(spark.read.parquet(s"$state/cells").count() == rowsBefore,
+      "replayed vectors were re-appended")
+    assert(topkOf(state, e) == before)
+  }
+
+  test("the probe reads only the probed cells' partitions") {
+    val e = emb
+    val state = java.nio.file.Files.createTempDirectory("ann_prune").toString
+    AnnIndex.foldBatch(e, cents(e), state)
+    // one query probing 2 cells: the pruned read must touch <= 2 of the
+    // 8 cell partition dirs (assert via the scan's partition filters —
+    // the physical plan carries the isin on the partition column)
+    val one = queries(e).filter(col("query_id") === 0)
+    val plan = AnnIndex.topK(spark, state, cents(e), one, nprobe = 2, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"no partition pruning in plan:\n${plan.take(2000)}")
+  }
+}
