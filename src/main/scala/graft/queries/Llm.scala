@@ -741,6 +741,32 @@ object Llm {
   // oblivious to it. Assignment is a broadcast of the tiny centroid set
   // against one scan; the probe join is a cell equi-join; selection is
   // the bounded-heap TopK — the same k-rows-per-group shuffle bound.
+  /** The IVF probe oracle, shared VERBATIM by q57 (batch build) and
+    * q126 (streamed index) - the q126 contract is that the streamed
+    * index answers THIS query, so one constant keeps it true by
+    * construction. */
+  private val ivfOracleSql =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+            c AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
+                  FROM en WHERE vec_id BETWEEN 1 AND 8),
+            r AS (SELECT en.vec_id, en.v, en.norm, c.cent_id,
+                    row_number() OVER (PARTITION BY en.vec_id
+                      ORDER BY list_dot_product(en.v, c.cv) / (en.norm * c.cnorm) DESC,
+                               c.cent_id) AS rk
+                  FROM en, c),
+            cells AS (SELECT vec_id, v, norm, cent_id AS cell FROM r WHERE rk = 1),
+            q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm, cent_id AS cell
+                  FROM r WHERE rk <= 2 AND vec_id < 5),
+            scored AS (
+              SELECT q.query_id, cand.vec_id,
+                list_dot_product(cand.v, q.qv) / (cand.norm * q.qnorm) AS score
+              FROM q JOIN cells cand ON q.cell = cand.cell AND cand.vec_id <> q.query_id)
+            SELECT query_id, vec_id, round(score, 6) AS score FROM scored
+            QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) <= 5
+            ORDER BY query_id, score DESC, vec_id"""
+
   private val ivfTopK = Q(
     "q57_ivf_topk",
     (s, dir) => {
@@ -773,26 +799,7 @@ object Llm {
           round(col("n.score"), 6).as("score"))
         .orderBy(col("query_id"), col("score").desc, col("vec_id"))
     },
-    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                       FROM embeddings),
-            en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
-            c AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
-                  FROM en WHERE vec_id BETWEEN 1 AND 8),
-            r AS (SELECT en.vec_id, en.v, en.norm, c.cent_id,
-                    row_number() OVER (PARTITION BY en.vec_id
-                      ORDER BY list_dot_product(en.v, c.cv) / (en.norm * c.cnorm) DESC,
-                               c.cent_id) AS rk
-                  FROM en, c),
-            cells AS (SELECT vec_id, v, norm, cent_id AS cell FROM r WHERE rk = 1),
-            q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm, cent_id AS cell
-                  FROM r WHERE rk <= 2 AND vec_id < 5),
-            scored AS (
-              SELECT q.query_id, cand.vec_id,
-                list_dot_product(cand.v, q.qv) / (cand.norm * q.qnorm) AS score
-              FROM q JOIN cells cand ON q.cell = cand.cell AND cand.vec_id <> q.query_id)
-            SELECT query_id, vec_id, round(score, 6) AS score FROM scored
-            QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) <= 5
-            ORDER BY query_id, score DESC, vec_id"""))
+    Some(ivfOracleSql))
 
   // ---- product-quantization ANN (ADC over packed codes) ----------------
   // The compression tier of similarity search at 100 TB (Jégou et al.,
@@ -2838,7 +2845,11 @@ object Llm {
               ORDER BY pair_count DESC, x, y LIMIT 1),
         f$i AS (SELECT m.*, b.x, b.y,
               coalesce(m.s = b.x AND m.ns = b.y, false) AS mt
-              FROM m$i m CROSS JOIN bp$i b),
+              -- LEFT JOIN, not CROSS: an EXHAUSTED step (empty bp) must
+              -- pass the vocabulary through unchanged, matching the
+              -- Spark trainer's early stop — a cross join with an empty
+              -- best-pair frame would annihilate every later w$i
+              FROM m$i m LEFT JOIN bp$i b ON true),
         g$i AS (SELECT *, sum(CASE WHEN mt THEN 1 ELSE 0 END)
                 OVER (PARTITION BY word ORDER BY p) AS mrn FROM f$i),
         r$i AS (SELECT *, CASE WHEN mt THEN p - mrn END AS run FROM g$i),
@@ -3819,7 +3830,10 @@ object Llm {
               LIMIT 1),
         wf$i AS (SELECT m.*, b.x, b.y,
               coalesce(m.s = b.x AND m.ns = b.y, false) AS mt
-              FROM wm$i m CROSS JOIN wb$i b),
+              -- LEFT JOIN: exhaustion keeps the vocab (the q104 chain's
+              -- rule) — q125 reads ww$wpSteps, so an annihilating cross
+              -- join would silently empty the encode oracle
+              FROM wm$i m LEFT JOIN wb$i b ON true),
         wg$i AS (SELECT *, sum(CASE WHEN mt THEN 1 ELSE 0 END)
                 OVER (PARTITION BY word ORDER BY p) AS mrn FROM wf$i),
         wr$i AS (SELECT *, CASE WHEN mt THEN p - mrn END AS run FROM wg$i),
@@ -3928,26 +3942,7 @@ object Llm {
           nprobe = 2, k = 5)
         .orderBy(col("query_id"), col("score").desc, col("vec_id"))
     },
-    Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                       FROM embeddings),
-            en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
-            c AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
-                  FROM en WHERE vec_id BETWEEN 1 AND 8),
-            r AS (SELECT en.vec_id, en.v, en.norm, c.cent_id,
-                    row_number() OVER (PARTITION BY en.vec_id
-                      ORDER BY list_dot_product(en.v, c.cv) / (en.norm * c.cnorm) DESC,
-                               c.cent_id) AS rk
-                  FROM en, c),
-            cells AS (SELECT vec_id, v, norm, cent_id AS cell FROM r WHERE rk = 1),
-            q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm, cent_id AS cell
-                  FROM r WHERE rk <= 2 AND vec_id < 5),
-            scored AS (
-              SELECT q.query_id, cand.vec_id,
-                list_dot_product(cand.v, q.qv) / (cand.norm * q.qnorm) AS score
-              FROM q JOIN cells cand ON q.cell = cand.cell AND cand.vec_id <> q.query_id)
-            SELECT query_id, vec_id, round(score, 6) AS score FROM scored
-            QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) <= 5
-            ORDER BY query_id, score DESC, vec_id"""))
+    Some(ivfOracleSql))
 
   val queries: Seq[Q] = Seq(
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,

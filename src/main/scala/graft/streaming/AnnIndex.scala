@@ -51,12 +51,24 @@ object AnnIndex {
     * persisted index. Novel ids only; one ≤|cells| file append. */
   def foldBatch(batch: DataFrame, cents: DataFrame, statePath: String): Unit = {
     if (batch.isEmpty) return
-    val rows = assigned(batch, cents)
+    // staged once: the assignment (batch × centroids + window) otherwise
+    // re-executes for the novelty probe's touched-cell collect, the
+    // anti-join's left side, AND its broadcast seen-keys subplan
+    val rows = graft.core.Staging.stage(assigned(batch, cents))
     val novel = StateStore.novelAgainst(cellsPath(statePath), rows,
       Seq("vec_id"), "cell", col("cell"))
     StateStore.appendBucketed(novel, cellsPath(statePath), "cell",
       buckets = 0)
   }
+
+  /** Compact the append-only cell store: one fold appends ≤|cells|
+    * files, so a long-lived stream accretes file-sets per batch with
+    * nothing reclaiming them (the small-file leak the cluster state's
+    * compaction cadence guards against). Same discipline here — callers
+    * wire it on a batch cadence. */
+  def compact(spark: SparkSession, statePath: String): Unit =
+    StateStore.compactBucketed(spark, cellsPath(statePath), "cell",
+      buckets = 0)
 
   /** ANN top-k for a query frame (`query_id`, `qv`, `qnorm`) against the
     * persisted index: rank the centroids per query (broadcast × tiny),
@@ -65,6 +77,13 @@ object AnnIndex {
     * @return (query_id, vec_id, score) — score rounded at 6 dp */
   def topK(spark: SparkSession, statePath: String, cents: DataFrame,
            queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    // an index nobody has folded yet answers EMPTY, not
+    // PATH_NOT_FOUND — querying before the first micro-batch lands is
+    // a normal startup race for a streaming index (the labels() rule)
+    if (!StateStore.exists(spark, cellsPath(statePath)))
+      return queries.limit(0)
+        .select(col("query_id"), col("query_id").as("vec_id"),
+          lit(0.0).as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("sim").desc, col("cent_id"))
     val probes = queries.crossJoin(broadcast(cents))

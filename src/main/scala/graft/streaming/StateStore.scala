@@ -185,7 +185,8 @@ object StateStore {
       graft.sinks.Sinks.snapshotSwap(
         spark.read.parquet(path).distinct().repartition(files, col(bucketCol)),
         path, Seq(bucketCol))
-      writeModulus(spark, path, buckets)
+      // buckets == 0: non-modulus partition key (see appendBucketed)
+      if (buckets > 0) writeModulus(spark, path, buckets)
     }
 
   /** The state slice a delta's probe touches: partition-pruned by the
