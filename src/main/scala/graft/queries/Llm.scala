@@ -3944,6 +3944,56 @@ object Llm {
     },
     Some(ivfOracleSql))
 
+  // ---- streaming sketch maintenance as an oracle row -------------------
+  // Mergeability made driver-visible: two streamed folds into the
+  // summary-sized sketch state (streaming/SketchStream — ≤k hashes and
+  // ≤m registers per source, whatever the corpus) must answer the SAME
+  // estimates as a batch sketch build over the whole table, which is
+  // what the oracle computes from scratch. k-min union and register max
+  // are associative and duplicate-absorbing, so the equality is exact,
+  // not approximate.
+  private val sketchIncremental = Q(
+    "q127_incremental_sketch",
+    (s, dir) => {
+      val state = java.nio.file.Files
+        .createTempDirectory("graft_q127_state").toString
+      val docs = t(s, dir, "documents")
+      graft.streaming.SketchStream.foldBatch(
+        docs.filter(col("doc_id") < 250), state)
+      graft.streaming.SketchStream.foldBatch(
+        docs.filter(col("doc_id") >= 250), state)
+      graft.streaming.SketchStream.report(s, state).orderBy("source")
+    },
+    Some(s"""WITH $sketchBaseSql,
+            krn AS (SELECT source, h, row_number() OVER (PARTITION BY source
+                ORDER BY h) AS rn FROM skv),
+            ksk AS (SELECT source, count(*) AS nh,
+                max(CASE WHEN rn = $kmvK THEN h END) AS hk
+              FROM krn WHERE rn <= $kmvK GROUP BY source),
+            hrg AS (SELECT source,
+                CAST(floor(h / 8388608) AS INT) AS reg,
+                CAST(CASE WHEN h % 8388608 = 0 THEN 24
+                  ELSE 24 - length(bin(h % 8388608)) END AS INT) AS rho
+              FROM skv),
+            hmx AS (SELECT source, reg, max(rho) AS mrho
+              FROM hrg GROUP BY source, reg),
+            hag AS (SELECT source,
+                CAST(sum(CAST(1 AS BIGINT) << (24 - mrho)) AS BIGINT) AS spow,
+                count(*) AS nregs
+              FROM hmx GROUP BY source)
+            SELECT k.source,
+              round(CASE WHEN k.hk IS NULL THEN CAST(k.nh AS DOUBLE)
+                ELSE ${(kmvK - 1).toDouble} / ((k.hk + 0.5) / 4294967296.0)
+                END, 4) AS est_kmv,
+              round(CASE WHEN (0.7213 / (1.0 + 1.079 / 512.0)) * 262144.0
+                  / (a.spow / 16777216.0 + CAST(512 - a.nregs AS DOUBLE))
+                  <= 1280.0 AND a.nregs < 512
+                THEN 512.0 * ln(512.0 / CAST(512 - a.nregs AS DOUBLE))
+                ELSE (0.7213 / (1.0 + 1.079 / 512.0)) * 262144.0
+                  / (a.spow / 16777216.0 + CAST(512 - a.nregs AS DOUBLE))
+                END, 4) AS est_hll
+            FROM ksk k JOIN hag a USING (source) ORDER BY source"""))
+
   val queries: Seq[Q] = Seq(
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
     minhashSignatures, minhashPairs, jaccardPairs, simhash, simhashPairs,
@@ -3962,5 +4012,5 @@ object Llm {
     gumbelSample, pqTrained, bpeIncMerges, unigramSegment, unigramEm,
     unigramPruned, unigramSoftEm, unigramSampled,
     kmvDistinct, kmvJaccard, hllDistinct, cmsHeavy,
-    wordpieceMerges, wordpieceEncode, annIncremental)
+    wordpieceMerges, wordpieceEncode, annIncremental, sketchIncremental)
 }

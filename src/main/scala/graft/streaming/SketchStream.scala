@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.llm.Sketches
+import graft.sinks.Sinks
+
+/** Streaming sketch maintenance — per-source distinct-cardinality
+  * summaries (KMV k-min hashes + HLL registers) kept current as
+  * documents arrive. The payoff of MERGEABILITY (llm/Sketches): unlike
+  * every other streaming state in the engine, this state is
+  * SUMMARY-sized, not corpus-sized — ≤ k hashes and ≤ m registers per
+  * source, whatever the corpus — so a fold is delta-sketch + merge +
+  * whole-snapshot swap of a table that fits in one task, and none of
+  * the bucketed-probe machinery is needed. The estimates a streamed
+  * state answers are IDENTICAL to a batch build over the same corpus
+  * (k-min union and register max are associative and
+  * duplicate-absorbing, which also makes foreachBatch replays free).
+  *
+  * State under `statePath`: `kmin/` (source, h) — k smallest distinct
+  * hashes per source; `hll/` (source, reg, mrho) — register-wise max
+  * rank. Both published through the atomic snapshot swap.
+  */
+object SketchStream {
+
+  private def kminPath(state: String) = s"$state/kmin"
+  private def hllPath(state: String) = s"$state/hll"
+  private val kmvK = 256
+  private val hllP = 9
+
+  /** The delta's (source, h) distinct hash rows — the q120 hashing path
+    * applied to a batch's 3-word shingles. */
+  private def deltaHashes(batch: DataFrame): DataFrame =
+    batch
+      .withColumn("toks", expr(graft.queries.Llm.toksExpr))
+      .select(col("source"),
+        explode(expr(s"array_distinct(${graft.queries.Llm.shingleSparkExpr})"))
+          .as("item"))
+      .withColumn("hh", md5(concat(lit("kmv|"), col("item"))))
+      .select(col("source"), Sketches.hexFold32("hh").as("h"))
+      .distinct()
+
+  private def readOr(spark: SparkSession, path: String, like: DataFrame): DataFrame =
+    if (StateStore.exists(spark, path)) spark.read.parquet(path) else like.limit(0)
+
+  /** Fold one micro-batch of documents (`source`, `text`) into the
+    * persisted sketches: delta sketch, merge with state, swap. */
+  def foldBatch(batch: DataFrame, statePath: String): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val delta = graft.core.Staging.stage(deltaHashes(batch))
+
+    val kOld = readOr(spark, kminPath(statePath), delta)
+    val wn = Window.partitionBy("source").orderBy("h")
+    val kNew = kOld.unionByName(delta).distinct()
+      .withColumn("rn", row_number().over(wn))
+      .filter(col("rn") <= kmvK).select("source", "h")
+    Sinks.snapshotSwap(kNew, kminPath(statePath), Seq.empty)
+
+    val dRegs = delta
+      .withColumn("reg", Sketches.hllRegister(col("h"), hllP))
+      .withColumn("mrho", Sketches.hllRho(col("h"), hllP))
+      .select("source", "reg", "mrho")
+    val hOld = readOr(spark, hllPath(statePath), dRegs)
+    val hNew = hOld.unionByName(dRegs)
+      .groupBy("source", "reg").agg(max("mrho").as("mrho"))
+    Sinks.snapshotSwap(hNew, hllPath(statePath), Seq.empty)
+  }
+
+  /** Per-source cardinality estimates off the persisted summaries —
+    * no corpus access at all. @return (source, est_kmv, est_hll) */
+  def report(spark: SparkSession, statePath: String): DataFrame = {
+    val kmin = spark.read.parquet(kminPath(statePath))
+    val wn = Window.partitionBy("source").orderBy("h")
+    val kmv = kmin.withColumn("rn", row_number().over(wn))
+      .groupBy("source")
+      .agg(count(lit(1)).as("nh"),
+        max(when(col("rn") === kmvK, col("h"))).as("hk"))
+      .select(col("source"),
+        Sketches.kmvEstimate(col("hk"), col("nh"), kmvK).as("est_kmv"))
+    val hll = spark.read.parquet(hllPath(statePath))
+      .groupBy("source").agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 24 - mrho)")).as("spow"),
+        count(lit(1)).as("nregs"))
+      .select(col("source"),
+        Sketches.hllEstimate(col("spow"),
+          (lit(1 << hllP) - col("nregs")).cast("long"), hllP).as("est_hll"))
+    kmv.join(hll, Seq("source"))
+  }
+}
