@@ -3994,6 +3994,97 @@ object Llm {
                 END, 4) AS est_hll
             FROM ksk k JOIN hag a USING (source) ORDER BY source"""))
 
+  // ---- BM25 ranked retrieval ------------------------------------------
+  // The missing retrieval tier: score documents against keyword queries
+  // with Okapi BM25 (Robertson & Zaragoza 2009; Lucene's +1 idf so the
+  // weight never goes negative) and return the top-k per query. The
+  // query workload is data-derived and deterministic: five two-term
+  // queries built from mid-df-rank terms (ranks 11-15 paired with
+  // 31-35; frequent enough to match at every SF, rare enough to rank).
+  //
+  // Scale shape: the ONE corpus-wide pass is the df aggregation (output
+  // Heaps-law bounded); the workload pick is orderBy+limit — Spark
+  // compiles it to TakeOrderedAndProject, never a global sort; postings
+  // are cut to query terms by a BROADCAST join before any shuffle, so
+  // the tf aggregation and scoring touch matched postings only; top-k
+  // per query is the bounded-heap TopK aggregator (map-side k-buffers,
+  // shuffle ∝ k·queries). Cross-engine parity: the one transcendental
+  // (idf's ln) is quantized to 1e-7 fixed point on computation, each
+  // term's score is a BIGINT in the same grid, and the doc score is an
+  // EXACT integer sum — order-free however many terms a query has —
+  // ranked as an integer with doc_id tie-break, one IEEE division at
+  // emission.
+  private val bm25TopK = Q(
+    "q128_bm25_topk",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), expr(toksExpr).as("tk"))
+        .withColumn("dl", size(col("tk")).cast("long"))
+      val postings = toks.select(col("doc_id"), col("dl"),
+        explode(col("tk")).as("term"))
+      val dfTab = postings.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val scalars = toks.agg(count(lit(1)).as("nd"), sum("dl").as("sumdl"))
+      val wq = Window.orderBy(col("df").desc, col("term")) // 35-row frame
+      val qterms = dfTab.orderBy(col("df").desc, col("term")).limit(35)
+        .withColumn("r", row_number().over(wq))
+        .filter(col("r").between(11, 15) || col("r").between(31, 35))
+        .withColumn("query_id",
+          when(col("r") <= 15, col("r") - 11).otherwise(col("r") - 31)
+            .cast("long"))
+        .crossJoin(broadcast(scalars))
+        .withColumn("idf_fp",
+          round(log((col("nd") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1.0)) * lit(1e7)).cast("long"))
+        .select("query_id", "term", "idf_fp", "nd", "sumdl")
+      val scored = postings.join(broadcast(qterms), Seq("term"))
+        .groupBy("query_id", "term", "doc_id", "dl", "idf_fp", "nd", "sumdl")
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("score_fp",
+          round(col("idf_fp") * (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) +
+              lit(0.75) * col("dl") /
+                (col("sumdl").cast("double") / col("nd"))))).cast("long"))
+        .groupBy("query_id", "doc_id").agg(sum("score_fp").as("s_fp"))
+      val topk = graft.llm.TopK.topK(5)
+      scored.groupBy("query_id")
+        .agg(topk(col("doc_id"), col("s_fp").cast("double")).as("nn"))
+        .select(col("query_id"), explode(col("nn")).as("n"))
+        .select(col("query_id"), col("n.id").as("doc_id"),
+          round(col("n.score") / lit(1e7), 4).as("score"))
+        .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+    },
+    Some(s"""WITH tl AS (SELECT doc_id, $toksSql AS tk FROM documents),
+            tx AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+                     unnest(tk) AS term FROM tl),
+            dfv AS (SELECT term, count(DISTINCT doc_id) AS df
+                    FROM tx GROUP BY term),
+            gs AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                     CAST(sum(len(tk)) AS BIGINT) AS sumdl FROM tl),
+            dfr AS (SELECT term, df,
+                      row_number() OVER (ORDER BY df DESC, term) AS r
+                    FROM dfv QUALIFY r <= 35),
+            qt AS (SELECT CAST(CASE WHEN r <= 15 THEN r - 11
+                     ELSE r - 31 END AS BIGINT) AS query_id, term, df,
+                     CAST(round(ln((nd - df + 0.5) / (df + 0.5) + 1.0)
+                       * 10000000.0) AS BIGINT) AS idf_fp, nd, sumdl
+                   FROM dfr CROSS JOIN gs
+                   WHERE (r BETWEEN 11 AND 15) OR (r BETWEEN 31 AND 35)),
+            tf AS (SELECT q.query_id, q.term, x.doc_id, x.dl, q.idf_fp,
+                     q.nd, q.sumdl, count(*) AS tf
+                   FROM tx x JOIN qt q USING (term)
+                   GROUP BY ALL),
+            sc AS (SELECT query_id, doc_id,
+                     sum(CAST(round(idf_fp * (tf * 2.2) /
+                       (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
+                         (CAST(sumdl AS DOUBLE) / nd)))) AS BIGINT)) AS s_fp
+                   FROM tf GROUP BY query_id, doc_id)
+            SELECT query_id, doc_id, round(s_fp / 10000000.0, 4) AS score
+            FROM sc
+            QUALIFY row_number() OVER (PARTITION BY query_id
+              ORDER BY s_fp DESC, doc_id) <= 5
+            ORDER BY query_id, score DESC, doc_id"""))
+
   val queries: Seq[Q] = Seq(
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
     minhashSignatures, minhashPairs, jaccardPairs, simhash, simhashPairs,
@@ -4012,5 +4103,6 @@ object Llm {
     gumbelSample, pqTrained, bpeIncMerges, unigramSegment, unigramEm,
     unigramPruned, unigramSoftEm, unigramSampled,
     kmvDistinct, kmvJaccard, hllDistinct, cmsHeavy,
-    wordpieceMerges, wordpieceEncode, annIncremental, sketchIncremental)
+    wordpieceMerges, wordpieceEncode, annIncremental, sketchIncremental,
+    bm25TopK)
 }

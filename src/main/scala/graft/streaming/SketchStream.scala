@@ -46,27 +46,35 @@ object SketchStream {
     if (StateStore.exists(spark, path)) spark.read.parquet(path) else like.limit(0)
 
   /** Fold one micro-batch of documents (`source`, `text`) into the
-    * persisted sketches: delta sketch, merge with state, swap. */
+    * persisted sketches: delta sketch, merge with state, swap. The
+    * corpus-sized delta is summarized FIRST (one windowed pass for the
+    * k-mins, one keyed max for the registers), so the merge with state
+    * only ever touches summary-sized frames; each snapshot is written
+    * as a single file via an explicit tiny repartition — safe at any
+    * corpus scale because a snapshot is ≤ nSources · max(k, 2^p) rows
+    * by construction. */
   def foldBatch(batch: DataFrame, statePath: String): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val delta = graft.core.Staging.stage(deltaHashes(batch))
-
-    val kOld = readOr(spark, kminPath(statePath), delta)
     val wn = Window.partitionBy("source").orderBy("h")
-    val kNew = kOld.unionByName(delta).distinct()
+
+    val dKmin = delta.withColumn("rn", row_number().over(wn))
+      .filter(col("rn") <= kmvK).select("source", "h")
+    val kOld = readOr(spark, kminPath(statePath), dKmin)
+    val kNew = kOld.unionByName(dKmin).distinct()
       .withColumn("rn", row_number().over(wn))
       .filter(col("rn") <= kmvK).select("source", "h")
-    Sinks.snapshotSwap(kNew, kminPath(statePath), Seq.empty)
+    Sinks.snapshotSwap(kNew.repartition(1), kminPath(statePath), Seq.empty)
 
     val dRegs = delta
       .withColumn("reg", Sketches.hllRegister(col("h"), hllP))
       .withColumn("mrho", Sketches.hllRho(col("h"), hllP))
-      .select("source", "reg", "mrho")
+      .groupBy("source", "reg").agg(max("mrho").as("mrho"))
     val hOld = readOr(spark, hllPath(statePath), dRegs)
     val hNew = hOld.unionByName(dRegs)
       .groupBy("source", "reg").agg(max("mrho").as("mrho"))
-    Sinks.snapshotSwap(hNew, hllPath(statePath), Seq.empty)
+    Sinks.snapshotSwap(hNew.repartition(1), hllPath(statePath), Seq.empty)
   }
 
   /** Per-source cardinality estimates off the persisted summaries —

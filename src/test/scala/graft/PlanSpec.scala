@@ -501,4 +501,21 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       s"anti-join must stay keyed on doc_id:\n$p")
   }
+
+  test("q128 BM25 broadcasts the query workload; workload pick takes ordered") {
+    // The postings cut must ride a broadcast of the 10-term workload —
+    // a shuffle join there would re-shuffle every posting in the corpus
+    // for a 10-row dimension. The workload pick itself (top-35 by df)
+    // must be a TakeOrderedAndProject, never a global sort of the
+    // Heaps-law vocabulary; the per-query top-k must collapse in the
+    // bounded-heap aggregator.
+    val p = planOf(q("q128_bm25_topk"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"query terms must broadcast into the postings cut:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the df-rank workload pick must take ordered, not globally sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in retrieval:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"per-query top-k must heap-aggregate:\n$p")
+  }
 }
