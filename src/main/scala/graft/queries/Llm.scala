@@ -4025,36 +4025,17 @@ object Llm {
       val dfTab = postings.select("doc_id", "term").distinct()
         .groupBy("term").agg(count(lit(1)).as("df"))
       val scalars = toks.agg(count(lit(1)).as("nd"), sum("dl").as("sumdl"))
-      val wq = Window.orderBy(col("df").desc, col("term")) // 35-row frame
-      val qterms = dfTab.orderBy(col("df").desc, col("term")).limit(35)
-        .withColumn("r", row_number().over(wq))
-        .filter(col("r").between(11, 15) || col("r").between(31, 35))
-        .withColumn("query_id",
-          when(col("r") <= 15, col("r") - 11).otherwise(col("r") - 31)
-            .cast("long"))
-        .crossJoin(broadcast(scalars))
-        .withColumn("idf_fp",
-          round(log((col("nd") - col("df") + lit(0.5)) /
-            (col("df") + lit(0.5)) + lit(1.0)) * lit(1e7)).cast("long"))
-        .select("query_id", "term", "idf_fp", "nd", "sumdl")
-      val scored = postings.join(broadcast(qterms), Seq("term"))
-        .groupBy("query_id", "term", "doc_id", "dl", "idf_fp", "nd", "sumdl")
-        .agg(count(lit(1)).as("tf"))
-        .withColumn("score_fp",
-          round(col("idf_fp") * (col("tf") * lit(2.2)) /
-            (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) +
-              lit(0.75) * col("dl") /
-                (col("sumdl").cast("double") / col("nd"))))).cast("long"))
-        .groupBy("query_id", "doc_id").agg(sum("score_fp").as("s_fp"))
-      val topk = graft.llm.TopK.topK(5)
-      scored.groupBy("query_id")
-        .agg(topk(col("doc_id"), col("s_fp").cast("double")).as("nn"))
-        .select(col("query_id"), explode(col("nn")).as("n"))
-        .select(col("query_id"), col("n.id").as("doc_id"),
-          round(col("n.score") / lit(1e7), 4).as("score"))
+      val qterms = graft.llm.Bm25.workload(dfTab, scalars)
+      val tfRows = postings
+        .join(broadcast(qterms.select("term")), Seq("term"))
+        .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      graft.llm.Bm25.topkFromTf(tfRows, qterms)
         .orderBy(col("query_id"), col("score").desc, col("doc_id"))
     },
-    Some(s"""WITH tl AS (SELECT doc_id, $toksSql AS tk FROM documents),
+    Some(bm25OracleSql))
+
+  private lazy val bm25OracleSql =
+    s"""WITH tl AS (SELECT doc_id, $toksSql AS tk FROM documents),
             tx AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
                      unnest(tk) AS term FROM tl),
             dfv AS (SELECT term, count(DISTINCT doc_id) AS df
@@ -4083,7 +4064,31 @@ object Llm {
             FROM sc
             QUALIFY row_number() OVER (PARTITION BY query_id
               ORDER BY s_fp DESC, doc_id) <= 5
-            ORDER BY query_id, score DESC, doc_id"""))
+            ORDER BY query_id, score DESC, doc_id"""
+
+  // ---- streaming BM25 index maintenance as an oracle row ---------------
+  // The q126 discipline applied to lexical retrieval: each invocation
+  // folds the documents table in two halves into a FRESH persisted
+  // inverted index through streaming/Bm25Index (per-table novelty-probed
+  // bucketed appends), then answers q128's retrieval from the persisted
+  // state — the driver checks the STREAMED index against the batch BM25
+  // oracle verbatim. The scoring probe partition-prunes the posting
+  // store to the workload terms' buckets; the arithmetic is the shared
+  // llm/Bm25 path, so equality is structural, not coincidental.
+  private val bm25Incremental = Q(
+    "q129_incremental_bm25",
+    (s, dir) => {
+      val state = java.nio.file.Files
+        .createTempDirectory("graft_q129_state").toString
+      val docs = t(s, dir, "documents")
+      graft.streaming.Bm25Index.foldBatch(
+        docs.filter(col("doc_id") < 250), state)
+      graft.streaming.Bm25Index.foldBatch(
+        docs.filter(col("doc_id") >= 250), state)
+      graft.streaming.Bm25Index.topK(s, state)
+        .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+    },
+    Some(bm25OracleSql))
 
   val queries: Seq[Q] = Seq(
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
@@ -4104,5 +4109,5 @@ object Llm {
     unigramPruned, unigramSoftEm, unigramSampled,
     kmvDistinct, kmvJaccard, hllDistinct, cmsHeavy,
     wordpieceMerges, wordpieceEncode, annIncremental, sketchIncremental,
-    bm25TopK)
+    bm25TopK, bm25Incremental)
 }
