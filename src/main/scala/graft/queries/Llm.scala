@@ -3552,7 +3552,7 @@ object Llm {
   // the exact column documents the estimate's quality on the fixture.
   private val kmvK = 256
   private val hllP = 9 // 512 registers
-  private val cmsW = 8192
+  private[graft] val cmsW = 8192
   private val cmsTopN = 40
 
   /** Distinct (source, shingle) pairs with the sketch family's 32-bit
@@ -3774,7 +3774,10 @@ object Llm {
         .groupBy("item", "n_true").agg(min("cell").as("n_est"))
         .orderBy("item")
     },
-    Some(s"""WITH cts AS (SELECT $toksSql AS toks FROM documents),
+    Some(cmsOracleSql))
+
+  private lazy val cmsOracleSql =
+    s"""WITH cts AS (SELECT $toksSql AS toks FROM documents),
             ctc AS (SELECT item, count(*) AS cnt
               FROM (SELECT unnest($shingleSql) AS item FROM cts)
               GROUP BY item),
@@ -3797,7 +3800,7 @@ object Llm {
             FROM ccv v
             JOIN ctop t ON t.item = v.item
             JOIN csk k ON k.r = v.r AND k.c = v.c
-            GROUP BY v.item, v.cnt ORDER BY v.item"""))
+            GROUP BY v.item, v.cnt ORDER BY v.item"""
 
   // ---- WordPiece training + encode (the third tokenizer family) -------
   // llm/Wordpiece: BPE's merge loop rescored by likelihood gain —
@@ -4090,6 +4093,39 @@ object Llm {
     },
     Some(bm25OracleSql))
 
+  // ---- streaming CMS maintenance as an oracle row ----------------------
+  // The exactly-once contrast to q127: cell-wise SUM is associative but
+  // NOT duplicate-absorbing, so SketchStream.foldCms guards each fold
+  // with a batch-id ledger swapped atomically WITH the counters. Two
+  // ledgered folds must produce the same grid as q123's from-scratch
+  // build (exact BIGINT sums), which is what the oracle recomputes. The
+  // heavy-hitter CANDIDATES (and their exact n_true) are the batch pass
+  // here as in q123 — candidate tracking is a separate concern; the
+  // streamed state answers the estimates.
+  private val cmsIncremental = Q(
+    "q130_incremental_cms",
+    (s, dir) => {
+      val state = java.nio.file.Files
+        .createTempDirectory("graft_q130_state").toString
+      val docs = t(s, dir, "documents")
+      graft.streaming.SketchStream.foldCms(
+        docs.filter(col("doc_id") < 250), "fold-a", state)
+      graft.streaming.SketchStream.foldCms(
+        docs.filter(col("doc_id") >= 250), "fold-b", state)
+      val counts = Staging.stage(docs
+        .withColumn("toks", expr(toksExpr))
+        .select(explode(expr(shingleSparkExpr)).as("item"))
+        .groupBy("item").agg(count(lit(1)).as("cnt")))
+      val top = counts.orderBy(col("cnt").desc, col("item")).limit(cmsTopN)
+      graft.streaming.SketchStream.cmsEstimates(s, state,
+          top.select("item"))
+        .join(broadcast(top.select(col("item"), col("cnt").as("n_true"))),
+          Seq("item"))
+        .select("item", "n_true", "n_est")
+        .orderBy("item")
+    },
+    Some(cmsOracleSql))
+
   val queries: Seq[Q] = Seq(
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
     minhashSignatures, minhashPairs, jaccardPairs, simhash, simhashPairs,
@@ -4109,5 +4145,5 @@ object Llm {
     unigramPruned, unigramSoftEm, unigramSampled,
     kmvDistinct, kmvJaccard, hllDistinct, cmsHeavy,
     wordpieceMerges, wordpieceEncode, annIncremental, sketchIncremental,
-    bm25TopK, bm25Incremental)
+    bm25TopK, bm25Incremental, cmsIncremental)
 }

@@ -77,6 +77,83 @@ object SketchStream {
     Sinks.snapshotSwap(hNew.repartition(1), hllPath(statePath), Seq.empty)
   }
 
+  // ---- count-min sketch: the NON-absorbing merge -----------------------
+  // Cell-wise SUM merges associatively but NOT idempotently — a replayed
+  // batch would double-count, the exact opposite of the k-min/register
+  // folds above. The fold is therefore EXACTLY-ONCE by construction: the
+  // snapshot carries a ledger of folded batch ids IN THE SAME FRAME as
+  // the counters, published through one atomic swap — counters and
+  // ledger can never diverge (a crash publishes both or neither), and a
+  // redelivered batch id is skipped before any work. foreachBatch's
+  // batchId is exactly the stable id this needs.
+
+  private def cmsPath(state: String) = s"$state/cms"
+  private val cmsD = 4
+
+  /** CMS cell assignment of an (item, r) frame — the q123 hashing
+    * verbatim (md5("cms" + r + "|" + item) digit-folded mod w). */
+  private def cmsCell(df: DataFrame): DataFrame = df
+    .withColumn("hh", md5(concat(lit("cms"), col("r").cast("string"),
+      lit("|"), col("item"))))
+    .withColumn("c",
+      (Sketches.hexFold32("hh") % graft.queries.Llm.cmsW).cast("int"))
+
+  /** The batch's cell deltas: every 3-shingle occurrence (NOT distinct —
+    * CMS counts frequency) hashed into the d×w grid. */
+  private def cmsDelta(batch: DataFrame): DataFrame =
+    cmsCell(batch
+      .withColumn("toks", expr(graft.queries.Llm.toksExpr))
+      .select(explode(expr(graft.queries.Llm.shingleSparkExpr)).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+      .select(col("item"), col("cnt"),
+        explode(expr(s"sequence(0, ${cmsD - 1})")).as("r")))
+      .groupBy("r", "c").agg(sum("cnt").as("cell"))
+
+  /** Fold one micro-batch into the persisted count-min grid, exactly
+    * once per `batchId` (see the section note). An empty batch still
+    * records its ledger row — "folded and contributed nothing" must
+    * survive a replay too. */
+  def foldCms(batch: DataFrame, batchId: String, statePath: String): Unit = {
+    val spark = batch.sparkSession
+    val hasState = StateStore.exists(spark, cmsPath(statePath))
+    val old =
+      if (hasState) spark.read.parquet(cmsPath(statePath)) else null
+    if (hasState && !old.filter(col("kind") === "batch" &&
+        col("bid") === batchId).isEmpty) return
+    val delta = cmsDelta(batch)
+    val oldCells =
+      if (hasState) old.filter(col("kind") === "cell")
+        .select("r", "c", "cell")
+      else delta.limit(0)
+    val cells = oldCells.unionByName(delta)
+      .groupBy("r", "c").agg(sum("cell").as("cell"))
+      .withColumn("kind", lit("cell"))
+      .withColumn("bid", lit(null).cast("string"))
+    val ledgerRow = spark.range(1).select(
+      lit(null).cast("int").as("r"), lit(null).cast("int").as("c"),
+      lit(null).cast("long").as("cell"), lit("batch").as("kind"),
+      lit(batchId).as("bid"))
+    val ledger =
+      if (hasState) old.filter(col("kind") === "batch").unionByName(ledgerRow)
+      else ledgerRow
+    // summary-sized (≤ d·w cells + one ledger row per fold): one file
+    Sinks.snapshotSwap(cells.unionByName(ledger).repartition(1),
+      cmsPath(statePath), Seq.empty)
+  }
+
+  /** Point-query estimates for a candidate item frame off the persisted
+    * grid: min over the d hashed cells per item. The grid is
+    * summary-sized and rides a broadcast. @return (item, n_est) */
+  def cmsEstimates(spark: SparkSession, statePath: String,
+                   items: DataFrame): DataFrame = {
+    val cells = spark.read.parquet(cmsPath(statePath))
+      .filter(col("kind") === "cell").select("r", "c", "cell")
+    cmsCell(items.select(col("item"),
+        explode(expr(s"sequence(0, ${cmsD - 1})")).as("r")))
+      .join(broadcast(cells), Seq("r", "c"))
+      .groupBy("item").agg(min("cell").as("n_est"))
+  }
+
   /** Per-source cardinality estimates off the persisted summaries —
     * no corpus access at all. @return (source, est_kmv, est_hll) */
   def report(spark: SparkSession, statePath: String): DataFrame = {

@@ -39,6 +39,37 @@ class SketchStreamSpec extends SparkSpec {
     assert(reportOf(split) == a, "replay changed the report")
   }
 
+  test("CMS fold is exactly-once by batch id; ledger swaps with the counters") {
+    val split = java.nio.file.Files.createTempDirectory("cms_split").toString
+    SketchStream.foldCms(docs.filter(col("doc_id") < 250), "a", split)
+    SketchStream.foldCms(docs.filter(col("doc_id") >= 250), "b", split)
+    val whole = java.nio.file.Files.createTempDirectory("cms_whole").toString
+    SketchStream.foldCms(docs, "all", whole)
+    def cells(state: String): Map[(Int, Int), Long] =
+      spark.read.parquet(s"$state/cms").filter(col("kind") === "cell")
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val grid = cells(split)
+    // cell-wise sums are exact BIGINTs: two ledgered folds == one build
+    assert(grid == cells(whole), "streamed grid != batch grid")
+
+    // a REDELIVERED batch id is absorbed before any work
+    SketchStream.foldCms(docs.filter(col("doc_id") < 250), "a", split)
+    assert(cells(split) == grid, "redelivered batch id was re-folded")
+    // ...but the protection is the id, not the content: the same rows
+    // under a NEW id double-count — the documented contract (foreachBatch
+    // redelivers with the SAME id)
+    SketchStream.foldCms(docs.filter(col("doc_id") < 250), "a2", split)
+    assert(cells(split) != grid,
+      "distinct ids must fold independently (merge is non-absorbing)")
+
+    // counters and ledger live in ONE snapshot frame — the atomic swap
+    // can never publish one without the other
+    val bids = spark.read.parquet(s"$split/cms")
+      .filter(col("kind") === "batch").select("bid")
+      .collect().map(_.getString(0)).toSet
+    assert(bids == Set("a", "b", "a2"))
+  }
+
   test("estimates track the growing corpus monotonically in coverage") {
     val state = java.nio.file.Files.createTempDirectory("sk_grow").toString
     SketchStream.foldBatch(docs.filter(col("doc_id") < 100), state)
