@@ -4126,6 +4126,106 @@ object Llm {
     },
     Some(cmsOracleSql))
 
+  // ---- PageRank centrality over the near-dup graph ---------------------
+  // The iterative-graph-fixpoint family (beyond q73's transitive
+  // closure): power-iteration PageRank (Brin & Page 1998; damping 0.85,
+  // dangling mass redistributed uniformly) over the q79 simhash
+  // candidate graph — a curation signal ranking documents by how
+  // centrally they sit in the near-dup neighborhood. Deterministic
+  // cross-engine because ranks live on a 1e-9 integer grid: every
+  // division (contribution r/deg, dangling share, the damped update) is
+  // ONE IEEE op on exact BIGINTs rounded straight back to the grid, and
+  // every per-node inflow is an exact integer sum — the oracle unrolls
+  // the three iterations as a CTE chain.
+  //
+  // Scale shape: edges come from the banded candidate join (never
+  // all-pairs); an iteration is two keyed joins plus one keyed
+  // aggregation — edge- and node-sized shuffles, no broadcast mandate on
+  // anything corpus-sized; the dangling mass is a collapsed 1-row
+  // scalar riding a broadcast; the rank frame is staged per iteration
+  // so plans stay bounded.
+  private val prIters = 3
+
+  private def prIterSql(i: Int): String = {
+    val p = i - 1
+    s"""g$i AS (SELECT coalesce(CAST(sum(r.r) AS BIGINT), 0) AS dang
+              FROM r$p r LEFT JOIN og ON og.src = r.doc_id
+              WHERE og.src IS NULL),
+            c$i AS (SELECT e.dst,
+                CAST(round(CAST(r.r AS DOUBLE) / o.deg) AS BIGINT) AS w
+              FROM ed e JOIN r$p r ON r.doc_id = e.src
+              JOIN og o ON o.src = e.src),
+            i$i AS (SELECT dst, CAST(sum(w) AS BIGINT) AS w
+              FROM c$i GROUP BY dst),
+            r$i AS (SELECT d.doc_id,
+                CAST(round(0.15 * 1000000000.0 / nd) AS BIGINT)
+                + CAST(round(0.85 * (coalesce(i.w, 0)
+                    + CAST(round(CAST(g.dang AS DOUBLE) / nd) AS BIGINT)))
+                  AS BIGINT) AS r
+              FROM documents d LEFT JOIN i$i i ON i.dst = d.doc_id
+              CROSS JOIN nn CROSS JOIN g$i g)"""
+  }
+
+  private val pagerank = Q(
+    "q131_pagerank",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Staging.stage(
+        simhashBandPairs(Staging.stage(simhashFrame(s, dir, 32)), 8, 4, 6)
+          .select("doc_a", "doc_b"))
+      val edges = Staging.stage(
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionByName(
+            pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+      val outd = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val nodes = Staging.stage(docs.select("doc_id"))
+      val ndv = nodes.agg(count(lit(1)).as("nd"))
+      var r = Staging.stage(nodes.crossJoin(broadcast(ndv))
+        .select(col("doc_id"),
+          round(lit(1e9) / col("nd")).cast("long").as("r")))
+      for (_ <- 1 to prIters) {
+        val dang = r.join(outd, r("doc_id") === outd("src"), "left_anti")
+          .agg(coalesce(sum("r"), lit(0L)).as("dang"))
+        val inflow = edges
+          .join(r, edges("src") === r("doc_id"))
+          .join(outd, Seq("src"))
+          .select(col("dst"),
+            round(col("r").cast("double") / col("deg")).cast("long").as("w"))
+          .groupBy("dst").agg(sum("w").cast("long").as("w"))
+        r = Staging.stage(nodes
+          .join(inflow, nodes("doc_id") === inflow("dst"), "left")
+          .crossJoin(broadcast(ndv)).crossJoin(broadcast(dang))
+          .select(nodes("doc_id"),
+            (round(lit(0.15) * lit(1e9) / col("nd")).cast("long") +
+              round(lit(0.85) * (coalesce(col("w"), lit(0L)) +
+                round(col("dang").cast("double") / col("nd")).cast("long")))
+                .cast("long")).as("r")))
+      }
+      // 9 dp recovers the 1e-9 grid point exactly — an 8 dp emission
+      // would sit ON the .5 boundary for odd grid values and diverge
+      // between decimal (Spark) and binary (DuckDB) rounding
+      r.select(col("doc_id"),
+          round(col("r").cast("double") / lit(1e9), 9).as("pr"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ${simhashSqlCte(32)},
+            jp AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sim a JOIN sim b ON a.lang = b.lang AND a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+            ed AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+              UNION ALL SELECT doc_b AS src, doc_a AS dst FROM jp),
+            og AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+              FROM ed GROUP BY src),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+            r0 AS (SELECT doc_id,
+                CAST(round(1000000000.0 / nd) AS BIGINT) AS r
+              FROM documents, nn),
+            ${(1 to prIters).map(prIterSql).mkString(",\n            ")}
+            SELECT doc_id,
+              round(CAST(r AS DOUBLE) / 1000000000.0, 9) AS pr
+            FROM r$prIters ORDER BY doc_id"""))
+
   val queries: Seq[Q] = Seq(
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
     minhashSignatures, minhashPairs, jaccardPairs, simhash, simhashPairs,
@@ -4145,5 +4245,5 @@ object Llm {
     unigramPruned, unigramSoftEm, unigramSampled,
     kmvDistinct, kmvJaccard, hllDistinct, cmsHeavy,
     wordpieceMerges, wordpieceEncode, annIncremental, sketchIncremental,
-    bm25TopK, bm25Incremental, cmsIncremental)
+    bm25TopK, bm25Incremental, cmsIncremental, pagerank)
 }

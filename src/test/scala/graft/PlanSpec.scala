@@ -502,6 +502,24 @@ class PlanSpec extends SparkSpec {
       s"anti-join must stay keyed on doc_id:\n$p")
   }
 
+  test("q131 pagerank conserves mass, stays keyed, and pays dangling nodes") {
+    val df = q("q131_pagerank")
+    val rows = df.collect()
+    val mass = rows.map(_.getDouble(1)).sum
+    // base 0.15/N + damped inflow + uniform dangling share: the grid
+    // rounding drifts at most ~0.5e-9 per node per iteration
+    assert(math.abs(mass - 1.0) < 1e-5, s"rank mass $mass drifted from 1")
+    assert(rows.forall(_.getDouble(1) > 0), "every node holds positive rank")
+    // isolated docs (no near-dup edges) all receive the identical
+    // floor rank; connected docs can only sit at or above it
+    val floor = rows.map(_.getDouble(1)).min
+    assert(rows.count(_.getDouble(1) == floor) > 1,
+      "expected a shared floor rank across isolated docs")
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct"),
+      s"pagerank iterations must stay keyed:\n$p")
+  }
+
   test("q128 BM25 broadcasts the query workload; workload pick takes ordered") {
     // The postings cut must ride a broadcast of the 10-term workload —
     // a shuffle join there would re-shuffle every posting in the corpus
