@@ -20,19 +20,21 @@ import org.apache.spark.sql.functions._
 object Bm25 {
 
   /** The five two-term queries of the data-derived workload: terms at
-    * df ranks 11–15 pair with ranks 31–35 (frequent enough to match at
-    * every SF, rare enough to rank; ties break on the term). The top-35
-    * cut is orderBy+limit — TakeOrderedAndProject, never a global sort
-    * of the Heaps-law vocabulary; the rank window runs on the 35-row
-    * cut. @param dfTab (term, df); @param scalars 1 row (nd, sumdl)
+    * df ranks 11–15 pair with ranks 21–25 (frequent enough to match at
+    * every SF, rare enough to rank; ties break on the term; both bands
+    * exist in the shipped fixtures' 31-type vocabulary, so every query
+    * genuinely exercises the two-term score summation). The top-25 cut
+    * is orderBy+limit — TakeOrderedAndProject, never a global sort of
+    * the Heaps-law vocabulary; the rank window runs on the 25-row cut.
+    * @param dfTab (term, df); @param scalars 1 row (nd, sumdl)
     * @return (query_id, term, idf_fp, nd, sumdl) — 10 rows */
   def workload(dfTab: DataFrame, scalars: DataFrame): DataFrame = {
-    val wq = Window.orderBy(col("df").desc, col("term")) // 35-row frame
-    dfTab.orderBy(col("df").desc, col("term")).limit(35)
+    val wq = Window.orderBy(col("df").desc, col("term")) // 25-row frame
+    dfTab.orderBy(col("df").desc, col("term")).limit(25)
       .withColumn("r", row_number().over(wq))
-      .filter(col("r").between(11, 15) || col("r").between(31, 35))
+      .filter(col("r").between(11, 15) || col("r").between(21, 25))
       .withColumn("query_id",
-        when(col("r") <= 15, col("r") - 11).otherwise(col("r") - 31)
+        when(col("r") <= 15, col("r") - 11).otherwise(col("r") - 21)
           .cast("long"))
       .crossJoin(broadcast(scalars))
       .withColumn("idf_fp",

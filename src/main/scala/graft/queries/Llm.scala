@@ -3550,8 +3550,11 @@ object Llm {
   // the engine's sketch construction bit-for-bit (the md5 digit-fold
   // hash makes every register/rank/bucket identical cross-engine) while
   // the exact column documents the estimate's quality on the fixture.
-  private val kmvK = 256
-  private val hllP = 9 // 512 registers
+  // shared with streaming/SketchStream — the streamed state and these
+  // oracle-generating constants must agree or the driver gate diverges
+  private[graft] val kmvK = 256
+  private[graft] val hllP = 9 // 512 registers
+  private[graft] val cmsD = 4
   private[graft] val cmsW = 8192
   private val cmsTopN = 40
 
@@ -3765,11 +3768,12 @@ object Llm {
           md5(concat(lit("cms"), col("r").cast("string"), lit("|"), col("item"))))
         .withColumn("c", (graft.llm.Sketches.hexFold32("hh") % cmsW).cast("int"))
       val cells = cellOf(counts
-        .select(col("item"), col("cnt"), explode(expr("sequence(0, 3)")).as("r")))
+        .select(col("item"), col("cnt"),
+          explode(expr(s"sequence(0, ${cmsD - 1})")).as("r")))
         .groupBy("r", "c").agg(sum("cnt").as("cell"))
       val top = counts.orderBy(col("cnt").desc, col("item")).limit(cmsTopN)
       cellOf(top.select(col("item"), col("cnt").as("n_true"),
-          explode(expr("sequence(0, 3)")).as("r")))
+          explode(expr(s"sequence(0, ${cmsD - 1})")).as("r")))
         .join(broadcast(cells), Seq("r", "c"))
         .groupBy("item", "n_true").agg(min("cell").as("n_est"))
         .orderBy("item")
@@ -3782,7 +3786,7 @@ object Llm {
               FROM (SELECT unnest($shingleSql) AS item FROM cts)
               GROUP BY item),
             cce AS (SELECT item, cnt, r FROM ctc,
-              LATERAL unnest(generate_series(0, 3)) AS tt(r)),
+              LATERAL unnest(generate_series(0, ${cmsD - 1})) AS tt(r)),
             cch AS (SELECT item, cnt, r,
                 md5('cms' || CAST(r AS VARCHAR) || '|' || item) AS hh
               FROM cce),
@@ -4003,7 +4007,7 @@ object Llm {
   // weight never goes negative) and return the top-k per query. The
   // query workload is data-derived and deterministic: five two-term
   // queries built from mid-df-rank terms (ranks 11-15 paired with
-  // 31-35; frequent enough to match at every SF, rare enough to rank).
+  // 21-25; frequent enough to match at every SF, rare enough to rank).
   //
   // Scale shape: the ONE corpus-wide pass is the df aggregation (output
   // Heaps-law bounded); the workload pick is orderBy+limit — Spark
@@ -4047,13 +4051,13 @@ object Llm {
                      CAST(sum(len(tk)) AS BIGINT) AS sumdl FROM tl),
             dfr AS (SELECT term, df,
                       row_number() OVER (ORDER BY df DESC, term) AS r
-                    FROM dfv QUALIFY r <= 35),
+                    FROM dfv QUALIFY r <= 25),
             qt AS (SELECT CAST(CASE WHEN r <= 15 THEN r - 11
-                     ELSE r - 31 END AS BIGINT) AS query_id, term, df,
+                     ELSE r - 21 END AS BIGINT) AS query_id, term, df,
                      CAST(round(ln((nd - df + 0.5) / (df + 0.5) + 1.0)
                        * 10000000.0) AS BIGINT) AS idf_fp, nd, sumdl
                    FROM dfr CROSS JOIN gs
-                   WHERE (r BETWEEN 11 AND 15) OR (r BETWEEN 31 AND 35)),
+                   WHERE (r BETWEEN 11 AND 15) OR (r BETWEEN 21 AND 25)),
             tf AS (SELECT q.query_id, q.term, x.doc_id, x.dl, q.idf_fp,
                      q.nd, q.sumdl, count(*) AS tf
                    FROM tx x JOIN qt q USING (term)
@@ -4177,7 +4181,8 @@ object Llm {
         pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .unionByName(
             pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
-      val outd = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val outd = Staging.stage(
+        edges.groupBy("src").agg(count(lit(1)).as("deg")))
       val nodes = Staging.stage(docs.select("doc_id"))
       val ndv = nodes.agg(count(lit(1)).as("nd"))
       var r = Staging.stage(nodes.crossJoin(broadcast(ndv))

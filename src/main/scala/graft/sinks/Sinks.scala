@@ -56,6 +56,7 @@ object Sinks {
     val tmp = new Path(path + "__tmp")
     val live = new Path(path)
     val old = new Path(path + "__old")
+    recoverSwap(spark, path) // heal a predecessor's rename-window crash
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmp.toString)
@@ -173,6 +174,31 @@ object Sinks {
                            src: Path, dst: Path): Unit =
     if (!fs.rename(src, dst))
       throw new java.io.IOException(s"rename failed: $src -> $dst")
+
+  /** Heal [[snapshotSwap]]'s one non-atomic window: a crash between the
+    * `live → __old` and `__tmp → live` renames leaves NO live dir, with
+    * the pre-swap snapshot intact in `__old` — a reader that treats the
+    * missing dir as "no state yet" would silently restart from empty
+    * (fatal for non-rederivable state like the CMS ledger). Restore the
+    * PRE-swap snapshot: the crashed fold never acknowledged, so the
+    * at-least-once driver replays it against the restored state; the
+    * complete-but-unpublished `__tmp` is discarded, never adopted —
+    * "both or neither" means neither here. A no-op whenever `path`
+    * exists (any `__old`/`__tmp` remnants there are a finished swap's,
+    * cleaned by the next one). Swap call sites run this implicitly;
+    * READERS of swap-published state that treat absence as empty should
+    * run it before the existence probe. */
+  def recoverSwap(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val live = new Path(path)
+    val old = new Path(path + "__old")
+    val tmp = new Path(path + "__tmp")
+    if (!fs.exists(live) && fs.exists(old)) {
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      renameOrFail(fs, old, live)
+    }
+  }
 
   /** Crash-consistent publish of staged partition directories into a live
     * partitioned snapshot — the commit protocol of the partition-scoped

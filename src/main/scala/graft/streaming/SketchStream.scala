@@ -27,8 +27,10 @@ object SketchStream {
 
   private def kminPath(state: String) = s"$state/kmin"
   private def hllPath(state: String) = s"$state/hll"
-  private val kmvK = 256
-  private val hllP = 9
+  // ONE definition with the oracle-generating batch queries — retuning
+  // either side alone would silently diverge the driver gate
+  private val kmvK = graft.queries.Llm.kmvK
+  private val hllP = graft.queries.Llm.hllP
 
   /** The delta's (source, h) distinct hash rows — the q120 hashing path
     * applied to a batch's 3-word shingles. */
@@ -83,12 +85,15 @@ object SketchStream {
   // folds above. The fold is therefore EXACTLY-ONCE by construction: the
   // snapshot carries a ledger of folded batch ids IN THE SAME FRAME as
   // the counters, published through one atomic swap — counters and
-  // ledger can never diverge (a crash publishes both or neither), and a
+  // ledger can never diverge (a crash publishes both or neither; the
+  // swap's one rename window, where the live dir is briefly absent with
+  // the pre-swap snapshot in __old, is healed by Sinks.recoverSwap
+  // before any existence probe — see StateStore.exists), and a
   // redelivered batch id is skipped before any work. foreachBatch's
   // batchId is exactly the stable id this needs.
 
   private def cmsPath(state: String) = s"$state/cms"
-  private val cmsD = 4
+  private val cmsD = graft.queries.Llm.cmsD
 
   /** CMS cell assignment of an (item, r) frame — the q123 hashing
     * verbatim (md5("cms" + r + "|" + item) digit-folded mod w). */
@@ -146,6 +151,7 @@ object SketchStream {
     * summary-sized and rides a broadcast. @return (item, n_est) */
   def cmsEstimates(spark: SparkSession, statePath: String,
                    items: DataFrame): DataFrame = {
+    Sinks.recoverSwap(spark, cmsPath(statePath)) // direct read: heal first
     val cells = spark.read.parquet(cmsPath(statePath))
       .filter(col("kind") === "cell").select("r", "c", "cell")
     cmsCell(items.select(col("item"),
@@ -157,6 +163,8 @@ object SketchStream {
   /** Per-source cardinality estimates off the persisted summaries —
     * no corpus access at all. @return (source, est_kmv, est_hll) */
   def report(spark: SparkSession, statePath: String): DataFrame = {
+    Sinks.recoverSwap(spark, kminPath(statePath)) // direct reads: heal first
+    Sinks.recoverSwap(spark, hllPath(statePath))
     val kmin = spark.read.parquet(kminPath(statePath))
     val wn = Window.partitionBy("source").orderBy("h")
     val kmv = kmin.withColumn("rn", row_number().over(wn))

@@ -18,8 +18,19 @@ object StateStore {
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def exists(spark: SparkSession, path: String): Boolean =
+  /** Existence probe with a healing side effect: a crash inside
+    * `snapshotSwap`'s rename window leaves NO live dir with the
+    * pre-swap snapshot in `__old` — without the heal, every caller
+    * that treats absence as "no state yet" would silently restart the
+    * state from empty (fatal for non-rederivable state like the CMS
+    * ledger; silent dup re-admission for the hash stores). Every state
+    * reader in the engine gates on this probe, so healing here covers
+    * them all; the two extra existence checks are a no-op outside the
+    * crash shape. */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    graft.sinks.Sinks.recoverSwap(spark, path)
     fs(spark, path).exists(new Path(path))
+  }
 
   /** Does `path` hold the bucketed (partition-dir) layout? One listing,
     * not a schema inference — this runs on every fold. */

@@ -70,6 +70,36 @@ class SketchStreamSpec extends SparkSpec {
     assert(bids == Set("a", "b", "a2"))
   }
 
+  test("a crash inside the swap's rename window loses nothing: replay converges") {
+    // the one non-atomic shape snapshotSwap can leave: live dir absent,
+    // pre-swap snapshot in __old, the crashed fold's complete-but-
+    // unpublished output in __tmp. Without recovery the next fold would
+    // silently restart the grid AND the ledger from empty.
+    val state = java.nio.file.Files.createTempDirectory("cms_crash").toString
+    SketchStream.foldCms(docs.filter(col("doc_id") < 250), "a", state)
+    val afterA = java.nio.file.Files.createTempDirectory("cms_ref").toString
+    // reference: the clean two-fold end state
+    SketchStream.foldCms(docs.filter(col("doc_id") < 250), "a", afterA)
+    SketchStream.foldCms(docs.filter(col("doc_id") >= 250), "b", afterA)
+    def cells(st: String): Map[(Int, Int), Long] =
+      spark.read.parquet(s"$st/cms").filter(col("kind") === "cell")
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // simulate fold "b" dying mid-swap: live -> __old done, tmp -> live not
+    val dir = java.nio.file.Paths.get(state, "cms")
+    val old = java.nio.file.Paths.get(state, "cms__old")
+    val tmp = java.nio.file.Paths.get(state, "cms__tmp")
+    java.nio.file.Files.move(dir, old)
+    java.nio.file.Files.createDirectory(tmp) // torn remnant, must be discarded
+    // the at-least-once driver replays fold "b": heal + fold
+    SketchStream.foldCms(docs.filter(col("doc_id") >= 250), "b", state)
+    assert(cells(state) == cells(afterA),
+      "crash-window replay did not converge to the clean end state")
+    val bids = spark.read.parquet(s"$state/cms")
+      .filter(col("kind") === "batch").select("bid")
+      .collect().map(_.getString(0)).toSet
+    assert(bids == Set("a", "b"), s"ledger lost history: $bids")
+  }
+
   test("estimates track the growing corpus monotonically in coverage") {
     val state = java.nio.file.Files.createTempDirectory("sk_grow").toString
     SketchStream.foldBatch(docs.filter(col("doc_id") < 100), state)
