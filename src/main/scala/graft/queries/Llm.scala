@@ -4231,6 +4231,110 @@ object Llm {
               round(CAST(r AS DOUBLE) / 1000000000.0, 9) AS pr
             FROM r$prIters ORDER BY doc_id"""))
 
+  // ---- PCA over the embedding corpus ----------------------------------
+  // The dimensionality lens of the embedding family (llm/Pca): ONE
+  // corpus pass accumulates the 64×64 Gram + mean moments through a
+  // typed map-side-combining Aggregator (only ~33 KB buffers cross the
+  // shuffle, whatever the corpus), then everything else is
+  // DIMENSION-bounded driver math — covariance, 48 fixed power
+  // iterations from the all-ones direction, sign pinned by the
+  // largest-|loading| dimension. The oracle replays the training
+  // end-to-end: moments via an unnest self-join, the covariance, and
+  // the 48 iterations as an unrolled CTE chain (the q111 trained-model
+  // discipline). Fixed iteration count, NOT convergence-tested — a
+  // data-dependent stop could not be replayed; the 48-step iterate
+  // from a pinned start IS the defined statistic, exactly like q99's
+  // fixed k-means iterations.
+  private def pcaChainSql: String = {
+    val d = graft.llm.Pca.dim
+    val iters = (1 to graft.llm.Pca.powerIters).map { t =>
+      s"""w$t AS MATERIALIZED (SELECT cv.i AS i, sum(cv.c * p.v) AS w
+              FROM cv JOIN v${t - 1} p ON p.i = cv.j GROUP BY cv.i),
+            v$t AS MATERIALIZED (SELECT i,
+                w / sqrt((SELECT sum(w * w) FROM w$t)) AS v FROM w$t)"""
+    }.mkString(",\n            ")
+    val T = graft.llm.Pca.powerIters
+    // MATERIALIZED: DuckDB inlines CTEs by default, and the iteration
+    // chain references cv (→ the embeddings scan) once per step —
+    // inlined, that is 48 re-scans and an open-file blowup.
+    s"""el AS MATERIALIZED (SELECT vec_id,
+              CAST(unnest(embedding) AS DOUBLE) AS x,
+              generate_subscripts(embedding, 1) - 1 AS i FROM embeddings),
+            nn AS MATERIALIZED (SELECT count(*) AS n FROM embeddings),
+            mn AS MATERIALIZED (SELECT i, sum(x) / (SELECT n FROM nn) AS m
+              FROM el GROUP BY i),
+            gr AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+                sum(a.x * b.x) AS g
+              FROM el a JOIN el b USING (vec_id) GROUP BY a.i, b.i),
+            cv AS MATERIALIZED (SELECT g.i, g.j,
+                g.g / (SELECT n FROM nn) - ma.m * mb.m AS c
+              FROM gr g JOIN mn ma ON ma.i = g.i JOIN mn mb ON mb.i = g.j),
+            v0 AS (SELECT CAST(t.r AS INT) AS i, 1.0 / sqrt($d.0) AS v
+              FROM range($d) t(r)),
+            $iters,
+            sp AS (SELECT CASE WHEN (SELECT v FROM v$T
+                  ORDER BY abs(v) DESC, i LIMIT 1) < 0
+                THEN -1.0 ELSE 1.0 END AS s),
+            vf AS MATERIALIZED (SELECT i, v * (SELECT s FROM sp) AS v
+              FROM v$T)"""
+  }
+
+  private def round6(c: Column): Column = round(c, 6)
+
+  private val pcaLoadings = Q(
+    "q132_pca_loadings",
+    (s, dir) => {
+      val m = graft.llm.Pca.moments(t(s, dir, "embeddings"), "embedding")
+      val (_, v, lam, evr) = graft.llm.Pca.principal(m)
+      // the fitted model IS the result — dimension-bounded (64 rows),
+      // the same bounded-model materialization as trained centroids
+      import s.implicits._
+      v.toSeq.zipWithIndex
+        .map { case (x, i) => (i.toLong, x) }
+        .toDF("dim", "raw")
+        .select(col("dim"), round6(col("raw")).as("loading"),
+          round(lit(lam), 4).as("eigval"), round(lit(evr), 6).as("evr"))
+        .orderBy("dim")
+    },
+    Some(s"""WITH $pcaChainSql,
+            lam AS (SELECT sum(va.v * cv.c * vb.v) AS l
+              FROM cv JOIN vf va ON va.i = cv.i JOIN vf vb ON vb.i = cv.j),
+            tr AS (SELECT sum(c) AS t FROM cv WHERE i = j)
+            SELECT CAST(i AS BIGINT) AS dim, round(v, 6) AS loading,
+              round((SELECT l FROM lam), 4) AS eigval,
+              round((SELECT l FROM lam) / (SELECT t FROM tr), 6) AS evr
+            FROM vf ORDER BY dim"""))
+
+  // PC1 projection — the trained direction APPLIED at corpus scale: the
+  // mean and loadings ride into a single map-only scan as literal
+  // arrays (no join, no shuffle before the top-k cut, which is
+  // orderBy+limit = TakeOrderedAndProject). Scores are rounded BEFORE
+  // the rank cut so the orderings agree cross-engine.
+  private val pcaProject = Q(
+    "q133_pca_project",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val m = graft.llm.Pca.moments(emb, "embedding")
+      val (mean, v, _, _) = graft.llm.Pca.principal(m)
+      val center = mean.zip(v).map { case (a, b) => a * b }.sum
+      // Double.toString round-trips, so the literal array is exact
+      val vsql = v.map(x => s"${x}D").mkString(", ")
+      emb.select(col("vec_id"), col("label"),
+          round6(expr(s"aggregate(zip_with(embedding, array($vsql), " +
+              "(x, w) -> CAST(x AS DOUBLE) * w), 0D, (acc, y) -> acc + y)")
+            - lit(center)).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(20)
+    },
+    Some(s"""WITH $pcaChainSql,
+            ctr AS (SELECT sum(m.m * f.v) AS c
+              FROM mn m JOIN vf f ON f.i = m.i),
+            sc AS (SELECT e.vec_id,
+                round(sum(e.x * f.v) - (SELECT c FROM ctr), 6) AS score
+              FROM el e JOIN vf f ON f.i = e.i GROUP BY e.vec_id)
+            SELECT s.vec_id, b.label, s.score
+            FROM sc s JOIN embeddings b USING (vec_id)
+            ORDER BY s.score DESC, s.vec_id LIMIT 20"""))
+
   val queries: Seq[Q] = Seq(
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
     minhashSignatures, minhashPairs, jaccardPairs, simhash, simhashPairs,
@@ -4250,5 +4354,6 @@ object Llm {
     unigramPruned, unigramSoftEm, unigramSampled,
     kmvDistinct, kmvJaccard, hllDistinct, cmsHeavy,
     wordpieceMerges, wordpieceEncode, annIncremental, sketchIncremental,
-    bm25TopK, bm25Incremental, cmsIncremental, pagerank)
+    bm25TopK, bm25Incremental, cmsIncremental, pagerank,
+    pcaLoadings, pcaProject)
 }
