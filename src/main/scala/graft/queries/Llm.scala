@@ -4335,6 +4335,28 @@ object Llm {
             FROM sc s JOIN embeddings b USING (vec_id)
             ORDER BY s.score DESC, s.vec_id LIMIT 20"""))
 
+  // Streaming moments made driver-visible: two streamed folds into the
+  // summary-sized moment state (streaming/PcaStream — d·d + d + 1
+  // cells whatever the corpus, exactly-once via the in-frame batch
+  // ledger) must answer the SAME loadings as the batch q132 over the
+  // whole table, which is what the oracle retrains from scratch.
+  private val pcaIncremental = Q(
+    "q134_incremental_pca",
+    (s, dir) => {
+      val state = java.nio.file.Files
+        .createTempDirectory("graft_q134_state").toString
+      val emb = t(s, dir, "embeddings")
+      graft.streaming.PcaStream.foldBatch(
+        emb.filter(col("vec_id") < 250), "embedding", "b0", state)
+      graft.streaming.PcaStream.foldBatch(
+        emb.filter(col("vec_id") >= 250), "embedding", "b1", state)
+      // a redelivery must be absorbed by the ledger, not double-counted
+      graft.streaming.PcaStream.foldBatch(
+        emb.filter(col("vec_id") < 250), "embedding", "b0", state)
+      graft.streaming.PcaStream.report(s, state)
+    },
+    pcaLoadings.oracle)
+
   val queries: Seq[Q] = Seq(
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
     minhashSignatures, minhashPairs, jaccardPairs, simhash, simhashPairs,
@@ -4355,5 +4377,5 @@ object Llm {
     kmvDistinct, kmvJaccard, hllDistinct, cmsHeavy,
     wordpieceMerges, wordpieceEncode, annIncremental, sketchIncremental,
     bm25TopK, bm25Incremental, cmsIncremental, pagerank,
-    pcaLoadings, pcaProject)
+    pcaLoadings, pcaProject, pcaIncremental)
 }
