@@ -81,11 +81,16 @@ object Pca {
     override def outputEncoder: Encoder[Moments] = ExpressionEncoder()
   }
 
+  /** The one corpus-sized stage as a 1-row frame: scan → partial agg →
+    * final agg, nothing else (plan pinned by PlanSpec). */
+  def momentsFrame(emb: DataFrame, vecCol: String): DataFrame = {
+    val agg = udaf(new MomentsAgg, ExpressionEncoder[Array[Float]]())
+    emb.select(agg(col(vecCol)).as("m"))
+  }
+
   /** Collect the corpus moments of `emb` (one Array[Float] column). */
   def moments(emb: DataFrame, vecCol: String): Moments = {
-    import emb.sparkSession.implicits._
-    val agg = udaf(new MomentsAgg, ExpressionEncoder[Array[Float]]())
-    val row = emb.select(agg(col(vecCol)).as("m")).head()
+    val row = momentsFrame(emb, vecCol).head()
     val m = row.getStruct(0)
     Moments(m.getSeq[Double](0).toArray, m.getSeq[Double](1).toArray,
       m.getLong(2))

@@ -4357,6 +4357,96 @@ object Llm {
     },
     pcaLoadings.oracle)
 
+  // ---- corpus profiling -----------------------------------------------
+  // The data-quality census a 100 TB ingest runs before anything else:
+  // per-column null counts, exact distinct counts, numeric ranges and
+  // string length means, in ONE aggregation pass (the multi-distinct
+  // expands the scan k-ways inside a single shuffle — the standard
+  // profile trade; swap count_distinct for approx_count_distinct when
+  // the census is advisory). The single-row aggregate is then unpivoted
+  // driver-free via a 5-way select over the 1-row frame.
+  private val profileCensus = Q(
+    "q135_profile",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+      val nums = Set("doc_id", "n_chars")
+      val aggs = count(lit(1)).as("n") +: cols.flatMap { c =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
+          count_distinct(col(c)).as(s"${c}_nd")) ++
+          (if (nums(c)) Seq(
+            min(col(c)).cast("double").as(s"${c}_mn"),
+            max(col(c)).cast("double").as(s"${c}_mx"))
+          else Seq(round(avg(length(col(c))), 6).as(s"${c}_al")))
+      }
+      val one = d.agg(aggs.head, aggs.tail: _*)
+      cols.map { c =>
+        one.select(lit(c).as("col_name"), col("n").as("n_rows"),
+          col(s"${c}_nn").as("n_null"), col(s"${c}_nd").as("n_distinct"),
+          (if (nums(c)) col(s"${c}_mn") else lit(null).cast("double"))
+            .as("min_num"),
+          (if (nums(c)) col(s"${c}_mx") else lit(null).cast("double"))
+            .as("max_num"),
+          (if (nums(c)) lit(null).cast("double") else col(s"${c}_al"))
+            .as("avg_len"))
+      }.reduce(_ unionByName _).orderBy("col_name")
+    },
+    Some(s"""WITH a AS (SELECT count(*) AS n,
+              ${Seq("doc_id", "lang", "n_chars", "source", "text").map { c =>
+      s"""CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${c}_nn,
+              count(DISTINCT $c) AS ${c}_nd,
+              ${if (c == "doc_id" || c == "n_chars")
+        s"CAST(min($c) AS DOUBLE) AS ${c}_mn, CAST(max($c) AS DOUBLE) AS ${c}_mx"
+      else s"round(avg(length($c)), 6) AS ${c}_al"}"""
+    }.mkString(",\n              ")}
+            FROM documents)
+            ${Seq("doc_id", "lang", "n_chars", "source", "text").map { c =>
+      val (mn, mx, al) =
+        if (c == "doc_id" || c == "n_chars")
+          (s"${c}_mn", s"${c}_mx", "CAST(NULL AS DOUBLE)")
+        else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)", s"${c}_al")
+      s"""SELECT '$c' AS col_name, n AS n_rows, ${c}_nn AS n_null,
+              ${c}_nd AS n_distinct, $mn AS min_num, $mx AS max_num,
+              $al AS avg_len FROM a"""
+    }.mkString("\n            UNION ALL\n            ")}
+            ORDER BY col_name"""))
+
+  // ---- Zipf slope fit ---------------------------------------------------
+  // Does the corpus look like natural language? Least-squares slope of
+  // log-frequency on log-rank over the top-100 terms (Zipf's law says
+  // ≈ −1). The corpus-sized stage is one token count; the cut is
+  // orderBy+limit (TakeOrderedAndProject), and the regression runs on
+  // the 100-row frame via covar_pop/var_pop — no collect.
+  private val zipfFit = Q(
+    "q136_zipf_fit",
+    (s, dir) => {
+      val topN = 100
+      val w = Window.orderBy(col("freq").desc, col("token"))
+      val tf = t(s, dir, "documents")
+        .select(explode(expr(toksExpr)).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token")).limit(topN)
+        .withColumn("r", row_number().over(w))
+        .select(log(col("r")).as("lr"), log(col("freq")).as("lf"))
+      tf.agg(count(lit(1)).as("n_terms"),
+          (covar_pop(col("lr"), col("lf")) / var_pop(col("lr"))).as("m"),
+          avg(col("lf")).as("alf"), avg(col("lr")).as("alr"))
+        .select(col("n_terms"), round(col("m"), 6).as("slope"),
+          round(col("alf") - col("m") * col("alr"), 6).as("intercept"))
+    },
+    Some(s"""WITH x AS (SELECT unnest($toksSql) AS token FROM documents),
+            tf AS (SELECT token, count(*) AS freq FROM x GROUP BY token),
+            rk AS (SELECT freq,
+                row_number() OVER (ORDER BY freq DESC, token) AS r
+              FROM tf QUALIFY r <= 100),
+            l AS (SELECT ln(r) AS lr, ln(freq) AS lf FROM rk)
+            SELECT CAST(count(*) AS BIGINT) AS n_terms,
+              round(covar_pop(lr, lf) / var_pop(lr), 6) AS slope,
+              round(avg(lf) - covar_pop(lr, lf) / var_pop(lr) * avg(lr), 6)
+                AS intercept
+            FROM l"""))
+
   val queries: Seq[Q] = Seq(
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
     minhashSignatures, minhashPairs, jaccardPairs, simhash, simhashPairs,
@@ -4377,5 +4467,5 @@ object Llm {
     kmvDistinct, kmvJaccard, hllDistinct, cmsHeavy,
     wordpieceMerges, wordpieceEncode, annIncremental, sketchIncremental,
     bm25TopK, bm25Incremental, cmsIncremental, pagerank,
-    pcaLoadings, pcaProject, pcaIncremental)
+    pcaLoadings, pcaProject, pcaIncremental, profileCensus, zipfFit)
 }

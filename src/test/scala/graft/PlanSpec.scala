@@ -523,7 +523,7 @@ class PlanSpec extends SparkSpec {
   test("q128 BM25 broadcasts the query workload; workload pick takes ordered") {
     // The postings cut must ride a broadcast of the 10-term workload —
     // a shuffle join there would re-shuffle every posting in the corpus
-    // for a 10-row dimension. The workload pick itself (top-35 by df)
+    // for a 10-row dimension. The workload pick itself (top-25 by df)
     // must be a TakeOrderedAndProject, never a global sort of the
     // Heaps-law vocabulary; the per-query top-k must collapse in the
     // bounded-heap aggregator.
@@ -535,5 +535,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian in retrieval:\n$p")
     assert(p.contains("ObjectHashAggregate"),
       s"per-query top-k must heap-aggregate:\n$p")
+  }
+
+  test("q132 PCA moments are ONE pass — a single aggregate, no join, no window") {
+    // q132 itself returns driver-derived loadings (a LocalTableScan);
+    // the corpus-sized stage is the moments frame, so pin THAT plan:
+    // scan → partial agg → final agg and nothing else, with the typed
+    // Aggregator combining map-side so only 33 KB buffers shuffle
+    val emb = graft.queries.Q.t(spark, sf, "embeddings")
+    val p = planOf(graft.llm.Pca.momentsFrame(emb, "embedding"))
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"moments must not join or window the corpus:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"the typed Aggregator must object-hash-aggregate (map-side combine):\n$p")
+    assert(p.contains("partial_momentsagg") || p.contains("partial_"),
+      s"the moments aggregate must have a map-side partial phase:\n$p")
+  }
+
+  test("q133 PCA projection is a map-only scan into TakeOrderedAndProject") {
+    val p = planOf(q("q133_pca_project"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-k cut must take ordered, not globally sort:\n$p")
+    assert(!p.contains("Join"),
+      s"the trained direction rides as a literal array — no join:\n$p")
+  }
+
+  test("q136 zipf fit cuts with TakeOrderedAndProject; regression on the cut") {
+    val p = planOf(q("q136_zipf_fit"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 terms must take ordered over the Heaps-law vocab:\n$p")
   }
 }
