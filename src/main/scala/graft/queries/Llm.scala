@@ -972,7 +972,8 @@ object Llm {
               / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stop_ratio,
           CASE WHEN len(toks) > 0
             THEN CAST(length(array_to_string(toks, '')) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
-            ELSE 0.0 END AS mean_word_len
+            ELSE 0.0 END AS mean_word_len,
+          CAST(len(toks) AS DOUBLE) AS tok_cnt
         FROM qb)"""
 
   private val qualityScore = Q(
@@ -4447,6 +4448,160 @@ object Llm {
                 AS intercept
             FROM l"""))
 
+  // ---- trained quality classifier (logistic regression as oracle rows) --
+  // The model-based filtering tier (CCNet's fastText filter, Llama-style
+  // quality classifiers): label documents with a cheap heuristic, train a
+  // linear model on surface features to generalize it, score the corpus
+  // with the model. Here the teacher is q60's composite quality rule
+  // (label = quality >= 0.62) — heuristic-labels-to-cheap-model is
+  // exactly the production distillation shape, and the teacher's linear
+  // boundary makes convergence VERIFIABLE (training accuracy must climb
+  // from the base rate toward it; x_len is a deliberate distractor the
+  // optimizer has to learn to ignore). All arithmetic lives on exact
+  // integer grids (llm/QualityModel), so the DuckDB oracle replays
+  // standardization + every gradient-descent step bit-exactly as an
+  // unrolled CTE chain — the q99/q111/q116 trained-model-as-oracle-row
+  // discipline applied to supervised training.
+  private val lrFeatNames = Seq("bias", "x_stop", "x_mwl", "x_len")
+  private val lrIters = 8
+  private val lrRate = 2.0
+
+  /** Raw 1e-6-grid features + the heuristic label off [[qualityCols]]:
+    * saturated stopword ratio, saturated mean word length, saturated
+    * token count (the distractor). */
+  private def lrFeatures(s: SparkSession, dir: String): DataFrame =
+    qualityCols(t(s, dir, "documents")).select(col("doc_id"),
+      floor(least(col("stop_ratio") * 4, lit(1.0)) * lit(1000000.0) + lit(0.5))
+        .as("x_stop"),
+      floor(least(col("mean_word_len") / 8, lit(1.0)) * lit(1000000.0) + lit(0.5))
+        .as("x_mwl"),
+      floor(least(col("tok_cnt") / 100, lit(1.0)) * lit(1000000.0) + lit(0.5))
+        .as("x_len"),
+      when(col("quality") >= 0.62, 1L).otherwise(0L).as("y"))
+
+  /** Standardize + train; returns (staged standardized frame, steps). */
+  private def lrTrain(s: SparkSession, dir: String) = {
+    import graft.llm.QualityModel
+    val raw = lrFeatures(s, dir)
+    val cols = Seq("x_stop", "x_mwl", "x_len")
+    val (_, mu, sd) = QualityModel.stats(raw, cols)
+    val st = Staging.stage(QualityModel.standardize(raw, cols, mu, sd))
+    (st, QualityModel.train(st,
+      Seq("xs_bias", "xs_x_stop", "xs_x_mwl", "xs_x_len"), "y", lrRate, lrIters))
+  }
+
+  /** The DuckDB training replay from the feature CTE through `w<iters>`:
+    * one stats CTE pair (integer moments → mu/sigma on the grid), the
+    * standardized frame, then per iteration a sigmoid pass (quantized
+    * 1e-7 on computation), exact-integer gradient sums, and the floored
+    * weight update — each step reading the previous iteration's 1-row
+    * weight CTE. Every rounding is floor(v + 0.5), matching the engine. */
+  private def lrChainSql: String = {
+    val fx = Seq("x_stop", "x_mwl", "x_len")
+    val wc = Seq("wb", "ws", "wm", "wl")
+    val xs = Seq("xs_bias", "xs_stop", "xs_mwl", "xs_len")
+    val stats = fx.zipWithIndex.map { case (c, i) =>
+      s"CAST(sum($c) AS BIGINT) AS s${i + 1}, CAST(sum($c*$c) AS BIGINT) AS q${i + 1}"
+    }.mkString(",\n                ")
+    val mus = fx.indices.map(i =>
+      s"CAST(floor(CAST(s${i + 1} AS DOUBLE)/n + 0.5) AS BIGINT) AS mu${i + 1}")
+      .mkString(",\n                ")
+    val sds = fx.indices.map(i =>
+      s"""greatest(CAST(floor(sqrt(CAST(q${i + 1} - 2*mu${i + 1}*s${i + 1} +
+                mu${i + 1}*mu${i + 1}*n AS DOUBLE)/n) + 0.5) AS BIGINT), 1) AS sd${i + 1}""")
+      .mkString(",\n                ")
+    val zs = fx.zipWithIndex.map { case (c, i) =>
+      s"CAST(floor(CAST(($c - mu${i + 1})*1000000 AS DOUBLE)/sd${i + 1} + 0.5) AS BIGINT) AS xs_${c.stripPrefix("x_")}"
+    }.mkString(",\n                ")
+    val dot = wc.zip(xs).map { case (w, x) => s"w.$w*z.$x" }.mkString(" + ")
+    val iters = (1 to lrIters).map { tt =>
+      val grads = wc.zip(xs).zipWithIndex.map { case ((w, x), j) =>
+        s"CAST(sum((p - y*10000000)*$x) AS BIGINT) AS g$j"
+      }.mkString(",\n                ")
+      val ups = wc.zipWithIndex.map { case (w, j) =>
+        s"""w.$w - CAST(floor($lrRate*(CAST(g.g$j AS DOUBLE)/g.n/1e13)*10000000.0
+                  + 0.5) AS BIGINT) AS $w"""
+      }.mkString(",\n                ")
+      s"""p$tt AS (SELECT z.doc_id, z.y, ${xs.map(x => s"z.$x").mkString(", ")},
+                CAST(floor(10000000.0/(1.0 + exp(-(CAST($dot AS DOUBLE)/1e13)))
+                  + 0.5) AS BIGINT) AS p
+              FROM z, w${tt - 1} w),
+            g$tt AS (SELECT count(*) AS n, $grads,
+                CAST(sum(CASE WHEN (p >= 5000000) = (y = 1) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nc
+              FROM p$tt),
+            w$tt AS (SELECT $ups,
+                g.nc AS nc FROM w${tt - 1} w, g$tt g)"""
+    }.mkString(",\n            ")
+    s"""$qualitySqlCte,
+            f AS (SELECT doc_id,
+                CAST(floor(least(stop_ratio*4, 1.0)*1000000.0 + 0.5) AS BIGINT) AS x_stop,
+                CAST(floor(least(mean_word_len/8, 1.0)*1000000.0 + 0.5) AS BIGINT) AS x_mwl,
+                CAST(floor(least(tok_cnt/100, 1.0)*1000000.0 + 0.5) AS BIGINT) AS x_len,
+                CASE WHEN round(0.4*(1.0 - punct_ratio) +
+                    0.3*least(stop_ratio*4, 1.0) +
+                    0.3*least(mean_word_len/8, 1.0), 6) >= 0.62
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
+              FROM qm),
+            st AS (SELECT count(*) AS n, $stats FROM f),
+            ms AS (SELECT n, s1, q1, s2, q2, s3, q3, $mus FROM st),
+            sg AS (SELECT n, mu1, mu2, mu3, $sds FROM ms),
+            z AS (SELECT doc_id, y, CAST(1000000 AS BIGINT) AS xs_bias, $zs
+              FROM f, sg),
+            w0 AS (SELECT ${wc.map(w => s"CAST(0 AS BIGINT) AS $w").mkString(", ")}),
+            $iters"""
+  }
+
+  private val lrTrainQ = Q(
+    "q137_quality_train",
+    (s, dir) => {
+      import s.implicits._
+      lrTrain(s, dir)._2.flatMap { step =>
+        lrFeatNames.zip(step.w).map { case (f, wu) =>
+          (step.iter.toLong, f, wu, wu.toDouble / 1e7, step.nCorrect)
+        }
+      }.toDF("iter", "feature", "w_units", "weight", "n_correct")
+        .orderBy("iter", "feature")
+    },
+    Some {
+      val wc = Seq("wb", "ws", "wm", "wl")
+      val rows = (1 to lrIters).flatMap { tt =>
+        lrFeatNames.zip(wc).map { case (f, w) =>
+          s"""SELECT CAST($tt AS BIGINT) AS iter, '$f' AS feature,
+              $w AS w_units, CAST($w AS DOUBLE)/10000000.0 AS weight,
+              nc AS n_correct FROM w$tt"""
+        }
+      }.mkString("\n            UNION ALL ")
+      s"""WITH $lrChainSql
+            SELECT * FROM ($rows)
+            ORDER BY iter, feature"""
+    })
+
+  private val lrScoreQ = Q(
+    "q138_quality_score",
+    (s, dir) => {
+      import graft.llm.QualityModel
+      val (st, steps) = lrTrain(s, dir)
+      QualityModel.score(st,
+        Seq("xs_bias", "xs_x_stop", "xs_x_mwl", "xs_x_len"), steps.last.w)
+        .select(col("doc_id"), col("p_units"), col("score"), col("pred"),
+          (col("y") === 1).as("label"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val dot = Seq("wb", "ws", "wm", "wl")
+        .zip(Seq("xs_bias", "xs_stop", "xs_mwl", "xs_len"))
+        .map { case (w, x) => s"w.$w*z.$x" }.mkString(" + ")
+      s"""WITH $lrChainSql,
+            sc AS (SELECT z.doc_id, z.y,
+                CAST(floor(10000000.0/(1.0 + exp(-(CAST($dot AS DOUBLE)/1e13)))
+                  + 0.5) AS BIGINT) AS p
+              FROM z, w$lrIters w)
+            SELECT doc_id, p AS p_units, CAST(p AS DOUBLE)/10000000.0 AS score,
+              p >= 5000000 AS pred, y = 1 AS label
+            FROM sc ORDER BY doc_id"""
+    })
+
   val queries: Seq[Q] = Seq(
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
     minhashSignatures, minhashPairs, jaccardPairs, simhash, simhashPairs,
@@ -4467,5 +4622,6 @@ object Llm {
     kmvDistinct, kmvJaccard, hllDistinct, cmsHeavy,
     wordpieceMerges, wordpieceEncode, annIncremental, sketchIncremental,
     bm25TopK, bm25Incremental, cmsIncremental, pagerank,
-    pcaLoadings, pcaProject, pcaIncremental, profileCensus, zipfFit)
+    pcaLoadings, pcaProject, pcaIncremental, profileCensus, zipfFit,
+    lrTrainQ, lrScoreQ)
 }

@@ -565,4 +565,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"top-100 terms must take ordered over the Heaps-law vocab:\n$p")
   }
+
+  test("q138 classifier scoring is map-only — literal weights, no join") {
+    // training runs eagerly before the frame is built (driver-held
+    // weights, the k-means discipline); the returned corpus-wide scoring
+    // plan must be a scan + projection + sort, never a join or window
+    val p = planOf(q("q138_quality_score"))
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"scoring must ride literal weights:\n$p")
+  }
 }
