@@ -4479,15 +4479,23 @@ object Llm {
         .as("x_len"),
       when(col("quality") >= 0.62, 1L).otherwise(0L).as("y"))
 
-  /** Standardize + train; returns (staged standardized frame, steps). */
-  private def lrTrain(s: SparkSession, dir: String) = {
+  private val lrXsCols = Seq("xs_bias", "xs_x_stop", "xs_x_mwl", "xs_x_len")
+
+  /** Standardize + train on `raw` (a [[lrFeatures]]-shaped frame);
+    * returns (staged standardized frame, steps, mu, sd) — the stats ride
+    * along so a held-out split can be standardized WITH THE TRAINING
+    * SPLIT'S moments (no leakage). */
+  private def lrTrainOn(raw: DataFrame) = {
     import graft.llm.QualityModel
-    val raw = lrFeatures(s, dir)
     val cols = Seq("x_stop", "x_mwl", "x_len")
     val (_, mu, sd) = QualityModel.stats(raw, cols)
     val st = Staging.stage(QualityModel.standardize(raw, cols, mu, sd))
-    (st, QualityModel.train(st,
-      Seq("xs_bias", "xs_x_stop", "xs_x_mwl", "xs_x_len"), "y", lrRate, lrIters))
+    (st, QualityModel.train(st, lrXsCols, "y", lrRate, lrIters), mu, sd)
+  }
+
+  private def lrTrain(s: SparkSession, dir: String) = {
+    val (st, steps, _, _) = lrTrainOn(lrFeatures(s, dir))
+    (st, steps)
   }
 
   /** The DuckDB training replay from the feature CTE through `w<iters>`:
@@ -4495,8 +4503,10 @@ object Llm {
     * standardized frame, then per iteration a sigmoid pass (quantized
     * 1e-7 on computation), exact-integer gradient sums, and the floored
     * weight update — each step reading the previous iteration's 1-row
-    * weight CTE. Every rounding is floor(v + 0.5), matching the engine. */
-  private def lrChainSql: String = {
+    * weight CTE. Every rounding is floor(v + 0.5), matching the engine.
+    * `cond` restricts the TRAINING rows (q139's hash split); `f0` always
+    * carries the full feature table so the complement stays reachable. */
+  private def lrChainSql(cond: String = "TRUE"): String = {
     val fx = Seq("x_stop", "x_mwl", "x_len")
     val wc = Seq("wb", "ws", "wm", "wl")
     val xs = Seq("xs_bias", "xs_stop", "xs_mwl", "xs_len")
@@ -4534,7 +4544,7 @@ object Llm {
                 g.nc AS nc FROM w${tt - 1} w, g$tt g)"""
     }.mkString(",\n            ")
     s"""$qualitySqlCte,
-            f AS (SELECT doc_id,
+            f0 AS (SELECT doc_id,
                 CAST(floor(least(stop_ratio*4, 1.0)*1000000.0 + 0.5) AS BIGINT) AS x_stop,
                 CAST(floor(least(mean_word_len/8, 1.0)*1000000.0 + 0.5) AS BIGINT) AS x_mwl,
                 CAST(floor(least(tok_cnt/100, 1.0)*1000000.0 + 0.5) AS BIGINT) AS x_len,
@@ -4543,6 +4553,7 @@ object Llm {
                     0.3*least(mean_word_len/8, 1.0), 6) >= 0.62
                   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
               FROM qm),
+            f AS (SELECT * FROM f0 WHERE $cond),
             st AS (SELECT count(*) AS n, $stats FROM f),
             ms AS (SELECT n, s1, q1, s2, q2, s3, q3, $mus FROM st),
             sg AS (SELECT n, mu1, mu2, mu3, $sds FROM ms),
@@ -4572,7 +4583,7 @@ object Llm {
               nc AS n_correct FROM w$tt"""
         }
       }.mkString("\n            UNION ALL ")
-      s"""WITH $lrChainSql
+      s"""WITH ${lrChainSql()}
             SELECT * FROM ($rows)
             ORDER BY iter, feature"""
     })
@@ -4592,7 +4603,7 @@ object Llm {
       val dot = Seq("wb", "ws", "wm", "wl")
         .zip(Seq("xs_bias", "xs_stop", "xs_mwl", "xs_len"))
         .map { case (w, x) => s"w.$w*z.$x" }.mkString(" + ")
-      s"""WITH $lrChainSql,
+      s"""WITH ${lrChainSql()},
             sc AS (SELECT z.doc_id, z.y,
                 CAST(floor(10000000.0/(1.0 + exp(-(CAST($dot AS DOUBLE)/1e13)))
                   + 0.5) AS BIGINT) AS p
@@ -4601,6 +4612,90 @@ object Llm {
               p >= 5000000 AS pred, y = 1 AS label
             FROM sc ORDER BY doc_id"""
     })
+
+  // ---- held-out evaluation + threshold sweep ---------------------------
+  // The evaluation tier a model-based filter ships with: train on a
+  // deterministic md5-hash half-split (the q89 seeded-hash discipline —
+  // no RNG, rerun-stable), standardize the HELD-OUT half with the
+  // TRAINING split's moments (no leakage), score it under the trained
+  // weights, and report the confusion table + precision/recall/F1 at
+  // nine decision thresholds. Scale shape: the sweep rides a broadcast
+  // 9-row threshold frame crossed into the scored scan, collapsed by a
+  // map-side-partial groupBy(step) — shuffle is 9 rows per partition,
+  // corpus-size-independent. Ratios derive from EXACT integer counts
+  // (one division + round at emission); F1 comes from counts directly,
+  // never from the rounded precision/recall.
+  private val lrSplitSqlCond =
+    "substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) < '8'"
+
+  private val lrEvalQ = Q(
+    "q139_quality_eval",
+    (s, dir) => {
+      import graft.llm.QualityModel
+      val all = lrFeatures(s, dir)
+      val isTrain =
+        substring(md5(concat(lit("split:"), col("doc_id").cast("string"))),
+          1, 1) < "8"
+      val (_, steps, mu, sd) = lrTrainOn(all.filter(isTrain))
+      val ho = QualityModel.standardize(all.filter(!isTrain),
+        Seq("x_stop", "x_mwl", "x_len"), mu, sd)
+      val scored = QualityModel.score(ho, lrXsCols, steps.last.w)
+      import s.implicits._
+      val thr = (1L to 9L).toDF("step")
+      scored.crossJoin(broadcast(thr))
+        .groupBy("step")
+        .agg(
+          sum(when(col("p_units") >= col("step") * 1000000L &&
+            col("y") === 1, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("p_units") >= col("step") * 1000000L &&
+            col("y") === 0, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("p_units") < col("step") * 1000000L &&
+            col("y") === 1, 1L).otherwise(0L)).as("fn"),
+          sum(when(col("p_units") < col("step") * 1000000L &&
+            col("y") === 0, 1L).otherwise(0L)).as("tn"))
+        .select(col("step"),
+          (col("step").cast("double") / 10).as("threshold"),
+          col("tp"), col("fp"), col("fn"), col("tn"),
+          when(col("tp") + col("fp") > 0,
+            round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
+            .as("p_val"),
+          when(col("tp") + col("fn") > 0,
+            round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
+            .as("r_val"),
+          when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+            round((lit(2) * col("tp")).cast("double") /
+              (lit(2) * col("tp") + col("fp") + col("fn")), 6))
+            .as("f1_val"))
+        .orderBy("step")
+    },
+    Some(s"""WITH ${lrChainSql(lrSplitSqlCond)},
+            fho AS (SELECT * FROM f0 WHERE NOT ($lrSplitSqlCond)),
+            zho AS (SELECT doc_id, y, CAST(1000000 AS BIGINT) AS xs_bias,
+                CAST(floor(CAST((x_stop - mu1)*1000000 AS DOUBLE)/sd1 + 0.5) AS BIGINT) AS xs_stop,
+                CAST(floor(CAST((x_mwl - mu2)*1000000 AS DOUBLE)/sd2 + 0.5) AS BIGINT) AS xs_mwl,
+                CAST(floor(CAST((x_len - mu3)*1000000 AS DOUBLE)/sd3 + 0.5) AS BIGINT) AS xs_len
+              FROM fho, sg),
+            sc AS (SELECT z.doc_id, z.y,
+                CAST(floor(10000000.0/(1.0 + exp(-(CAST(w.wb*z.xs_bias +
+                  w.ws*z.xs_stop + w.wm*z.xs_mwl + w.wl*z.xs_len
+                  AS DOUBLE)/1e13))) + 0.5) AS BIGINT) AS p
+              FROM zho z, w$lrIters w),
+            ks AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS step),
+            cf AS (SELECT CAST(step AS BIGINT) AS step,
+                CAST(sum(CASE WHEN p >= step*1000000 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                CAST(sum(CASE WHEN p >= step*1000000 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                CAST(sum(CASE WHEN p < step*1000000 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                CAST(sum(CASE WHEN p < step*1000000 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+              FROM sc, ks GROUP BY step)
+            SELECT step, CAST(step AS DOUBLE)/10 AS threshold,
+              tp, fp, fn, tn,
+              CASE WHEN tp + fp > 0
+                THEN round(CAST(tp AS DOUBLE)/(tp + fp), 6) END AS p_val,
+              CASE WHEN tp + fn > 0
+                THEN round(CAST(tp AS DOUBLE)/(tp + fn), 6) END AS r_val,
+              CASE WHEN 2*tp + fp + fn > 0
+                THEN round(CAST(2*tp AS DOUBLE)/(2*tp + fp + fn), 6) END AS f1_val
+            FROM cf ORDER BY step"""))
 
   val queries: Seq[Q] = Seq(
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
@@ -4623,5 +4718,5 @@ object Llm {
     wordpieceMerges, wordpieceEncode, annIncremental, sketchIncremental,
     bm25TopK, bm25Incremental, cmsIncremental, pagerank,
     pcaLoadings, pcaProject, pcaIncremental, profileCensus, zipfFit,
-    lrTrainQ, lrScoreQ)
+    lrTrainQ, lrScoreQ, lrEvalQ)
 }
