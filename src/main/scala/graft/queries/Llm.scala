@@ -4631,15 +4631,7 @@ object Llm {
   private val lrEvalQ = Q(
     "q139_quality_eval",
     (s, dir) => {
-      import graft.llm.QualityModel
-      val all = lrFeatures(s, dir)
-      val isTrain =
-        substring(md5(concat(lit("split:"), col("doc_id").cast("string"))),
-          1, 1) < "8"
-      val (_, steps, mu, sd) = lrTrainOn(all.filter(isTrain))
-      val ho = QualityModel.standardize(all.filter(!isTrain),
-        Seq("x_stop", "x_mwl", "x_len"), mu, sd)
-      val scored = QualityModel.score(ho, lrXsCols, steps.last.w)
+      val scored = lrHeldOutScored(s, dir)
       import s.implicits._
       val thr = (1L to 9L).toDF("step")
       scored.crossJoin(broadcast(thr))
@@ -4668,18 +4660,7 @@ object Llm {
             .as("f1_val"))
         .orderBy("step")
     },
-    Some(s"""WITH ${lrChainSql(lrSplitSqlCond)},
-            fho AS (SELECT * FROM f0 WHERE NOT ($lrSplitSqlCond)),
-            zho AS (SELECT doc_id, y, CAST(1000000 AS BIGINT) AS xs_bias,
-                CAST(floor(CAST((x_stop - mu1)*1000000 AS DOUBLE)/sd1 + 0.5) AS BIGINT) AS xs_stop,
-                CAST(floor(CAST((x_mwl - mu2)*1000000 AS DOUBLE)/sd2 + 0.5) AS BIGINT) AS xs_mwl,
-                CAST(floor(CAST((x_len - mu3)*1000000 AS DOUBLE)/sd3 + 0.5) AS BIGINT) AS xs_len
-              FROM fho, sg),
-            sc AS (SELECT z.doc_id, z.y,
-                CAST(floor(10000000.0/(1.0 + exp(-(CAST(w.wb*z.xs_bias +
-                  w.ws*z.xs_stop + w.wm*z.xs_mwl + w.wl*z.xs_len
-                  AS DOUBLE)/1e13))) + 0.5) AS BIGINT) AS p
-              FROM zho z, w$lrIters w),
+    Some(s"""WITH $lrHeldOutSql,
             ks AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS step),
             cf AS (SELECT CAST(step AS BIGINT) AS step,
                 CAST(sum(CASE WHEN p >= step*1000000 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
@@ -4696,6 +4677,111 @@ object Llm {
               CASE WHEN 2*tp + fp + fn > 0
                 THEN round(CAST(2*tp AS DOUBLE)/(2*tp + fp + fn), 6) END AS f1_val
             FROM cf ORDER BY step"""))
+
+  /** Shared held-out scoring for q140/q141: the q139 split, trained
+    * weights, and the scored complement (doc_id, p_units, y, ...). */
+  private def lrHeldOutScored(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.QualityModel
+    val all = lrFeatures(s, dir)
+    val isTrain =
+      substring(md5(concat(lit("split:"), col("doc_id").cast("string"))),
+        1, 1) < "8"
+    val (_, steps, mu, sd) = lrTrainOn(all.filter(isTrain))
+    val ho = QualityModel.standardize(all.filter(!isTrain),
+      Seq("x_stop", "x_mwl", "x_len"), mu, sd)
+    QualityModel.score(ho, lrXsCols, steps.last.w)
+  }
+
+  /** The q139 oracle prefix through the held-out sigmoid pass `sc`. */
+  private def lrHeldOutSql: String =
+    s"""${lrChainSql(lrSplitSqlCond)},
+            fho AS (SELECT * FROM f0 WHERE NOT ($lrSplitSqlCond)),
+            zho AS (SELECT doc_id, y, CAST(1000000 AS BIGINT) AS xs_bias,
+                CAST(floor(CAST((x_stop - mu1)*1000000 AS DOUBLE)/sd1 + 0.5) AS BIGINT) AS xs_stop,
+                CAST(floor(CAST((x_mwl - mu2)*1000000 AS DOUBLE)/sd2 + 0.5) AS BIGINT) AS xs_mwl,
+                CAST(floor(CAST((x_len - mu3)*1000000 AS DOUBLE)/sd3 + 0.5) AS BIGINT) AS xs_len
+              FROM fho, sg),
+            sc AS (SELECT z.doc_id, z.y,
+                CAST(floor(10000000.0/(1.0 + exp(-(CAST(w.wb*z.xs_bias +
+                  w.ws*z.xs_stop + w.wm*z.xs_mwl + w.wl*z.xs_len
+                  AS DOUBLE)/1e13))) + 0.5) AS BIGINT) AS p
+              FROM zho z, w$lrIters w)"""
+
+  // ---- exact ROC AUC over the held-out split ----------------------------
+  // The threshold-free ranking metric (equivalently: P(score⁺ > score⁻)
+  // with ties at half credit). The scalable shape: the corpus pass
+  // collapses into a SCORE HISTOGRAM — per distinct p_units, positive
+  // and negative counts — which the 1e-7 probability grid bounds at
+  // 1e7+1 rows WHATEVER the corpus, so the cumulative window below runs
+  // over a bounded-by-construction table (the k-seed window argument,
+  // GraftSession-filtered). AUC then derives from exact integers:
+  // 2·P·N·AUC = Σ_s np(s)·(2·negBelow(s) + nn(s)) — one IEEE division
+  // at emission, rounded 6 dp.
+  private val lrAucQ = Q(
+    "q140_quality_auc",
+    (s, dir) => {
+      val hg = lrHeldOutScored(s, dir)
+        .groupBy("p_units")
+        .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("np"),
+          sum(when(col("y") === 0, 1L).otherwise(0L)).as("nn"))
+      val w = Window.orderBy("p_units")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hg.withColumn("cnb", coalesce(sum(col("nn")).over(w), lit(0L)))
+        .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+          count(lit(1)).as("n_scores"),
+          sum(col("np") * (lit(2L) * col("cnb") + col("nn"))).as("num2"))
+        .select(col("n_pos"), col("n_neg"), col("n_scores"),
+          round(col("num2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+    },
+    Some(s"""WITH $lrHeldOutSql,
+            hg AS (SELECT p,
+                CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+                CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nn
+              FROM sc GROUP BY p),
+            cu AS (SELECT np, nn, COALESCE(CAST(sum(nn) OVER (ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                0) AS cnb FROM hg)
+            SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+              CAST(sum(nn) AS BIGINT) AS n_neg,
+              CAST(count(*) AS BIGINT) AS n_scores,
+              round(CAST(sum(np*(2*cnb + nn)) AS DOUBLE) /
+                (2.0 * CAST(sum(np) AS BIGINT) * CAST(sum(nn) AS BIGINT)), 6)
+                AS auc
+            FROM cu"""))
+
+  // ---- calibration (reliability) bins -----------------------------------
+  // Is a predicted 0.7 actually right 70% of the time? Ten probability
+  // bins over the held-out scores: per bin the count, the mean PREDICTED
+  // probability (an exact integer sum of p_units, one division at
+  // emission) and the EMPIRICAL positive rate. Pure map + one keyed
+  // aggregation — no window, no join; p = 1.0 folds into the top bin.
+  private val lrCalibQ = Q(
+    "q141_quality_calibration",
+    (s, dir) =>
+      lrHeldOutScored(s, dir)
+        .withColumn("bin", least(floor(col("p_units") / lit(1000000L)), lit(9L)))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("p_units")).as("sp"),
+          sum(col("y")).as("npos"))
+        .select(col("bin"), col("n_docs"),
+          round(col("sp").cast("double") / lit(1e7) / col("n_docs"), 6)
+            .as("mean_score"),
+          round(col("npos").cast("double") / col("n_docs"), 6)
+            .as("frac_pos"))
+        .orderBy("bin"),
+    Some(s"""WITH $lrHeldOutSql,
+            bn AS (SELECT least(CAST(floor(p/1000000) AS BIGINT), 9) AS bin,
+                p, y FROM sc),
+            ag AS (SELECT bin, count(*) AS n_docs,
+                CAST(sum(p) AS BIGINT) AS sp,
+                CAST(sum(y) AS BIGINT) AS npos
+              FROM bn GROUP BY bin)
+            SELECT bin, n_docs,
+              round(CAST(sp AS DOUBLE)/1e7/n_docs, 6) AS mean_score,
+              round(CAST(npos AS DOUBLE)/n_docs, 6) AS frac_pos
+            FROM ag ORDER BY bin"""))
 
   val queries: Seq[Q] = Seq(
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
@@ -4718,5 +4804,5 @@ object Llm {
     wordpieceMerges, wordpieceEncode, annIncremental, sketchIncremental,
     bm25TopK, bm25Incremental, cmsIncremental, pagerank,
     pcaLoadings, pcaProject, pcaIncremental, profileCensus, zipfFit,
-    lrTrainQ, lrScoreQ, lrEvalQ)
+    lrTrainQ, lrScoreQ, lrEvalQ, lrAucQ, lrCalibQ)
 }
