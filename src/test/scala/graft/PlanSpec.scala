@@ -566,6 +566,20 @@ class PlanSpec extends SparkSpec {
       s"top-100 terms must take ordered over the Heaps-law vocab:\n$p")
   }
 
+  test("q140 AUC histogram partial-aggregates before the bounded window") {
+    // the corpus collapses into the grid-bounded score histogram FIRST
+    // (map-side partial counts); only then does the cumulative window
+    // run — over ≤ 1e7+1 rows by construction, never the corpus
+    val p = planOf(q("q140_quality_auc"))
+    assert(!p.contains("Join"), s"AUC must not join:\n$p")
+    assert(p.contains("partial_"),
+      s"score histogram must partial-aggregate map-side:\n$p")
+    val winAt = p.indexOf("Window")
+    val aggAt = p.indexOf("partial_")
+    assert(winAt >= 0 && aggAt >= 0 && winAt < p.lastIndexOf("partial_"),
+      s"the window must consume the aggregated histogram, not the scan:\n$p")
+  }
+
   test("q138 classifier scoring is map-only — literal weights, no join") {
     // training runs eagerly before the frame is built (driver-held
     // weights, the k-means discipline); the returned corpus-wide scoring
