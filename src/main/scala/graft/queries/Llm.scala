@@ -4563,17 +4563,21 @@ object Llm {
             $iters"""
   }
 
+  /** The q137 emission shape off a trained step sequence. */
+  private def lrStepsDf(s: SparkSession,
+                        steps: Seq[graft.llm.QualityModel.Step]): DataFrame = {
+    import s.implicits._
+    steps.flatMap { step =>
+      lrFeatNames.zip(step.w).map { case (f, wu) =>
+        (step.iter.toLong, f, wu, wu.toDouble / 1e7, step.nCorrect)
+      }
+    }.toDF("iter", "feature", "w_units", "weight", "n_correct")
+      .orderBy("iter", "feature")
+  }
+
   private val lrTrainQ = Q(
     "q137_quality_train",
-    (s, dir) => {
-      import s.implicits._
-      lrTrain(s, dir)._2.flatMap { step =>
-        lrFeatNames.zip(step.w).map { case (f, wu) =>
-          (step.iter.toLong, f, wu, wu.toDouble / 1e7, step.nCorrect)
-        }
-      }.toDF("iter", "feature", "w_units", "weight", "n_correct")
-        .orderBy("iter", "feature")
-    },
+    (s, dir) => lrStepsDf(s, lrTrain(s, dir)._2),
     Some {
       val wc = Seq("wb", "ws", "wm", "wl")
       val rows = (1 to lrIters).flatMap { tt =>
@@ -4783,6 +4787,28 @@ object Llm {
               round(CAST(npos AS DOUBLE)/n_docs, 6) AS frac_pos
             FROM ag ORDER BY bin"""))
 
+  // ---- streaming feature store + periodic retrain as an oracle row -----
+  // The classifier's deployment shape made driver-visible: two streamed
+  // folds of the feature rows into the novelty-guarded, doc-bucketed
+  // feature store (streaming/QualityStream), then a retrain over the
+  // PERSISTED state — which must answer q137's oracle VERBATIM, because
+  // gradient and moment sums are order-free exact integers, so training
+  // over folded state is bit-equal to one-shot batch training.
+  private val lrIncrementalQ = Q(
+    "q142_incremental_quality",
+    (s, dir) => {
+      val state = java.nio.file.Files
+        .createTempDirectory("graft_q142_state").toString
+      val feats = lrFeatures(s, dir)
+      graft.streaming.QualityStream.foldBatch(
+        feats.filter(col("doc_id") < 250), state)
+      graft.streaming.QualityStream.foldBatch(
+        feats.filter(col("doc_id") >= 250), state)
+      lrStepsDf(s,
+        graft.streaming.QualityStream.train(s, state, lrRate, lrIters))
+    },
+    lrTrainQ.oracle)
+
   val queries: Seq[Q] = Seq(
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
     minhashSignatures, minhashPairs, jaccardPairs, simhash, simhashPairs,
@@ -4804,5 +4830,5 @@ object Llm {
     wordpieceMerges, wordpieceEncode, annIncremental, sketchIncremental,
     bm25TopK, bm25Incremental, cmsIncremental, pagerank,
     pcaLoadings, pcaProject, pcaIncremental, profileCensus, zipfFit,
-    lrTrainQ, lrScoreQ, lrEvalQ, lrAucQ, lrCalibQ)
+    lrTrainQ, lrScoreQ, lrEvalQ, lrAucQ, lrCalibQ, lrIncrementalQ)
 }
