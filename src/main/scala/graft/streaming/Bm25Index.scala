@@ -50,23 +50,32 @@ object Bm25Index {
     pmod(xxhash64(id), lit(stateBuckets)).cast("int")
 
   /** Fold one micro-batch of documents (`doc_id`, `text`) into the
-    * persisted index. Tokenization runs ONCE per batch (staged); each
-    * state table appends only its novel rows, ≤ `stateBuckets` files. */
+    * persisted index. Tokenization runs ONCE per batch (staged), and the
+    * staged batch's row count feeds both novelty probes as the
+    * `deltaRows` hint — a delta far bigger than the bucket count has
+    * touched every bucket with near-certainty, so the probes skip their
+    * touched-bucket collect jobs (StateStore.prunedByTouched) instead of
+    * paying one per table per fold. Each state table appends only its
+    * novel rows, ≤ `stateBuckets` files. */
   def foldBatch(batch: DataFrame, statePath: String): Unit = {
-    if (batch.isEmpty) return
     val spark = batch.sparkSession
     val toks = graft.core.Staging.stage(
       batch.select(col("doc_id"),
           expr(graft.queries.Llm.toksExpr).as("tk"))
         .select(col("doc_id"), col("tk"),
           size(col("tk")).cast("long").as("dl")))
+    // the empty-batch early-out reads the staged frame (cheap), not the
+    // source — the old batch.isEmpty probe cost a scan job per fold
+    val nDocs = toks.count()
+    if (nDocs == 0) return
 
     val docsDelta = toks.select(col("doc_id"), col("dl"))
       .withColumn("db", docBucket(col("doc_id")))
     StateStore.ensureBucketed(spark, docsPath(statePath), "db",
       docBucket(col("doc_id")), stateBuckets)
     val novelDocs = StateStore.novelAgainst(docsPath(statePath), docsDelta,
-      Seq("doc_id"), "db", docBucket(col("doc_id")), stateBuckets)
+      Seq("doc_id"), "db", docBucket(col("doc_id")), stateBuckets,
+      deltaRows = nDocs)
     StateStore.appendBucketed(novelDocs, docsPath(statePath), "db",
       stateBuckets)
 
@@ -76,9 +85,12 @@ object Bm25Index {
       .withColumn("tb", termBucket(col("term")))
     StateStore.ensureBucketed(spark, postingsPath(statePath), "tb",
       termBucket(col("term")), stateBuckets)
+    // nDocs is a LOWER bound on posting rows — valid for the hint's
+    // "delta ≫ buckets" direction (it can only under-skip, never
+    // mis-prune)
     val novelPost = StateStore.novelAgainst(postingsPath(statePath),
       postDelta, Seq("term", "doc_id"), "tb", termBucket(col("term")),
-      stateBuckets)
+      stateBuckets, deltaRows = nDocs)
     StateStore.appendBucketed(novelPost, postingsPath(statePath), "tb",
       stateBuckets)
   }

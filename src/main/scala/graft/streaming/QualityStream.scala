@@ -49,12 +49,20 @@ object QualityStream {
     val spark = feats.sparkSession
     val p = featPath(statePath)
     StateStore.ensureBucketed(spark, p, "db", docBucket, stateBuckets)
-    val delta = feats
+    // staged: feature extraction (a tokenization upstream) runs ONCE —
+    // the novelty probe consumes the delta twice (broadcast keys + the
+    // anti-join's left side); the staged count feeds the probe's
+    // deltaRows hint, skipping the touched-bucket collect for deltas
+    // that have touched every bucket anyway
+    val delta = Staging.stage(feats
       .select(col("doc_id"), col("x_stop"), col("x_mwl"), col("x_len"),
         col("y"))
-      .withColumn("db", docBucket)
+      .withColumn("db", docBucket))
+    val dn = delta.count()
+    if (dn == 0) return 0L
     val novel = Staging.stage(StateStore.novelAgainst(
-      p, delta, Seq("doc_id"), "db", col("db"), stateBuckets))
+      p, delta, Seq("doc_id"), "db", col("db"), stateBuckets,
+      deltaRows = dn))
     val n = novel.count()
     if (n > 0) StateStore.appendBucketed(novel, p, "db", stateBuckets)
     n

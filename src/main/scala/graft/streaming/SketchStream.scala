@@ -56,9 +56,12 @@ object SketchStream {
     * corpus scale because a snapshot is ≤ nSources · max(k, 2^p) rows
     * by construction. */
   def foldBatch(batch: DataFrame, statePath: String): Unit = {
-    if (batch.isEmpty) return
     val spark = batch.sparkSession
     val delta = graft.core.Staging.stage(deltaHashes(batch))
+    // empty-batch early-out off the STAGED delta (a limit-1 probe over
+    // checkpointed blocks) — the old batch.isEmpty cost a source scan
+    // job per fold
+    if (delta.isEmpty) return
     val wn = Window.partitionBy("source").orderBy("h")
 
     val dKmin = delta.withColumn("rn", row_number().over(wn))
