@@ -36,6 +36,15 @@ object GraftSession {
       // ./spark-warehouse in the repo
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      // v2 commit: task outputs move to the destination at task commit
+      // instead of a second job-commit rename pass. The engine's state
+      // writes do not rely on committer atomicity — snapshot publishes go
+      // through the rename/marker swap (Sinks.snapshotSwap/
+      // snapshotPublish) and bucketed appends are novelty-guarded and
+      // replay-absorbing (StateStore) — so the stricter v1 protocol buys
+      // nothing here while costing a rename per file per write, and the
+      // per-fold state writes are exactly where the bench pays it.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int): SparkSession = {
