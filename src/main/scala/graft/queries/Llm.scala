@@ -35,6 +35,24 @@ import Q.t
   */
 object Llm {
 
+  /** Per-invocation scratch state for the incremental oracle rows (the
+    * q82/q126 family): create a temp dir, run the body, EAGERLY
+    * materialize the result (after which it no longer reads from the
+    * state), then delete the dir — without the cleanup each invocation
+    * leaks a corpus-derived state dir to /tmp, and Bench/Verify invoke
+    * each query several times per run (ADVICE r12). The delete runs in
+    * `finally` so an aborted invocation doesn't leak either. */
+  private def withTempState(prefix: String)(body: String => DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    try Staging.stage(body(dir.toString))
+    finally {
+      val st = java.nio.file.Files.walk(dir)
+      try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally st.close()
+    }
+  }
+
   // Tokenization shared by the text operators: lowercase, split on
   // non-space runs, drop empties. Pure built-ins.
   private[graft] val toksExpr = "filter(split(lower(text), '\\\\s+'), x -> x <> '')"
@@ -1880,9 +1898,7 @@ object Llm {
   // replay semantics entering the comparison.
   private val incrementalClusters = Q(
     "q82_incremental_clusters",
-    (s, dir) => {
-      val state = java.nio.file.Files
-        .createTempDirectory("graft_q82_state").toString
+    (s, dir) => withTempState("graft_q82_state") { state =>
       val docs = t(s, dir, "documents")
       graft.streaming.ClusterMaintenance.foldBatch(
         docs.filter(col("doc_id") < 250), state)
@@ -3929,10 +3945,8 @@ object Llm {
   // is partition-pruned to the probed cells; no indexed row shuffles.
   private val annIncremental = Q(
     "q126_incremental_ann",
-    (s, dir) => {
+    (s, dir) => withTempState("graft_q126_state") { state =>
       graft.plans.VectorDot.register(s)
-      val state = java.nio.file.Files
-        .createTempDirectory("graft_q126_state").toString
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("v"))
         .withColumn("norm", sqrt(expr(dotExpr.format("v", "v"))))
@@ -3962,9 +3976,7 @@ object Llm {
   // not approximate.
   private val sketchIncremental = Q(
     "q127_incremental_sketch",
-    (s, dir) => {
-      val state = java.nio.file.Files
-        .createTempDirectory("graft_q127_state").toString
+    (s, dir) => withTempState("graft_q127_state") { state =>
       val docs = t(s, dir, "documents")
       graft.streaming.SketchStream.foldBatch(
         docs.filter(col("doc_id") < 250), state)
@@ -4085,14 +4097,12 @@ object Llm {
   // llm/Bm25 path, so equality is structural, not coincidental.
   private val bm25Incremental = Q(
     "q129_incremental_bm25",
-    (s, dir) => {
-      val state = java.nio.file.Files
-        .createTempDirectory("graft_q129_state").toString
+    (s, dir) => withTempState("graft_q129_state") { state =>
       val docs = t(s, dir, "documents")
       graft.streaming.Bm25Index.foldBatch(
-        docs.filter(col("doc_id") < 250), state)
+        docs.filter(col("doc_id") < 250), "fold-a", state)
       graft.streaming.Bm25Index.foldBatch(
-        docs.filter(col("doc_id") >= 250), state)
+        docs.filter(col("doc_id") >= 250), "fold-b", state)
       graft.streaming.Bm25Index.topK(s, state)
         .orderBy(col("query_id"), col("score").desc, col("doc_id"))
     },
@@ -4109,9 +4119,7 @@ object Llm {
   // streamed state answers the estimates.
   private val cmsIncremental = Q(
     "q130_incremental_cms",
-    (s, dir) => {
-      val state = java.nio.file.Files
-        .createTempDirectory("graft_q130_state").toString
+    (s, dir) => withTempState("graft_q130_state") { state =>
       val docs = t(s, dir, "documents")
       graft.streaming.SketchStream.foldCms(
         docs.filter(col("doc_id") < 250), "fold-a", state)
@@ -4343,9 +4351,7 @@ object Llm {
   // whole table, which is what the oracle retrains from scratch.
   private val pcaIncremental = Q(
     "q134_incremental_pca",
-    (s, dir) => {
-      val state = java.nio.file.Files
-        .createTempDirectory("graft_q134_state").toString
+    (s, dir) => withTempState("graft_q134_state") { state =>
       val emb = t(s, dir, "embeddings")
       graft.streaming.PcaStream.foldBatch(
         emb.filter(col("vec_id") < 250), "embedding", "b0", state)
@@ -4796,9 +4802,7 @@ object Llm {
   // over folded state is bit-equal to one-shot batch training.
   private val lrIncrementalQ = Q(
     "q142_incremental_quality",
-    (s, dir) => {
-      val state = java.nio.file.Files
-        .createTempDirectory("graft_q142_state").toString
+    (s, dir) => withTempState("graft_q142_state") { state =>
       val feats = lrFeatures(s, dir)
       graft.streaming.QualityStream.foldBatch(
         feats.filter(col("doc_id") < 250), state)

@@ -42,8 +42,9 @@ object StateStore {
   }
 
   /** Read a small one-line tag file inside a state layout (underscore
-    * names — parquet readers skip them). A torn or missing file reads as
-    * absent. */
+    * names — parquet readers skip them). A missing or empty file reads
+    * as absent; [[writeTag]] publishes via tmp+rename, so a reader never
+    * observes a torn value. */
   def readTag(spark: SparkSession, path: String, name: String): Option[String] = {
     val f = fs(spark, path)
     val m = new Path(path, name)
@@ -57,14 +58,29 @@ object StateStore {
     }
   }
 
-  /** Write a tag file (see [[readTag]]). A crash mid-write leaves a torn
-    * tag that reads as absent — every caller treats absence as the safe
-    * (re-derive / re-migrate) direction. */
+  /** Write a tag file (see [[readTag]]) via tmp + atomic rename
+    * (mirroring Sinks.writeMarkerAtomic): a crash mid-write leaves only
+    * an orphaned tmp (swept by the next write), never a PARTIAL but
+    * parsable value at the tag name — e.g. a torn '3' from '32' would
+    * read as a valid (wrong) modulus and mis-certify the layout. A crash
+    * before the rename reads as ABSENT, which every caller treats as the
+    * safe (re-derive / re-migrate) direction. Tmp names keep the
+    * underscore prefix so parquet listings skip them too. */
   def writeTag(spark: SparkSession, path: String, name: String,
                value: String): Unit = {
-    val out = fs(spark, path).create(new Path(path, name), true)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = fs(spark, path)
+    val tag = new Path(path, name)
+    val tmp = new Path(path, s"$name.tmp-${java.util.UUID.randomUUID()}")
+    // sweep tmps orphaned by writers that died between create and rename
+    // (ours doesn't exist yet — unique suffix)
+    f.globStatus(new Path(path, s"$name.tmp-*"))
+      .foreach(st => f.delete(st.getPath, false))
+    val out = f.create(tmp, true)
     try out.write(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(tag.toUri, conf)
+    fc.rename(tmp, tag, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** The modulus recorded when the layout was written (the `_buckets`
@@ -163,12 +179,19 @@ object StateStore {
   def appendBucketed(delta: DataFrame, path: String, bucketCol: String,
                      buckets: Int): Unit = {
     val spark = delta.sparkSession
-    val hadMarker = readModulus(spark, path).isDefined
+    // stamp ONLY when this write CREATES the layout: a pre-existing
+    // marker-less layout may be a legacy one written under a DIFFERENT
+    // modulus (a doubling, which dir-value inference cannot detect) —
+    // stamping it here would certify the current modulus forever and
+    // suppress the ensureBucketed rewrite that would fix it. A crash
+    // between the write and the stamp leaves a marker-less layout that
+    // the next ensureBucketed adjudicates by inference and restamps.
+    val createsLayout = !exists(spark, path)
     delta.repartition(col(bucketCol))
       .write.partitionBy(bucketCol).mode("append").parquet(path)
     // buckets == 0 means the partition key is NOT a hash modulus (e.g.
     // AnnIndex's centroid cells) — there is no layout contract to stamp
-    if (buckets > 0 && !hadMarker) writeModulus(spark, path, buckets)
+    if (buckets > 0 && createsLayout) writeModulus(spark, path, buckets)
   }
 
   /** 256-way partition key of a hex-hash state row: first two hex

@@ -1,5 +1,8 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -7,9 +10,10 @@ import graft.streaming.Bm25Index
 
 /** Streaming BM25 index maintenance (q129's machinery): the folded
   * index answers exactly what the batch retrieval answers, replay is
-  * absorbed per state table, the scoring probe partition-prunes to the
-  * workload terms' buckets, and empty-token documents still count
-  * toward the corpus scalars. */
+  * absorbed per state table AND in the ledgered workload summary, the
+  * scoring probe partition-prunes to the workload terms' buckets, the
+  * query path never scans the corpus-sized stores outside the probe,
+  * and empty-token documents still count toward the corpus scalars. */
 class Bm25IndexSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.01"
@@ -21,8 +25,8 @@ class Bm25IndexSpec extends SparkSpec {
 
   test("two streamed folds answer exactly the batch q128 retrieval") {
     val state = java.nio.file.Files.createTempDirectory("bm_split").toString
-    Bm25Index.foldBatch(docs.filter(col("doc_id") < 250), state)
-    Bm25Index.foldBatch(docs.filter(col("doc_id") >= 250), state)
+    Bm25Index.foldBatch(docs.filter(col("doc_id") < 250), "b0", state)
+    Bm25Index.foldBatch(docs.filter(col("doc_id") >= 250), "b1", state)
     val batch = SparkEntry.queries("q128_bm25_topk")(spark, sf)
       .orderBy("query_id", "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
@@ -31,33 +35,110 @@ class Bm25IndexSpec extends SparkSpec {
     assert(streamed.size == 25 && streamed.map(_._1).distinct.size == 5)
   }
 
-  test("a replayed batch is absorbed in BOTH state tables") {
+  test("a replayed batch is absorbed in BOTH state tables and the summary ledger") {
     val state = java.nio.file.Files.createTempDirectory("bm_replay").toString
-    Bm25Index.foldBatch(docs.filter(col("doc_id") < 250), state)
-    Bm25Index.foldBatch(docs.filter(col("doc_id") >= 250), state)
+    Bm25Index.foldBatch(docs.filter(col("doc_id") < 250), "b0", state)
+    Bm25Index.foldBatch(docs.filter(col("doc_id") >= 250), "b1", state)
     val before = topkOf(state)
+    def dfsum = spark.read.parquet(s"$state/dfsum")
     val postBefore = spark.read.parquet(s"$state/postings").count()
     val docsBefore = spark.read.parquet(s"$state/docs").count()
-    Bm25Index.foldBatch(docs.filter(col("doc_id") < 250), state) // replay
+    val sumBefore = dfsum.filter(col("kind") =!= "batch")
+      .collect().map(_.toString).sorted.toSeq
+    // foreachBatch redelivery: SAME batch id → ledger hit, nothing moves
+    Bm25Index.foldBatch(docs.filter(col("doc_id") < 250), "b0", state)
     assert(spark.read.parquet(s"$state/postings").count() == postBefore,
       "replayed postings were re-appended")
     assert(spark.read.parquet(s"$state/docs").count() == docsBefore,
       "replayed docs were re-appended")
+    assert(dfsum.filter(col("kind") =!= "batch")
+      .collect().map(_.toString).sorted.toSeq == sumBefore,
+      "same-bid replay changed the df summary")
+    // re-ingest of already-seen content under a NEW batch id: the
+    // novelty guards yield empty deltas, so the summary folds zeros —
+    // counters unchanged, one more ledger row
+    Bm25Index.foldBatch(docs.filter(col("doc_id") < 250), "b2", state)
+    assert(spark.read.parquet(s"$state/postings").count() == postBefore)
+    assert(dfsum.filter(col("kind") =!= "batch")
+      .collect().map(_.toString).sorted.toSeq == sumBefore,
+      "re-ingested content under a new bid changed the df summary")
+    assert(dfsum.filter(col("kind") === "batch").count() == 3)
     assert(topkOf(state) == before)
   }
 
-  test("the scoring probe partition-prunes the posting store") {
+  test("the scoring probe partition-prunes; NO unpruned scan of the posting store") {
     val state = java.nio.file.Files.createTempDirectory("bm_prune").toString
-    Bm25Index.foldBatch(docs, state)
+    Bm25Index.foldBatch(docs, "b0", state)
     val plan = Bm25Index.topK(spark, state)
       .queryExecution.executedPlan.toString
-    // the PRUNED scan carries a non-empty isin predicate on tb; the
-    // workload's own df pass legitimately reads the store whole, so
-    // require at least one pruned scan rather than all-pruned
-    val pf = "PartitionFilters: \\[([^\\]]+)\\]".r
-      .findAllMatchIn(plan).map(_.group(1)).toSeq
-    assert(pf.exists(f => f.contains("tb") && f.trim.nonEmpty),
-      s"no partition-pruning predicate on 'tb' in plan:\n${plan.take(2000)}")
+    // the round-12 weak was a query-time df pass over the UNPRUNED
+    // posting store: now every postings scan in the query plan must
+    // carry a non-empty partition filter on tb (the workload derives
+    // from the maintained summary, which lives elsewhere)
+    val scans = plan.split("\n").filter(_.contains("/postings"))
+      .filter(_.contains("PartitionFilters"))
+    assert(scans.nonEmpty, s"no postings scan found in plan:\n${plan.take(2000)}")
+    assert(scans.forall(l => "PartitionFilters: \\[([^\\]]+)\\]".r
+        .findFirstMatchIn(l).exists(_.group(1).trim.nonEmpty)),
+      s"an UNPRUNED postings scan survives in the query path:\n${plan.take(3000)}")
+  }
+
+  test("query-path input bytes stay ~flat as the index grows with off-workload postings") {
+    // the ShuffleGrowthSpec idiom applied to read IO: grow the index
+    // ~8x with junk documents whose (unique, df=1) terms hash OUTSIDE
+    // the workload terms' buckets — the workload is unchanged (junk df
+    // sits far below the top-25 cut) and the PRUNED probe reads the
+    // same buckets, so with the maintained summary the query path's
+    // input bytes barely move; the round-12 df re-derivation would have
+    // re-scanned the whole (now 8x) posting store per query.
+    def measureRead(body: => Unit): Long = {
+      val bytes = new AtomicLong
+      val listener = new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) bytes.addAndGet(m.inputMetrics.bytesRead)
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        var prev = -1L
+        var cur = bytes.get
+        while (cur != prev) { Thread.sleep(400); prev = cur; cur = bytes.get }
+        cur
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val state = java.nio.file.Files.createTempDirectory("bm_flat").toString
+    Bm25Index.foldBatch(docs, "b0", state)
+    // workload term buckets, from the maintained summary (same hash the
+    // store buckets by)
+    val qb = graft.llm.Bm25.workload(
+        spark.read.parquet(s"$state/dfsum").filter(col("kind") === "df")
+          .select("term", "df"),
+        spark.read.parquet(s"$state/dfsum").filter(col("kind") === "scalar")
+          .select("nd", "sumdl"))
+      .select(pmod(xxhash64(col("term")), lit(32)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val base = measureRead { Bm25Index.topK(spark, state).count() }
+    // junk docs: 6 unique terms each, filtered to non-workload buckets
+    import spark.implicits._
+    val jt = (0 until 40000).map(i => s"zq${i}x").toDF("term")
+      .withColumn("b", pmod(xxhash64(col("term")), lit(32)).cast("int"))
+      .filter(!col("b").isin(qb.toSeq: _*))
+      .select("term").as[String].collect()
+    val perDoc = 6
+    val junkDocs = jt.grouped(perDoc).zipWithIndex
+      .map { case (ts, i) => (1000000L + i, ts.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    Bm25Index.foldBatch(junkDocs, "b1", state)
+    val rowsBase = docs.count()
+    val rowsNow = spark.read.parquet(s"$state/docs").count()
+    assert(rowsNow >= rowsBase * 8, s"junk growth too small: $rowsBase -> $rowsNow")
+    val grown = measureRead { Bm25Index.topK(spark, state).count() }
+    info(f"query-path bytes base=$base grown=$grown ratio=${grown.toDouble / base}%.2f")
+    assert(grown <= base * 3,
+      s"query-path input bytes grew with the index: $base -> $grown " +
+        "(the workload must derive from the summary, the probe from pruned buckets)")
   }
 
   test("empty-token docs count toward scalars; cold index answers empty; compaction preserves") {
@@ -72,13 +153,19 @@ class Bm25IndexSpec extends SparkSpec {
         lit(900000L).as("doc_id"), lit("   ").as("text")))
     // two folds so each bucket holds >1 file — gives compaction
     // something to coalesce
-    Bm25Index.foldBatch(withEmpty.filter(col("doc_id") < 250), state)
-    Bm25Index.foldBatch(withEmpty.filter(col("doc_id") >= 250), state)
+    Bm25Index.foldBatch(withEmpty.filter(col("doc_id") < 250), "b0", state)
+    Bm25Index.foldBatch(withEmpty.filter(col("doc_id") >= 250), "b1", state)
     val d = spark.read.parquet(s"$state/docs")
     assert(d.filter(col("doc_id") === 900000L && col("dl") === 0L).count() == 1,
       "empty-token doc missing from the docs store")
     assert(spark.read.parquet(s"$state/postings")
       .filter(col("doc_id") === 900000L).isEmpty)
+    // the maintained scalars agree with the docs store they summarize
+    val sc = spark.read.parquet(s"$state/dfsum")
+      .filter(col("kind") === "scalar").head()
+    assert(sc.getLong(2) == d.count(), "summary nd != docs store rows")
+    assert(sc.getLong(3) == d.agg(sum("dl")).head().getLong(0),
+      "summary sumdl != docs store sum")
     val before = topkOf(state)
     def files = {
       import scala.jdk.CollectionConverters._
