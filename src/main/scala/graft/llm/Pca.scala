@@ -96,10 +96,9 @@ object Pca {
       m.getLong(2))
   }
 
-  /** Driver-side covariance + fixed-count power iteration.
-    * @return (mean, loadings (unit, sign-pinned), eigenvalue,
-    *         explained-variance ratio = λ / trace C) */
-  def principal(m: Moments): (Array[Double], Array[Double], Double, Double) = {
+  /** Driver-side covariance off the moments: C = G/n − m mᵀ.
+    * @return (mean, row-major d·d covariance) */
+  private def covariance(m: Moments): (Array[Double], Array[Double]) = {
     val n = m.n.toDouble
     val mean = m.s.map(_ / n)
     val c = new Array[Double](dim * dim)
@@ -112,6 +111,13 @@ object Pca {
       }
       i += 1
     }
+    (mean, c)
+  }
+
+  /** Fixed-count power iteration from the all-ones direction, sign
+    * pinned by the largest-|loading| dimension (first on ties) being
+    * positive — the defined statistic the oracle replays. */
+  private def dominant(c: Array[Double]): Array[Double] = {
     var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     var it = 0
     while (it < powerIters) {
@@ -128,17 +134,20 @@ object Pca {
       v = w.map(_ / norm)
       it += 1
     }
-    // sign pin: the largest-|loading| dimension (first on ties) positive
     var best = 0
-    i = 1
+    var i = 1
     while (i < dim) {
       if (math.abs(v(i)) > math.abs(v(best))) best = i
       i += 1
     }
     if (v(best) < 0) v = v.map(x => -x)
-    // Rayleigh quotient on the final iterate; trace for the EVR
+    v
+  }
+
+  /** Rayleigh quotient vᵀCv on the final iterate. */
+  private def rayleigh(c: Array[Double], v: Array[Double]): Double = {
     var lam = 0.0
-    i = 0
+    var i = 0
     while (i < dim) {
       var acc = 0.0
       var j = 0
@@ -146,9 +155,54 @@ object Pca {
       lam += v(i) * acc
       i += 1
     }
+    lam
+  }
+
+  private def trace(c: Array[Double]): Double = {
     var tr = 0.0
-    i = 0
+    var i = 0
     while (i < dim) { tr += c(i * dim + i); i += 1 }
-    (mean, v, lam, lam / tr)
+    tr
+  }
+
+  /** Driver-side covariance + fixed-count power iteration.
+    * @return (mean, loadings (unit, sign-pinned), eigenvalue,
+    *         explained-variance ratio = λ / trace C) */
+  def principal(m: Moments): (Array[Double], Array[Double], Double, Double) = {
+    val (mean, c) = covariance(m)
+    val v = dominant(c)
+    val lam = rayleigh(c, v)
+    (mean, v, lam, lam / trace(c))
+  }
+
+  /** Top-k principal components by DEFLATION (Hotelling): extract the
+    * dominant eigenvector of C, subtract its rank-1 contribution
+    * (C ← C − λ v vᵀ — λ and v the PINNED, final-iterate values, so the
+    * oracle's CTE replay deflates the identical matrix), iterate again.
+    * All of it is the same dimension-bounded driver arithmetic as the
+    * single-component path — the d·d matrix never grows with the data,
+    * and the corpus is touched exactly once (the moments pass).
+    * Explained-variance ratios are against the ORIGINAL trace, so they
+    * sum toward 1 across components.
+    * @return (mean, per component: (loadings, eigenvalue, evr)) */
+  def principals(m: Moments, k: Int): (Array[Double], Seq[(Array[Double], Double, Double)]) = {
+    val (mean, c0) = covariance(m)
+    val tr = trace(c0)
+    val c = c0.clone()
+    val comps = (1 to k).map { _ =>
+      val v = dominant(c)
+      val lam = rayleigh(c, v)
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) {
+          c(i * dim + j) = c(i * dim + j) - lam * v(i) * v(j)
+          j += 1
+        }
+        i += 1
+      }
+      (v, lam, lam / tr)
+    }
+    (mean, comps)
   }
 }

@@ -4254,15 +4254,43 @@ object Llm {
   // data-dependent stop could not be replayed; the 48-step iterate
   // from a pinned start IS the defined statistic, exactly like q99's
   // fixed k-means iterations.
-  private def pcaChainSql: String = {
+  /** The 48-step power iteration over covariance CTE `mat`, with every
+    * generated CTE name prefixed by `pfx` (so the deflation chain can
+    * run it once per component): `<pfx>v0 … <pfx>v48`, the sign pin
+    * `<pfx>sp`, and the pinned result `<pfx>vf`. */
+  private def pcaIterChainSql(mat: String, pfx: String): String = {
     val d = graft.llm.Pca.dim
     val iters = (1 to graft.llm.Pca.powerIters).map { t =>
-      s"""w$t AS MATERIALIZED (SELECT cv.i AS i, sum(cv.c * p.v) AS w
-              FROM cv JOIN v${t - 1} p ON p.i = cv.j GROUP BY cv.i),
-            v$t AS MATERIALIZED (SELECT i,
-                w / sqrt((SELECT sum(w * w) FROM w$t)) AS v FROM w$t)"""
+      s"""${pfx}w$t AS MATERIALIZED (SELECT m.i AS i, sum(m.c * p.v) AS w
+              FROM $mat m JOIN ${pfx}v${t - 1} p ON p.i = m.j GROUP BY m.i),
+            ${pfx}v$t AS MATERIALIZED (SELECT i,
+                w / sqrt((SELECT sum(w * w) FROM ${pfx}w$t)) AS v
+              FROM ${pfx}w$t)"""
     }.mkString(",\n            ")
     val T = graft.llm.Pca.powerIters
+    s"""${pfx}v0 AS (SELECT CAST(t.r AS INT) AS i, 1.0 / sqrt($d.0) AS v
+              FROM range($d) t(r)),
+            $iters,
+            ${pfx}sp AS (SELECT CASE WHEN (SELECT v FROM ${pfx}v$T
+                  ORDER BY abs(v) DESC, i LIMIT 1) < 0
+                THEN -1.0 ELSE 1.0 END AS s),
+            ${pfx}vf AS MATERIALIZED (SELECT i,
+                v * (SELECT s FROM ${pfx}sp) AS v FROM ${pfx}v$T)"""
+  }
+
+  /** The Rayleigh quotient λ = vᵀCv and the rank-1 deflation
+    * C − λ v vᵀ as CTEs — one pair per extracted component. */
+  private def pcaDeflateSql(mat: String, vf: String, lam: String,
+                            next: String): String =
+    s"""$lam AS (SELECT sum(va.v * c0.c * vb.v) AS l
+              FROM $mat c0 JOIN $vf va ON va.i = c0.i
+              JOIN $vf vb ON vb.i = c0.j),
+            $next AS MATERIALIZED (SELECT c0.i AS i, c0.j AS j,
+                c0.c - (SELECT l FROM $lam) * va.v * vb.v AS c
+              FROM $mat c0 JOIN $vf va ON va.i = c0.i
+              JOIN $vf vb ON vb.i = c0.j)"""
+
+  private def pcaChainSql: String = {
     // MATERIALIZED: DuckDB inlines CTEs by default, and the iteration
     // chain references cv (→ the embeddings scan) once per step —
     // inlined, that is 48 re-scans and an open-file blowup.
@@ -4278,14 +4306,7 @@ object Llm {
             cv AS MATERIALIZED (SELECT g.i, g.j,
                 g.g / (SELECT n FROM nn) - ma.m * mb.m AS c
               FROM gr g JOIN mn ma ON ma.i = g.i JOIN mn mb ON mb.i = g.j),
-            v0 AS (SELECT CAST(t.r AS INT) AS i, 1.0 / sqrt($d.0) AS v
-              FROM range($d) t(r)),
-            $iters,
-            sp AS (SELECT CASE WHEN (SELECT v FROM v$T
-                  ORDER BY abs(v) DESC, i LIMIT 1) < 0
-                THEN -1.0 ELSE 1.0 END AS s),
-            vf AS MATERIALIZED (SELECT i, v * (SELECT s FROM sp) AS v
-              FROM v$T)"""
+            ${pcaIterChainSql("cv", "")}"""
   }
 
   private def round6(c: Column): Column = round(c, 6)
@@ -4363,6 +4384,60 @@ object Llm {
       graft.streaming.PcaStream.report(s, state)
     },
     pcaLoadings.oracle)
+
+  // ---- multi-component PCA by deflation ---------------------------------
+  // Real embedding curation (outlier maps, diversity sampling) wants
+  // more than the dominant direction: the top 3 PCs by Hotelling
+  // deflation — extract v₁ from C, subtract λ₁v₁v₁ᵀ, iterate again on
+  // the residual. The corpus cost is UNCHANGED (the same one moments
+  // pass as q132; deflation is d×d driver arithmetic), and the oracle
+  // replays the whole thing: three 48-step iteration chains with the
+  // rank-1 subtraction CTE between (the q132 unrolled-replay discipline
+  // ×3). Explained-variance ratios are against the ORIGINAL trace, so
+  // they sum toward 1 across components; eigenvalues descend up to the
+  // fixed iterate's convergence slack (exact order is a convergence
+  // property, and the replayable statistic is the 48-step iterate).
+  private val pcaComponents = Q(
+    "q143_pca_components",
+    (s, dir) => {
+      val m = graft.llm.Pca.moments(t(s, dir, "embeddings"), "embedding")
+      val (_, comps) = graft.llm.Pca.principals(m, 3)
+      import s.implicits._
+      comps.zipWithIndex.flatMap { case ((v, lam, evr), c) =>
+        v.zipWithIndex.map { case (x, i) =>
+          ((c + 1).toLong, i.toLong, x, lam, evr)
+        }
+      }.toDF("pc", "dim", "raw", "lam", "ev")
+        .select(col("pc"), col("dim"), round6(col("raw")).as("loading"),
+          round(col("lam"), 4).as("eigval"), round(col("ev"), 6).as("evr"))
+        .orderBy("pc", "dim")
+    },
+    Some(s"""WITH $pcaChainSql,
+            tr AS (SELECT sum(c) AS t FROM cv WHERE i = j),
+            ${pcaDeflateSql("cv", "vf", "l1", "cvd2")},
+            ${pcaIterChainSql("cvd2", "p2")},
+            ${pcaDeflateSql("cvd2", "p2vf", "l2", "cvd3")},
+            ${pcaIterChainSql("cvd3", "p3")},
+            l3 AS (SELECT sum(va.v * c0.c * vb.v) AS l
+              FROM cvd3 c0 JOIN p3vf va ON va.i = c0.i
+              JOIN p3vf vb ON vb.i = c0.j)
+            SELECT * FROM (
+              SELECT CAST(1 AS BIGINT) AS pc, CAST(i AS BIGINT) AS dim,
+                round(v, 6) AS loading,
+                round((SELECT l FROM l1), 4) AS eigval,
+                round((SELECT l FROM l1) / (SELECT t FROM tr), 6) AS evr
+              FROM vf
+              UNION ALL
+              SELECT CAST(2 AS BIGINT), CAST(i AS BIGINT), round(v, 6),
+                round((SELECT l FROM l2), 4),
+                round((SELECT l FROM l2) / (SELECT t FROM tr), 6)
+              FROM p2vf
+              UNION ALL
+              SELECT CAST(3 AS BIGINT), CAST(i AS BIGINT), round(v, 6),
+                round((SELECT l FROM l3), 4),
+                round((SELECT l FROM l3) / (SELECT t FROM tr), 6)
+              FROM p3vf)
+            ORDER BY pc, dim"""))
 
   // ---- corpus profiling -----------------------------------------------
   // The data-quality census a 100 TB ingest runs before anything else:
@@ -4833,6 +4908,7 @@ object Llm {
     kmvDistinct, kmvJaccard, hllDistinct, cmsHeavy,
     wordpieceMerges, wordpieceEncode, annIncremental, sketchIncremental,
     bm25TopK, bm25Incremental, cmsIncremental, pagerank,
-    pcaLoadings, pcaProject, pcaIncremental, profileCensus, zipfFit,
+    pcaLoadings, pcaProject, pcaIncremental, pcaComponents,
+    profileCensus, zipfFit,
     lrTrainQ, lrScoreQ, lrEvalQ, lrAucQ, lrCalibQ, lrIncrementalQ)
 }
