@@ -134,11 +134,17 @@ object QualityModel {
   }
 
   /** Train from w = 0 with `iters` full-batch steps at learning rate
-    * `lr`: w_j ← w_j − floor(lr · (G_j/n/1e13) · 1e7 + .5). One
+    * `lr`: w_j ← w_j − floor(lr · (G_j/n/1e13 + λ·w_j/1e7) · 1e7 + .5)
+    * — the λw term is L2 regularization (weight decay) on the same
+    * 1e-7 grid as everything else: one more literal in the update, so
+    * the oracle's unrolled replay stays bit-exact. The BIAS (xsCols
+    * head) is exempt, the standard convention — penalizing the
+    * intercept would pull the decision boundary toward the origin of
+    * the label distribution rather than shrink feature reliance. One
     * aggregation job per iteration over the (pre-staged) feature frame.
     * @return every step, final weights last */
   def train(feats: DataFrame, xsCols: Seq[String], labelCol: String,
-            lr: Double, iters: Int): Seq[Step] = {
+            lr: Double, iters: Int, l2: Double = 0.0): Seq[Step] = {
     var w = Seq.fill(xsCols.size)(0L)
     (1 to iters).map { t =>
       val r = gradientFrame(withP(feats, xsCols, w), xsCols, labelCol).head()
@@ -146,10 +152,31 @@ object QualityModel {
       val nc = r.getLong(xsCols.size + 1)
       w = w.zipWithIndex.map { case (wi, j) =>
         val g = r.getDecimal(j).doubleValue / n.toDouble / 1e13
-        wi - fl(lr * g * wScale.toDouble)
+        // j == 0 is the bias; x + 0.0 is the identity on every finite
+        // double here, so one code path matches both oracle forms
+        val pen = if (j == 0) 0.0 else l2 * (wi.toDouble / 1e7)
+        wi - fl(lr * (g + pen) * wScale.toDouble)
       }
       Step(t, w, nc)
     }
+  }
+
+  /** Per-feature importance off a trained model: |w_j| · σ(xs_j), the
+    * realized spread of the (standardized, integer-grid) feature times
+    * the weight magnitude — the standard linear-model attribution. All
+    * integer arithmetic: σ comes from [[stats]] on the xs columns
+    * (1e-6 grid), the product is exact in a LONG (|w| ≤ ~1e8 · σ ≤
+    * ~1e7), one division at emission. The caller's frame is the
+    * TRAINING frame — importance is an attribution on what the model
+    * saw. @return (feature, w_units, sd_units, importance) rows in
+    * xsCols order, importance at 6 dp */
+  def importance(feats: DataFrame, xsCols: Seq[String], w: Seq[Long],
+                 names: Seq[String]): Seq[(String, Long, Long, Double)] = {
+    val (_, _, sd) = stats(feats, xsCols)
+    names.lazyZip(w).lazyZip(sd).map { (nm, wi, s) =>
+      val units = math.abs(wi) * s
+      (nm, wi, s, math.floor(units.toDouble / 1e13 * 1e6 + 0.5) / 1e6)
+    }.toSeq
   }
 
   /** Map-only corpus scoring under literal weights: `p_units` (1e-7

@@ -4546,6 +4546,10 @@ object Llm {
   private val lrFeatNames = Seq("bias", "x_stop", "x_mwl", "x_len")
   private val lrIters = 8
   private val lrRate = 2.0
+  // L2 (weight decay) on the 1e-7 grid, bias exempt — shrinks reliance
+  // on weak-signal features (x_len is the planted distractor); one more
+  // literal in the update, replayed verbatim by the oracle chain
+  private val lrL2 = 0.01
 
   /** Raw 1e-6-grid features + the heuristic label off [[qualityCols]]:
     * saturated stopword ratio, saturated mean word length, saturated
@@ -4571,7 +4575,7 @@ object Llm {
     val cols = Seq("x_stop", "x_mwl", "x_len")
     val (_, mu, sd) = QualityModel.stats(raw, cols)
     val st = Staging.stage(QualityModel.standardize(raw, cols, mu, sd))
-    (st, QualityModel.train(st, lrXsCols, "y", lrRate, lrIters), mu, sd)
+    (st, QualityModel.train(st, lrXsCols, "y", lrRate, lrIters, lrL2), mu, sd)
   }
 
   private def lrTrain(s: SparkSession, dir: String) = {
@@ -4610,7 +4614,10 @@ object Llm {
         s"CAST(sum((p - y*10000000)*$x) AS BIGINT) AS g$j"
       }.mkString(",\n                ")
       val ups = wc.zipWithIndex.map { case (w, j) =>
-        s"""w.$w - CAST(floor($lrRate*(CAST(g.g$j AS DOUBLE)/g.n/1e13)*10000000.0
+        // bias (j = 0) is exempt from the L2 term, the standard rule
+        val pen = if (j == 0) ""
+          else s" + $lrL2*(CAST(w.$w AS DOUBLE)/1e7)"
+        s"""w.$w - CAST(floor($lrRate*(CAST(g.g$j AS DOUBLE)/g.n/1e13$pen)*10000000.0
                   + 0.5) AS BIGINT) AS $w"""
       }.mkString(",\n                ")
       s"""p$tt AS (SELECT z.doc_id, z.y, ${xs.map(x => s"z.$x").mkString(", ")},
@@ -4884,9 +4891,57 @@ object Llm {
       graft.streaming.QualityStream.foldBatch(
         feats.filter(col("doc_id") >= 250), state)
       lrStepsDf(s,
-        graft.streaming.QualityStream.train(s, state, lrRate, lrIters))
+        graft.streaming.QualityStream.train(s, state, lrRate, lrIters, lrL2))
     },
     lrTrainQ.oracle)
+
+  // ---- feature importance off the trained model --------------------------
+  // Which features does the filter actually lean on? |w_j|·σ(xs_j) — the
+  // weight magnitude times the feature's realized (standardized,
+  // integer-grid) spread, the standard linear-model attribution. All
+  // exact integers until one division at emission; the oracle re-derives
+  // σ from the z frame with the same floor(√(Σx² − 2μΣx + nμ²)/n + .5)
+  // integer-moment formula the training stats use. With L2 on, the
+  // distractor (x_len) ranks last among the real features.
+  private val lrImportanceQ = Q(
+    "q145_quality_importance",
+    (s, dir) => {
+      import graft.llm.QualityModel
+      val (st, steps) = lrTrain(s, dir)
+      val rows = QualityModel.importance(st, lrXsCols, steps.last.w,
+        lrFeatNames)
+      import s.implicits._
+      rows.toDF("feature", "w_units", "sd_units", "importance")
+        .orderBy("feature")
+    },
+    Some {
+      val feats = Seq( // (display name, weight CTE col, xs col, index)
+        ("bias", "wb", "xs_bias", 0),
+        ("x_stop", "ws", "xs_stop", 1),
+        ("x_mwl", "wm", "xs_mwl", 2),
+        ("x_len", "wl", "xs_len", 3))
+      val sums = feats.map { case (_, _, x, i) =>
+        s"CAST(sum($x) AS BIGINT) AS s$i, CAST(sum($x*$x) AS BIGINT) AS q$i"
+      }.mkString(",\n                ")
+      val mus = feats.map { case (_, _, _, i) =>
+        s"CAST(floor(CAST(s$i AS DOUBLE)/n + 0.5) AS BIGINT) AS mu$i"
+      }.mkString(",\n                ")
+      val sds = feats.map { case (_, _, _, i) =>
+        s"""greatest(CAST(floor(sqrt(CAST(q$i - 2*mu$i*s$i +
+                mu$i*mu$i*n AS DOUBLE)/n) + 0.5) AS BIGINT), 1) AS sd$i"""
+      }.mkString(",\n                ")
+      val rows = feats.map { case (nm, w, _, i) =>
+        s"""SELECT '$nm' AS feature, w.$w AS w_units, d.sd$i AS sd_units,
+              round(CAST(abs(w.$w)*d.sd$i AS DOUBLE)/1e13, 6) AS importance
+            FROM w$lrIters w, isd d"""
+      }.mkString("\n            UNION ALL ")
+      s"""WITH ${lrChainSql()},
+            ist AS (SELECT count(*) AS n, $sums FROM z),
+            imu AS (SELECT *, $mus FROM ist),
+            isd AS (SELECT n, $sds FROM imu)
+            SELECT * FROM ($rows)
+            ORDER BY feature"""
+    })
 
   val queries: Seq[Q] = Seq(
     docStats, tokenCount, langHeuristic, fingerprint, exactDedup,
@@ -4910,5 +4965,6 @@ object Llm {
     bm25TopK, bm25Incremental, cmsIncremental, pagerank,
     pcaLoadings, pcaProject, pcaIncremental, pcaComponents,
     profileCensus, zipfFit,
-    lrTrainQ, lrScoreQ, lrEvalQ, lrAucQ, lrCalibQ, lrIncrementalQ)
+    lrTrainQ, lrScoreQ, lrEvalQ, lrAucQ, lrCalibQ, lrIncrementalQ,
+    lrImportanceQ)
 }

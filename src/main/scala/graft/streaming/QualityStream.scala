@@ -73,14 +73,14 @@ object QualityStream {
     * [[QualityModel]]'s batch recipe over the state scan, so the result
     * is bit-equal to a one-shot batch training on the same rows. */
   def train(spark: SparkSession, statePath: String, lr: Double,
-            iters: Int): Seq[QualityModel.Step] = {
+            iters: Int, l2: Double = 0.0): Seq[QualityModel.Step] = {
     graft.sinks.Sinks.recoverSwap(spark, featPath(statePath))
     val raw = spark.read.parquet(featPath(statePath))
     val cols = Seq("x_stop", "x_mwl", "x_len")
     val (_, mu, sd) = QualityModel.stats(raw, cols)
     val st = Staging.stage(QualityModel.standardize(raw, cols, mu, sd))
     QualityModel.train(st,
-      Seq("xs_bias", "xs_x_stop", "xs_x_mwl", "xs_x_len"), "y", lr, iters)
+      Seq("xs_bias", "xs_x_stop", "xs_x_mwl", "xs_x_len"), "y", lr, iters, l2)
   }
 
   /** Row count of the feature store (footer walk, no job). */

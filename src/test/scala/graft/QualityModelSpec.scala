@@ -99,6 +99,28 @@ class QualityModelSpec extends SparkSpec {
       s"distractor weight ${w(2)} not dominated by signal ${w(1)}")
   }
 
+  test("L2 shrinks the distractor weight and never the other way") {
+    val raw = df()
+    val (_, mu, sd) = QualityModel.stats(raw, Seq("x1", "x2"))
+    val st = QualityModel.standardize(raw, Seq("x1", "x2"), mu, sd)
+    val cols = Seq("xs_bias", "xs_x1", "xs_x2")
+    val plain = QualityModel.train(st, cols, "y", 2.0, 8).last.w
+    val reg = QualityModel.train(st, cols, "y", 2.0, 8, l2 = 0.05).last.w
+    // x2 is the distractor: its gradient signal is noise, so decay wins
+    assert(math.abs(reg(2)) < math.abs(plain(2)),
+      s"L2 did not shrink the distractor: ${plain(2)} -> ${reg(2)}")
+    // the total non-bias weight mass shrinks under decay
+    val mass = (w: Seq[Long]) => w.drop(1).map(math.abs).sum
+    assert(mass(reg) < mass(plain),
+      s"L2 did not shrink the boundary: ${mass(plain)} -> ${mass(reg)}")
+    // importance attributes the signal feature far above the distractor
+    val imp = QualityModel.importance(st, cols, reg,
+      Seq("bias", "x1", "x2"))
+    val byName = imp.map(r => r._1 -> r._4).toMap
+    assert(byName("x1") > byName("x2") * 3,
+      s"importance did not separate signal from distractor: $imp")
+  }
+
   test("training is bitwise deterministic across runs") {
     val a = distributed(lr = 2.0, iters = 3).map(s => (s.w, s.nCorrect))
     val b = distributed(lr = 2.0, iters = 3).map(s => (s.w, s.nCorrect))
