@@ -381,8 +381,15 @@ object Llm {
   // up to 128 independent bits).
   private val hexDigits = "0123456789abcdef"
 
-  private[graft] def simhashFrame(s: SparkSession, dir: String, bits: Int): DataFrame = {
-    val words = t(s, dir, "documents")
+  private[graft] def simhashFrame(s: SparkSession, dir: String, bits: Int): DataFrame =
+    simhashOf(t(s, dir, "documents"), bits)
+
+  /** The simhash signature frame of an arbitrary (doc_id, lang, text)
+    * frame — per-doc and map-only up to the per-doc bit-sum
+    * aggregation, so a micro-batch signs exactly like the full corpus
+    * (the streaming graph fold relies on this). */
+  private[graft] def simhashOf(docs: DataFrame, bits: Int): DataFrame = {
+    val words = docs
       .select(col("doc_id"), col("lang"),
         explode(expr(s"array_distinct($toksExpr)")).as("w"))
       .withColumn("h", md5(col("w")))
@@ -4157,7 +4164,7 @@ object Llm {
   // anything corpus-sized; the dangling mass is a collapsed 1-row
   // scalar riding a broadcast; the rank frame is staged per iteration
   // so plans stay bounded.
-  private val prIters = 3
+  private val prIters = graft.llm.PageRank.iters
 
   private def prIterSql(i: Int): String = {
     val p = i - 1
@@ -4186,40 +4193,7 @@ object Llm {
       val pairs = Staging.stage(
         simhashBandPairs(Staging.stage(simhashFrame(s, dir, 32)), 8, 4, 6)
           .select("doc_a", "doc_b"))
-      val edges = Staging.stage(
-        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .unionByName(
-            pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
-      val outd = Staging.stage(
-        edges.groupBy("src").agg(count(lit(1)).as("deg")))
-      val nodes = Staging.stage(docs.select("doc_id"))
-      val ndv = nodes.agg(count(lit(1)).as("nd"))
-      var r = Staging.stage(nodes.crossJoin(broadcast(ndv))
-        .select(col("doc_id"),
-          round(lit(1e9) / col("nd")).cast("long").as("r")))
-      for (_ <- 1 to prIters) {
-        val dang = r.join(outd, r("doc_id") === outd("src"), "left_anti")
-          .agg(coalesce(sum("r"), lit(0L)).as("dang"))
-        val inflow = edges
-          .join(r, edges("src") === r("doc_id"))
-          .join(outd, Seq("src"))
-          .select(col("dst"),
-            round(col("r").cast("double") / col("deg")).cast("long").as("w"))
-          .groupBy("dst").agg(sum("w").cast("long").as("w"))
-        r = Staging.stage(nodes
-          .join(inflow, nodes("doc_id") === inflow("dst"), "left")
-          .crossJoin(broadcast(ndv)).crossJoin(broadcast(dang))
-          .select(nodes("doc_id"),
-            (round(lit(0.15) * lit(1e9) / col("nd")).cast("long") +
-              round(lit(0.85) * (coalesce(col("w"), lit(0L)) +
-                round(col("dang").cast("double") / col("nd")).cast("long")))
-                .cast("long")).as("r")))
-      }
-      // 9 dp recovers the 1e-9 grid point exactly — an 8 dp emission
-      // would sit ON the .5 boundary for odd grid values and diverge
-      // between decimal (Spark) and binary (DuckDB) rounding
-      r.select(col("doc_id"),
-          round(col("r").cast("double") / lit(1e9), 9).as("pr"))
+      graft.llm.PageRank.ranks(docs.select("doc_id"), pairs)
         .orderBy("doc_id")
     },
     Some(s"""WITH ${simhashSqlCte(32)},
@@ -4239,6 +4213,27 @@ object Llm {
             SELECT doc_id,
               round(CAST(r AS DOUBLE) / 1000000000.0, 9) AS pr
             FROM r$prIters ORDER BY doc_id"""))
+
+  // ---- streaming PageRank maintenance as an oracle row ------------------
+  // The q126 discipline applied to graph centrality: each invocation
+  // folds the documents table in two halves into a FRESH persisted
+  // edge/band/node state (streaming/PageRankStream — new edges from
+  // banding the batch against the pruned band index, never re-pairing
+  // the accumulated corpus), then re-ranks over the CURRENT edge state
+  // — which must answer q131's batch oracle VERBATIM, because the edge
+  // SETS are identical (same banding, same exactly-once emission, same
+  // Hamming gate) and the rank arithmetic is the shared llm/PageRank.
+  private val pagerankIncremental = Q(
+    "q144_incremental_pagerank",
+    (s, dir) => withTempState("graft_q144_state") { state =>
+      val docs = t(s, dir, "documents")
+      graft.streaming.PageRankStream.foldBatch(
+        docs.filter(col("doc_id") < 250), state)
+      graft.streaming.PageRankStream.foldBatch(
+        docs.filter(col("doc_id") >= 250), state)
+      graft.streaming.PageRankStream.ranks(s, state).orderBy("doc_id")
+    },
+    pagerank.oracle)
 
   // ---- PCA over the embedding corpus ----------------------------------
   // The dimensionality lens of the embedding family (llm/Pca): ONE
@@ -4963,6 +4958,7 @@ object Llm {
     kmvDistinct, kmvJaccard, hllDistinct, cmsHeavy,
     wordpieceMerges, wordpieceEncode, annIncremental, sketchIncremental,
     bm25TopK, bm25Incremental, cmsIncremental, pagerank,
+    pagerankIncremental,
     pcaLoadings, pcaProject, pcaIncremental, pcaComponents,
     profileCensus, zipfFit,
     lrTrainQ, lrScoreQ, lrEvalQ, lrAucQ, lrCalibQ, lrIncrementalQ,

@@ -1,0 +1,178 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Staging
+import graft.queries.Llm
+
+/** Streaming PageRank maintenance — the dedup-state discipline applied
+  * to the near-dup centrality graph (q131's semantics): documents
+  * arrive in micro-batches, their simhash band entries fold into a
+  * persisted band index, NEW edges are discovered by banding the batch
+  * against that index (never all-pairs, never re-pairing the old
+  * corpus), and a re-rank over the CURRENT edge state answers the batch
+  * PageRank oracle verbatim through the shared [[graft.llm.PageRank]]
+  * arithmetic.
+  *
+  * What is incremental and what is not: EDGE MAINTENANCE is ∝ delta —
+  * the batch's band entries probe the (partition-pruned) band store,
+  * the delta rides a broadcast, and only novel rows append. The RANK
+  * itself is a global fixpoint — a per-cadence re-iteration over the
+  * accumulated edge/node stores is the honest contract (ranks are cheap
+  * relative to pair discovery: three keyed-join passes over edges vs a
+  * banded candidate join + hamming verification per fold).
+  *
+  * State under `statePath` (all bucketed, all novelty-guarded, so
+  * at-least-once redelivery converges per table):
+  *  - `nodes/` (doc_id) by doc-hash — ALL ingested docs, including
+  *    token-less ones that can never pair but still hold rank mass
+  *    (exactly q131's node set);
+  *  - `bands/` (doc_id, lang, seg, seg_val, simhash) by band-hash — the
+  *    probe index; novelty on (doc_id, seg);
+  *  - `edges/` (doc_a, doc_b) by doc_a-hash — verified candidate pairs,
+  *    doc_a < doc_b; novelty on the pair.
+  * Fold order is edges → bands → nodes: the NODE store gates the fold
+  * (only node-novel docs are signed and paired), so it lands last — a
+  * crash anywhere earlier replays the whole fold against idempotent
+  * appends; candidate generation additionally `distinct`s its union so
+  * a crash-replayed half-fold (bands landed, edges not) cannot emit a
+  * pair twice into one delta.
+  */
+object PageRankStream {
+
+  private def nodesPath(state: String) = s"$state/nodes"
+  private def bandsPath(state: String) = s"$state/bands"
+  private def edgesPath(state: String) = s"$state/edges"
+
+  /** Bucket modulus — the ClusterMaintenance layout contract. */
+  private val stateBuckets = 32
+  private def docBucket(id: Column): Column =
+    pmod(xxhash64(id), lit(stateBuckets)).cast("int")
+  private def bandBucket: Column =
+    pmod(xxhash64(col("seg"), col("seg_val"), col("lang")),
+      lit(stateBuckets)).cast("int")
+
+  // q131's banding parameters: 32-bit simhash, 8 segments × 4 bits,
+  // Hamming ≤ 6 (pigeonhole: 8 > 6, so every qualifying pair agrees on
+  // ≥ 1 segment and the equi-join finds it)
+  private val simBits = 32
+  private val numSegs = 8
+  private val segBits = 4
+  private val maxHamming = 6
+  private val segMask = (1L << segBits) - 1
+
+  /** Exactly-once pair emission: keep a candidate only at its LOWEST
+    * agreeing segment (a zero segBits-wide slice of sim_a ^ sim_b) —
+    * the batch path's literal-mask arithmetic verbatim. */
+  private val firstAgreeingSeg = (0 until numSegs)
+    .map(j => s"WHEN ((sim_a ^ sim_b) & ${segMask << (j * segBits)}L) = 0 THEN $j")
+    .mkString("CASE ", " ", " END")
+
+  /** Fold one micro-batch of documents (`doc_id`, `lang`, `text`) into
+    * the persisted graph. Per-fold cost: one signature pass over the
+    * batch's NOVEL docs, one pruned band-store probe, one banded
+    * self-join of the delta, novelty-guarded ≤`stateBuckets`-file
+    * appends. No accumulated row ever shuffles. */
+  def foldBatch(batch: DataFrame, statePath: String): Unit = {
+    val spark = batch.sparkSession
+    val np = nodesPath(statePath)
+    val bp = bandsPath(statePath)
+    val ep = edgesPath(statePath)
+
+    val delta = Staging.stage(
+      batch.select(col("doc_id"), col("lang"), col("text"))
+        .withColumn("nb", docBucket(col("doc_id"))))
+    val dn = delta.count()
+    if (dn == 0) return
+    StateStore.ensureBucketed(spark, np, "nb", docBucket(col("doc_id")),
+      stateBuckets)
+    val novel = Staging.stage(StateStore.novelAgainst(np, delta,
+      Seq("doc_id"), "nb", docBucket(col("doc_id")), stateBuckets,
+      deltaRows = dn))
+    val nNew = novel.count()
+    if (nNew == 0) return
+
+    // signatures + band entries of the novel docs (token-less docs
+    // produce no signature, exactly as the batch pass)
+    val sims = Llm.simhashOf(novel, simBits)
+    val bandsDelta = Staging.stage(sims.select(
+        col("doc_id"), col("lang"), col("simhash"),
+        explode(expr(s"transform(sequence(0, ${numSegs - 1}), i -> " +
+          s"named_struct('seg', i, 'seg_val', " +
+          s"shiftright(simhash, i * $segBits) & $segMask))")).as("sb"))
+      .select(col("doc_id"), col("lang"), col("sb.seg").as("seg"),
+        col("sb.seg_val").as("seg_val"), col("simhash"))
+      .withColumn("bb", bandBucket))
+
+    // candidates BEFORE the band append (else new-vs-new would double
+    // through the state side): state-vs-new probes the pruned store
+    // against the broadcast delta; new-vs-new bands the delta against
+    // itself — the q131 join shape at batch scope
+    def verify(cand: DataFrame): DataFrame = cand
+      .filter(col("seg") === expr(firstAgreeingSeg))
+      .filter(expr("CAST(bit_count(sim_a ^ sim_b) AS INT)") <= maxHamming)
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"))
+    val newSide = bandsDelta.select(col("doc_id").as("db"), col("lang"),
+      col("seg"), col("seg_val"), col("simhash").as("sim_b"), col("bb"))
+    val stateVsNew =
+      if (!StateStore.exists(spark, bp)) None
+      else Some(verify(
+        StateStore.prunedByTouched(spark, bp, "bb", bandsDelta, col("bb"))
+          .select(col("doc_id").as("da"), col("lang"), col("seg"),
+            col("seg_val"), col("simhash").as("sim_a"))
+          .join(broadcast(newSide.drop("bb")), Seq("seg", "seg_val", "lang"))
+          .filter(col("da") =!= col("db"))))
+    val newVsNew = verify(bandsDelta
+      .select(col("doc_id").as("da"), col("lang"), col("seg"),
+        col("seg_val"), col("simhash").as("sim_a"))
+      .join(newSide.drop("bb"), Seq("seg", "seg_val", "lang"))
+      .filter(col("da") < col("db")))
+    // distinct: a crash-replayed half-fold can surface the same pair
+    // through BOTH sides (its bands already in state); delta-sized
+    val edgeDelta = stateVsNew.fold(newVsNew)(_ unionByName newVsNew)
+      .distinct()
+      .withColumn("eb", docBucket(col("doc_a")))
+
+    StateStore.ensureBucketed(spark, ep, "eb", docBucket(col("doc_a")),
+      stateBuckets)
+    val novelEdges = StateStore.novelAgainst(ep, edgeDelta,
+      Seq("doc_a", "doc_b"), "eb", docBucket(col("doc_a")), stateBuckets)
+    StateStore.appendBucketed(novelEdges, ep, "eb", stateBuckets)
+
+    StateStore.ensureBucketed(spark, bp, "bb", bandBucket, stateBuckets)
+    val novelBands = StateStore.novelAgainst(bp, bandsDelta,
+      Seq("doc_id", "seg"), "bb", bandBucket, stateBuckets,
+      deltaRows = nNew * numSegs)
+    StateStore.appendBucketed(novelBands, bp, "bb", stateBuckets)
+
+    StateStore.appendBucketed(novel.select("doc_id", "nb"), np, "nb",
+      stateBuckets)
+  }
+
+  /** Compact the append-only stores — callers wire it on a batch
+    * cadence, like the cluster state's. */
+  def compact(spark: SparkSession, statePath: String): Unit = {
+    StateStore.compactBucketed(spark, edgesPath(statePath), "eb", stateBuckets)
+    StateStore.compactBucketed(spark, bandsPath(statePath), "bb", stateBuckets)
+    StateStore.compactBucketed(spark, nodesPath(statePath), "nb", stateBuckets)
+  }
+
+  /** Re-rank over the CURRENT edge/node state — q131's exact arithmetic
+    * via the shared [[graft.llm.PageRank]]. A graph nobody has folded
+    * yet answers EMPTY, not PATH_NOT_FOUND (the startup-race rule).
+    * @return (doc_id, pr) — unordered */
+  def ranks(spark: SparkSession, statePath: String): DataFrame = {
+    if (!StateStore.exists(spark, nodesPath(statePath)))
+      return spark.range(0).select(col("id").as("doc_id"),
+        col("id").cast("double").as("pr"))
+    val nodes = spark.read.parquet(nodesPath(statePath)).select("doc_id")
+    val pairs =
+      if (StateStore.exists(spark, edgesPath(statePath)))
+        spark.read.parquet(edgesPath(statePath)).select("doc_a", "doc_b")
+      else nodes.limit(0).select(col("doc_id").as("doc_a"),
+        col("doc_id").as("doc_b"))
+    graft.llm.PageRank.ranks(nodes, pairs)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.streaming.PageRankStream
+
+/** Streaming PageRank maintenance (q144's machinery): streamed edge
+  * folds + re-rank equal the batch q131 ranks whatever the split
+  * granularity, replay is absorbed in every state table, rank mass is
+  * conserved, and a cold state answers empty. */
+class PageRankStreamSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+  private def docs: DataFrame = graft.core.Tables.load(spark, sf, "documents")
+
+  private def batchRanks: Seq[(Long, Double)] =
+    SparkEntry.queries("q131_pagerank")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  private def streamedRanks(state: String): Seq[(Long, Double)] =
+    PageRankStream.ranks(spark, state).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("two streamed folds + re-rank answer exactly the batch q131 ranks") {
+    val state = java.nio.file.Files.createTempDirectory("prs_split").toString
+    PageRankStream.foldBatch(docs.filter(col("doc_id") < 250), state)
+    PageRankStream.foldBatch(docs.filter(col("doc_id") >= 250), state)
+    val streamed = streamedRanks(state)
+    assert(streamed == batchRanks, "streamed graph != batch ranks")
+    // rank mass conservation: N grid points of 1e-9 each, up to the
+    // per-node rounding (≤ 1 unit each way per update per node)
+    val mass = streamed.map(_._2).sum
+    assert(math.abs(mass - 1.0) < 1e-4, s"rank mass drifted: $mass")
+  }
+
+  test("a finer 4-way split converges to the same ranks") {
+    val state = java.nio.file.Files.createTempDirectory("prs_four").toString
+    Seq(col("doc_id") < 125,
+        col("doc_id") >= 125 && col("doc_id") < 250,
+        col("doc_id") >= 250 && col("doc_id") < 375,
+        col("doc_id") >= 375)
+      .foreach(p => PageRankStream.foldBatch(docs.filter(p), state))
+    assert(streamedRanks(state) == batchRanks,
+      "4-way streamed graph != batch ranks")
+  }
+
+  test("a replayed batch is absorbed in every state table") {
+    val state = java.nio.file.Files.createTempDirectory("prs_replay").toString
+    PageRankStream.foldBatch(docs.filter(col("doc_id") < 250), state)
+    PageRankStream.foldBatch(docs.filter(col("doc_id") >= 250), state)
+    val before = streamedRanks(state)
+    def counts = Seq("nodes", "bands", "edges")
+      .map(t => spark.read.parquet(s"$state/$t").count())
+    val cBefore = counts
+    PageRankStream.foldBatch(docs.filter(col("doc_id") >= 250), state)
+    assert(counts == cBefore, s"replay changed state row counts: $cBefore -> $counts")
+    assert(streamedRanks(state) == before, "replay changed the ranks")
+  }
+
+  test("cold state answers empty; compaction preserves the ranks") {
+    val state = java.nio.file.Files.createTempDirectory("prs_edge").toString
+    assert(PageRankStream.ranks(spark, state).isEmpty,
+      "ranking before the first fold should answer empty, not throw")
+    PageRankStream.foldBatch(docs.filter(col("doc_id") < 250), state)
+    PageRankStream.foldBatch(docs.filter(col("doc_id") >= 250), state)
+    val before = streamedRanks(state)
+    PageRankStream.compact(spark, state)
+    assert(streamedRanks(state) == before, "compaction changed the ranks")
+  }
+}
