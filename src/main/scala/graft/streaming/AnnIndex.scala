@@ -70,6 +70,48 @@ object AnnIndex {
     StateStore.compactBucketed(spark, cellsPath(statePath), "cell",
       buckets = 0)
 
+  /** Cell-occupancy census off parquet FOOTERS — a driver-side listing,
+    * no Spark job (the profiling discipline applied to the cell store).
+    * This is the DRIFT SIGNAL an offline retrain watches: fixed
+    * centroids degrade silently as the corpus distribution moves, and
+    * the first visible symptom is occupancy crowding into few cells
+    * (recall@k decays with no error anywhere). |cells| is bounded by
+    * the centroid set, so the result is driver-sized by construction.
+    * @return (cell, rows), ascending by cell */
+  def census(spark: SparkSession, statePath: String): Seq[(Long, Long)] = {
+    val p = cellsPath(statePath)
+    if (!StateStore.exists(spark, p)) return Seq.empty
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(p)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .map { st =>
+        (st.getPath.getName.stripPrefix("cell=").toLong,
+          StateStore.parquetRowCount(spark, st.getPath.toString))
+      }.sortBy(_._1)
+  }
+
+  /** Offline retrain-and-migrate: reassign EVERY persisted vector to
+    * its nearest centroid in `newCents` and rewrite the store
+    * partitioned by the new cells — the `ensureBucketed` migration
+    * shape (∝ state, ONCE, published through the atomic snapshot swap;
+    * folds keep their ∝-delta cost). After the swap the layout is
+    * consistent with `newCents`, so subsequent folds and probes MUST
+    * pass the retrained set: a fold against the old centroids would
+    * assign a replayed vector to a cell the pruned novelty probe
+    * doesn't read. Novelty itself is preserved — vec_ids are unchanged
+    * and assignment is deterministic in (vector, centroids), so a
+    * replayed vector lands in its (new) cell and the id-level probe
+    * skips it. */
+  def rebalance(spark: SparkSession, statePath: String,
+                newCents: DataFrame): Unit = {
+    val p = cellsPath(statePath)
+    if (!StateStore.exists(spark, p)) return
+    val rows = spark.read.parquet(p).select("vec_id", "v", "norm")
+    graft.sinks.Sinks.snapshotSwap(
+      assigned(rows, newCents).repartition(col("cell")), p, Seq("cell"))
+  }
+
   /** ANN top-k for a query frame (`query_id`, `qv`, `qnorm`) against the
     * persisted index: rank the centroids per query (broadcast × tiny),
     * partition-prune the index to the probed cells, score only those

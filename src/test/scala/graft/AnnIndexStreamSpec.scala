@@ -78,6 +78,75 @@ class AnnIndexStreamSpec extends SparkSpec {
       s"no partition-pruning predicate on 'cell' in plan:\n${plan.take(2000)}")
   }
 
+  test("census counts the store; drift degrades recall; rebalance recovers it") {
+    val e = emb
+    val state = java.nio.file.Files.createTempDirectory("ann_drift").toString
+    AnnIndex.foldBatch(e, cents(e), state)
+    // census: a driver-side footer walk whose per-cell counts sum to
+    // the store
+    val cen = AnnIndex.census(spark, state)
+    assert(cen.map(_._2).sum == spark.read.parquet(s"$state/cells").count())
+    assert(cen.forall(_._2 > 0) && cen.map(_._1) == cen.map(_._1).sorted)
+
+    // drifted second corpus: coordinates rotated by 32 — similarity
+    // structure WITHIN the new corpus is preserved exactly, but its
+    // projection onto the old centroid frame is noise, so stale-centroid
+    // assignment scatters true neighbor groups across cells
+    val permExpr =
+      "transform(sequence(0, 63), i -> element_at(v, ((i + 32) % 64) + 1))"
+    val b = e.select((col("vec_id") + 10000L).as("vec_id"),
+      expr(permExpr).as("v"), col("norm")) // permutation preserves norm
+    AnnIndex.foldBatch(b, cents(e), state) // folded under the STALE cents
+
+    // exact ground truth for the drifted queries: brute-force cosine
+    // top-5 over the whole store, driver-side (test scale)
+    val all = spark.read.parquet(s"$state/cells")
+      .select("vec_id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], bb: Array[Double]) = {
+      val d = a.zip(bb).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(bb.map(x => x * x).sum))
+    }
+    val qids = (10000L to 10004L).toSet
+    val truth = all.filter(t => qids(t._1)).map { case (qid, qv) =>
+      qid -> all.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+    }.toMap
+    val bq2 = b.filter(col("vec_id") < 10005L)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+    def recall(cn: DataFrame): Double = {
+      val got = AnnIndex.topK(spark, state, cn, bq2, nprobe = 2, k = 5)
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty[Long]).count(t) / 5.0 }.sum / truth.size
+    }
+    val stale = recall(cents(e))
+
+    // offline retrain: old seeds plus seeds drawn from the drifted
+    // corpus; migrate the store, then probe under the retrained set
+    val newCents = cents(e).unionByName(
+      b.filter(col("vec_id").between(10001L, 10008L))
+        .select(col("vec_id").as("cent_id"), col("v").as("cvec"),
+          col("norm").as("cnorm")))
+    AnnIndex.rebalance(spark, state, newCents)
+    assert(spark.read.parquet(s"$state/cells").count() == all.length,
+      "rebalance lost or duplicated vectors")
+    val fresh = recall(newCents)
+    info(f"drifted recall stale=$stale%.2f rebalanced=$fresh%.2f")
+    assert(fresh >= 0.8, s"rebalanced recall $fresh below the 0.8 floor")
+    assert(stale < 0.5, s"drift should visibly degrade stale-centroid recall, got $stale")
+
+    // novelty guarantees survive the migration: replaying the drifted
+    // batch under the retrained centroids appends nothing
+    val rowsBefore = spark.read.parquet(s"$state/cells").count()
+    AnnIndex.foldBatch(b, newCents, state)
+    assert(spark.read.parquet(s"$state/cells").count() == rowsBefore,
+      "replay after rebalance re-appended vectors")
+  }
+
   test("an unfolded index answers empty; compaction preserves answers and reclaims files") {
     val e = emb
     val state = java.nio.file.Files.createTempDirectory("ann_cold").toString
