@@ -80,9 +80,12 @@ object PageRankStream {
     val bp = bandsPath(statePath)
     val ep = edgesPath(statePath)
 
+    // id-only delta for the novelty probe: staging the batch TEXT here
+    // would checkpoint the corpus bytes twice per fold for a probe that
+    // only reads keys — the text is joined back exactly once, for the
+    // signature pass, whose output is what gets staged
     val delta = Staging.stage(
-      batch.select(col("doc_id"), col("lang"), col("text"))
-        .withColumn("nb", docBucket(col("doc_id"))))
+      batch.select(col("doc_id")).withColumn("nb", docBucket(col("doc_id"))))
     val dn = delta.count()
     if (dn == 0) return
     StateStore.ensureBucketed(spark, np, "nb", docBucket(col("doc_id")),
@@ -95,7 +98,9 @@ object PageRankStream {
 
     // signatures + band entries of the novel docs (token-less docs
     // produce no signature, exactly as the batch pass)
-    val sims = Llm.simhashOf(novel, simBits)
+    val sims = Llm.simhashOf(
+      batch.select(col("doc_id"), col("lang"), col("text"))
+        .join(broadcast(novel.select("doc_id")), Seq("doc_id")), simBits)
     val bandsDelta = Staging.stage(sims.select(
         col("doc_id"), col("lang"), col("simhash"),
         explode(expr(s"transform(sequence(0, ${numSegs - 1}), i -> " +
@@ -106,39 +111,45 @@ object PageRankStream {
       .withColumn("bb", bandBucket))
 
     // candidates BEFORE the band append (else new-vs-new would double
-    // through the state side): state-vs-new probes the pruned store
-    // against the broadcast delta; new-vs-new bands the delta against
-    // itself — the q131 join shape at batch scope
-    def verify(cand: DataFrame): DataFrame = cand
+    // through the state side), in ONE join: the left side is the pruned
+    // state slice tagged is_new=false unioned with the delta tagged
+    // is_new=true, the right side is the broadcast delta — so old-vs-new
+    // (da ≠ db; the new doc only ever appears on the right) and
+    // new-vs-new (da < db) pair in a single pass instead of two
+    // materialized joins over the same inputs
+    val newSide = bandsDelta.select(col("doc_id").as("db"), col("lang"),
+      col("seg"), col("seg_val"), col("simhash").as("sim_b"))
+    val deltaSide = bandsDelta
+      .select(col("doc_id").as("da"), col("lang"), col("seg"),
+        col("seg_val"), col("simhash").as("sim_a"), lit(true).as("is_new"))
+    val leftBands =
+      if (!StateStore.exists(spark, bp)) deltaSide
+      else StateStore.prunedByTouched(spark, bp, "bb", bandsDelta, col("bb"),
+          stateBuckets, deltaRows = nNew * numSegs)
+        .select(col("doc_id").as("da"), col("lang"), col("seg"),
+          col("seg_val"), col("simhash").as("sim_a"), lit(false).as("is_new"))
+        .unionByName(deltaSide)
+    val cands = leftBands
+      .join(broadcast(newSide), Seq("seg", "seg_val", "lang"))
+      .filter(when(col("is_new"), col("da") < col("db"))
+        .otherwise(col("da") =!= col("db")))
       .filter(col("seg") === expr(firstAgreeingSeg))
       .filter(expr("CAST(bit_count(sim_a ^ sim_b) AS INT)") <= maxHamming)
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"))
-    val newSide = bandsDelta.select(col("doc_id").as("db"), col("lang"),
-      col("seg"), col("seg_val"), col("simhash").as("sim_b"), col("bb"))
-    val stateVsNew =
-      if (!StateStore.exists(spark, bp)) None
-      else Some(verify(
-        StateStore.prunedByTouched(spark, bp, "bb", bandsDelta, col("bb"))
-          .select(col("doc_id").as("da"), col("lang"), col("seg"),
-            col("seg_val"), col("simhash").as("sim_a"))
-          .join(broadcast(newSide.drop("bb")), Seq("seg", "seg_val", "lang"))
-          .filter(col("da") =!= col("db"))))
-    val newVsNew = verify(bandsDelta
-      .select(col("doc_id").as("da"), col("lang"), col("seg"),
-        col("seg_val"), col("simhash").as("sim_a"))
-      .join(newSide.drop("bb"), Seq("seg", "seg_val", "lang"))
-      .filter(col("da") < col("db")))
-    // distinct: a crash-replayed half-fold can surface the same pair
-    // through BOTH sides (its bands already in state); delta-sized
-    val edgeDelta = stateVsNew.fold(newVsNew)(_ unionByName newVsNew)
-      .distinct()
-      .withColumn("eb", docBucket(col("doc_a")))
+    // staged: the edge-novelty probe consumes its delta three times and
+    // the append a fourth — unstaged, EACH re-runs the candidate join
+    // (measured 4x the fold cost). distinct rides the same staging job:
+    // a crash-replayed half-fold can surface one pair through BOTH
+    // sides (its bands already in state); delta-sized
+    val edgeDelta = Staging.stage(
+      cands.distinct().withColumn("eb", docBucket(col("doc_a"))))
 
     StateStore.ensureBucketed(spark, ep, "eb", docBucket(col("doc_a")),
       stateBuckets)
     val novelEdges = StateStore.novelAgainst(ep, edgeDelta,
-      Seq("doc_a", "doc_b"), "eb", docBucket(col("doc_a")), stateBuckets)
+      Seq("doc_a", "doc_b"), "eb", docBucket(col("doc_a")), stateBuckets,
+      deltaRows = edgeDelta.count())
     StateStore.appendBucketed(novelEdges, ep, "eb", stateBuckets)
 
     StateStore.ensureBucketed(spark, bp, "bb", bandBucket, stateBuckets)

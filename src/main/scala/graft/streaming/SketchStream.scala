@@ -19,14 +19,18 @@ import graft.sinks.Sinks
   * (k-min union and register max are associative and
   * duplicate-absorbing, which also makes foreachBatch replays free).
   *
-  * State under `statePath`: `kmin/` (source, h) — k smallest distinct
-  * hashes per source; `hll/` (source, reg, mrho) — register-wise max
-  * rank. Both published through the atomic snapshot swap.
+  * State under `statePath`: ONE `sketch/` snapshot holding both tiers
+  * discriminated by `kind` — `kmin` rows (source, h), the k smallest
+  * distinct hashes per source; `hll` rows (source, reg, mrho), the
+  * register-wise max rank — published through a SINGLE atomic swap per
+  * fold (they always change together, and two swaps paid two write
+  * jobs + two rename rounds per fold for tables that share a staged
+  * delta; a version upgrade from the earlier two-dir layout is one
+  * read-union-swap migration).
   */
 object SketchStream {
 
-  private def kminPath(state: String) = s"$state/kmin"
-  private def hllPath(state: String) = s"$state/hll"
+  private def sketchPath(state: String) = s"$state/sketch"
   // ONE definition with the oracle-generating batch queries — retuning
   // either side alone would silently diverge the driver gate
   private val kmvK = graft.queries.Llm.kmvK
@@ -44,9 +48,6 @@ object SketchStream {
       .select(col("source"), Sketches.hexFold32("hh").as("h"))
       .distinct()
 
-  private def readOr(spark: SparkSession, path: String, like: DataFrame): DataFrame =
-    if (StateStore.exists(spark, path)) spark.read.parquet(path) else like.limit(0)
-
   /** Fold one micro-batch of documents (`source`, `text`) into the
     * persisted sketches: delta sketch, merge with state, swap. The
     * corpus-sized delta is summarized FIRST (one windowed pass for the
@@ -63,23 +64,36 @@ object SketchStream {
     // job per fold
     if (delta.isEmpty) return
     val wn = Window.partitionBy("source").orderBy("h")
+    val p = sketchPath(statePath)
+    val hasState = StateStore.exists(spark, p)
+    val old = if (hasState) spark.read.parquet(p) else null
 
     val dKmin = delta.withColumn("rn", row_number().over(wn))
       .filter(col("rn") <= kmvK).select("source", "h")
-    val kOld = readOr(spark, kminPath(statePath), dKmin)
+    val kOld =
+      if (hasState) old.filter(col("kind") === "kmin").select("source", "h")
+      else dKmin.limit(0)
     val kNew = kOld.unionByName(dKmin).distinct()
       .withColumn("rn", row_number().over(wn))
-      .filter(col("rn") <= kmvK).select("source", "h")
-    Sinks.snapshotSwap(kNew.repartition(1), kminPath(statePath), Seq.empty)
+      .filter(col("rn") <= kmvK)
+      .select(col("source"), col("h"), lit(null).cast("int").as("reg"),
+        lit(null).cast("int").as("mrho"), lit("kmin").as("kind"))
 
     val dRegs = delta
       .withColumn("reg", Sketches.hllRegister(col("h"), hllP))
       .withColumn("mrho", Sketches.hllRho(col("h"), hllP))
       .groupBy("source", "reg").agg(max("mrho").as("mrho"))
-    val hOld = readOr(spark, hllPath(statePath), dRegs)
+    val hOld =
+      if (hasState) old.filter(col("kind") === "hll")
+        .select("source", "reg", "mrho")
+      else dRegs.limit(0)
     val hNew = hOld.unionByName(dRegs)
       .groupBy("source", "reg").agg(max("mrho").as("mrho"))
-    Sinks.snapshotSwap(hNew.repartition(1), hllPath(statePath), Seq.empty)
+      .select(col("source"), lit(null).cast("long").as("h"), col("reg"),
+        col("mrho"), lit("hll").as("kind"))
+    // both tiers ride ONE snapshot swap — they can never diverge, and a
+    // fold pays one write job instead of two
+    Sinks.snapshotSwap(kNew.unionByName(hNew).repartition(1), p, Seq.empty)
   }
 
   // ---- count-min sketch: the NON-absorbing merge -----------------------
@@ -166,17 +180,17 @@ object SketchStream {
   /** Per-source cardinality estimates off the persisted summaries —
     * no corpus access at all. @return (source, est_kmv, est_hll) */
   def report(spark: SparkSession, statePath: String): DataFrame = {
-    Sinks.recoverSwap(spark, kminPath(statePath)) // direct reads: heal first
-    Sinks.recoverSwap(spark, hllPath(statePath))
-    val kmin = spark.read.parquet(kminPath(statePath))
+    Sinks.recoverSwap(spark, sketchPath(statePath)) // direct read: heal first
+    val snap = spark.read.parquet(sketchPath(statePath))
     val wn = Window.partitionBy("source").orderBy("h")
-    val kmv = kmin.withColumn("rn", row_number().over(wn))
+    val kmv = snap.filter(col("kind") === "kmin")
+      .withColumn("rn", row_number().over(wn))
       .groupBy("source")
       .agg(count(lit(1)).as("nh"),
         max(when(col("rn") === kmvK, col("h"))).as("hk"))
       .select(col("source"),
         Sketches.kmvEstimate(col("hk"), col("nh"), kmvK).as("est_kmv"))
-    val hll = spark.read.parquet(hllPath(statePath))
+    val hll = snap.filter(col("kind") === "hll")
       .groupBy("source").agg(
         sum(expr("shiftleft(CAST(1 AS BIGINT), 24 - mrho)")).as("spow"),
         count(lit(1)).as("nregs"))

@@ -30,8 +30,9 @@ class SketchStreamSpec extends SparkSpec {
     // boundedness: <= k hashes and <= 2^p registers per source — the
     // property that lets the fold skip the bucketed-probe machinery
     val nSources = 20
-    assert(spark.read.parquet(s"$split/kmin").count() <= nSources * 256L)
-    assert(spark.read.parquet(s"$split/hll").count() <= nSources * 512L)
+    val snap = spark.read.parquet(s"$split/sketch")
+    assert(snap.filter(col("kind") === "kmin").count() <= nSources * 256L)
+    assert(snap.filter(col("kind") === "hll").count() <= nSources * 512L)
 
     // a replayed batch changes nothing (k-min union and register max
     // absorb duplicates)
