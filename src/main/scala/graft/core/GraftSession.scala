@@ -23,9 +23,23 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Fastest local scratch for EPHEMERAL bytes (shuffle files, spill,
+    * scratch state): the RAM-backed dir when the box has one, else the
+    * JVM default. Shuffle data is transient by definition — Spark's own
+    * tuning guide says to point `spark.local.dir` at the fastest local
+    * storage — and nothing durable ever lives here: state PUBLISHES go
+    * where the caller points them. */
+  def fastScratch: String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm)) shm.toString
+    else sys.props("java.io.tmpdir")
+  }
+
   def builder(cores: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cores]")
+      .config("spark.local.dir", s"$fastScratch/graft-local")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

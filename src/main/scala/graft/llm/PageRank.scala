@@ -16,16 +16,16 @@ import graft.core.Staging
   * grid: every division (contribution r/deg, dangling share, the damped
   * update) is ONE IEEE op on exact BIGINTs rounded straight back to the
   * grid, and every per-node inflow is an exact integer sum — the DuckDB
-  * oracle unrolls the iterations as a CTE chain.
+  * oracle unrolls the iterations as a CTE chain. The two execution
+  * strategies below are arithmetic-identical (the same expressions over
+  * the same exact integers), so the choice never touches results.
   *
   * Scale shape: an iteration is two keyed joins plus one keyed
   * aggregation — edge- and node-sized shuffles, no broadcast mandate on
-  * anything corpus-sized. The node count and the per-iteration dangling
-  * mass are BOUNDED SCALARS (1 row each) collected to the driver and
-  * re-entered as literals — the k-centroids discipline — which Catalyst
-  * constant-folds, so the fold-in costs nothing per row and drops the
-  * per-iteration broadcast-evaluation jobs the first version paid. The
-  * rank frame is staged per iteration so plans stay bounded.
+  * anything corpus-sized. The node count is a bounded-scalar collect
+  * re-entered as a constant-folded literal; the per-iteration dangling
+  * mass is a 1-row aggregate riding a broadcast (lazy mode) or a
+  * collected literal (staged mode).
   */
 object PageRank {
 
@@ -35,10 +35,21 @@ object PageRank {
 
   /** Ranks over `nodes0` (one `doc_id` per vertex, isolated vertices
     * included) given undirected candidate `pairs` (doc_a, doc_b).
+    *
+    * @param stageIterations execution strategy, measured per calling
+    *   context (arithmetic identical either way). `false` — ONE lazy
+    *   plan over the staged inputs, dangling mass as broadcast 1-row
+    *   subframes; fastest standalone (q131: 5.5 s → 3.5 s at sf0.1,
+    *   exchange reuse evaluates each level once). `true` — checkpoint
+    *   the rank frame each iteration and collect the dangling mass as
+    *   a scalar; fastest inside a fold-heavy session (q144's re-rank
+    *   runs after two state folds, where the deep lazy plan measured
+    *   ~2 s SLOWER per invocation than iteration isolation).
     * @return (doc_id, pr) — pr is the 1e-9 grid point emitted at 9 dp
     *   (8 dp would sit ON the .5 boundary for odd grid values and
     *   diverge between decimal and binary rounding) */
-  def ranks(nodes0: DataFrame, pairs: DataFrame): DataFrame = {
+  def ranks(nodes0: DataFrame, pairs: DataFrame,
+            stageIterations: Boolean = false): DataFrame = {
     val edges = Staging.stage(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(
@@ -51,22 +62,28 @@ object PageRank {
       round(lit(1e9) / lit(nd)).cast("long").as("r")))
     for (_ <- 1 to iters) {
       // dangling mass: ranks of vertices with no out-edges — a 1-row
-      // exact integer aggregate, collected and re-entered as a literal
-      val dang = r.join(outd, r("doc_id") === outd("src"), "left_anti")
-        .agg(coalesce(sum("r"), lit(0L)).as("dang")).head().getLong(0)
+      // exact integer aggregate
+      val dangDf = r.join(outd, r("doc_id") === outd("src"), "left_anti")
+        .agg(coalesce(sum("r"), lit(0L)).as("dang"))
+      val dangCol =
+        if (stageIterations) lit(dangDf.head().getLong(0))
+        else col("dang")
       val inflow = edges
         .join(r, edges("src") === r("doc_id"))
         .join(outd, Seq("src"))
         .select(col("dst"),
           round(col("r").cast("double") / col("deg")).cast("long").as("w"))
         .groupBy("dst").agg(sum("w").cast("long").as("w"))
-      r = Staging.stage(nodes
+      val next = nodes
         .join(inflow, nodes("doc_id") === inflow("dst"), "left")
-        .select(nodes("doc_id"),
-          (round(lit(0.15) * lit(1e9) / lit(nd)).cast("long") +
-            round(lit(0.85) * (coalesce(col("w"), lit(0L)) +
-              round(lit(dang).cast("double") / lit(nd)).cast("long")))
-              .cast("long")).as("r")))
+      val withDang =
+        if (stageIterations) next else next.crossJoin(broadcast(dangDf))
+      val updated = withDang.select(nodes("doc_id"),
+        (round(lit(0.15) * lit(1e9) / lit(nd)).cast("long") +
+          round(lit(0.85) * (coalesce(col("w"), lit(0L)) +
+            round(dangCol.cast("double") / lit(nd)).cast("long")))
+            .cast("long")).as("r"))
+      r = if (stageIterations) Staging.stage(updated) else updated
     }
     r.select(col("doc_id"),
       round(col("r").cast("double") / lit(1e9), 9).as("pr"))

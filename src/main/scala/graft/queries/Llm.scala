@@ -43,7 +43,12 @@ object Llm {
     * each query several times per run (ADVICE r12). The delete runs in
     * `finally` so an aborted invocation doesn't leak either. */
   private def withTempState(prefix: String)(body: String => DataFrame): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    // per-invocation scratch is EPHEMERAL by construction (deleted in
+    // the finally below), so it goes on the fastest local scratch —
+    // the durability story of a real deployment's state path is the
+    // caller's, not this demo harness's
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.core.GraftSession.fastScratch), prefix)
     try Staging.stage(body(dir.toString))
     finally {
       val st = java.nio.file.Files.walk(dir)
@@ -4216,13 +4221,16 @@ object Llm {
 
   // ---- streaming PageRank maintenance as an oracle row ------------------
   // The q126 discipline applied to graph centrality: each invocation
-  // folds the documents table in two halves into a FRESH persisted
-  // edge/band/node state (streaming/PageRankStream — new edges from
-  // banding the batch against the pruned band index, never re-pairing
-  // the accumulated corpus), then re-ranks over the CURRENT edge state
-  // — which must answer q131's batch oracle VERBATIM, because the edge
-  // SETS are identical (same banding, same exactly-once emission, same
-  // Hamming gate) and the rank arithmetic is the shared llm/PageRank.
+  // folds the documents table into a FRESH persisted edge/band/node
+  // state (streaming/PageRankStream — new edges from banding the batch
+  // against the pruned band index, never re-pairing the accumulated
+  // corpus), then re-ranks over the CURRENT edge state — which must
+  // answer q131's batch oracle VERBATIM, because the edge SETS are
+  // identical (same banding, same exactly-once emission, same Hamming
+  // gate) and the rank arithmetic is the shared llm/PageRank. The split
+  // is the family's doc_id-250 convention (a seed batch, then the
+  // rest); PageRankStreamSpec additionally pins 2-way-even and 4-way
+  // splits to the same ranks.
   private val pagerankIncremental = Q(
     "q144_incremental_pagerank",
     (s, dir) => withTempState("graft_q144_state") { state =>
