@@ -115,10 +115,12 @@ object Bm25Index {
 
     foldSummary(spark, statePath, batchId, novelPost, novelDocs)
 
+    // staged-frame counts are cheap and buy the small-delta
+    // single-task append path
     StateStore.appendBucketed(novelPost, postingsPath(statePath), "tb",
-      stateBuckets)
+      stateBuckets, deltaRows = novelPost.count())
     StateStore.appendBucketed(novelDocs, docsPath(statePath), "db",
-      stateBuckets)
+      stateBuckets, deltaRows = novelDocs.count())
   }
 
   /** Fold the novel rows' df/scalar deltas into the `dfsum/` snapshot,

@@ -151,6 +151,9 @@ object ClusterMaintenance {
       .withColumn("pb", bandBucket)
     val deltaToks = delta.select(col("doc_id"), col("toks"))
       .withColumn("tb", tokBucket(col("doc_id")))
+    // counted once off the staged delta: feeds the pruning hints AND
+    // the small-delta single-task append path
+    val nBands = deltaBands.count()
     // one-time migration for pre-upgrade state: unbucketed layouts and
     // stale (larger) bucket moduli both rewrite in place
     StateStore.ensureBucketed(spark, bandsPath(statePath), "pb", bandBucket,
@@ -188,7 +191,7 @@ object ClusterMaintenance {
       if (!fs.exists(new Path(bandsPath(statePath)))) dd.limit(0)
       else {
         val idx = StateStore.prunedByTouched(spark, bandsPath(statePath),
-          "pb", deltaBands, col("pb"), stateBuckets, deltaBands.count())
+          "pb", deltaBands, col("pb"), stateBuckets, nBands)
         val cand = Staging.stage(idx
           .select(col("doc_id").as("corpus_id"), col("band"),
             col("bucket"), col("b0").as("b0_c"))
@@ -229,9 +232,9 @@ object ClusterMaintenance {
       },
       awaitBoth(
         StateStore.appendBucketed(deltaBands, bandsPath(statePath), "pb",
-          stateBuckets),
+          stateBuckets, deltaRows = nBands),
         StateStore.appendBucketed(deltaToks, toksPath(statePath), "tb",
-          stateBuckets)))
+          stateBuckets, deltaRows = nBands)))
     ()
   }
 

@@ -92,8 +92,9 @@ object CorpusStream {
     // pre-bucketing (flat) hashes/ table once on first contact.
     StateStore.ensureBucketed(spark, hashesPath(statePath), "hb",
       hashBucketOf(col("content_hash")), 256)
+    val nFirsts = firsts.count()
     val novel = Staging.stage(StateStore.novelAgainst(hashesPath(statePath),
-      firsts, Seq("content_hash"), "hb", col("hb"), 256, firsts.count()))
+      firsts, Seq("content_hash"), "hb", col("hb"), 256, nFirsts))
 
     // DOCS BEFORE HASHES: a crash between the two appends must err
     // toward re-admitting a doc on replay (finalize's dropDuplicates
@@ -102,7 +103,7 @@ object CorpusStream {
     val docs = Staging.stage(novel.drop("content_hash", "hb"))
     docs.write.mode("append").parquet(docsPath(statePath))
     StateStore.appendBucketed(novel.select("content_hash", "hb"),
-      hashesPath(statePath), "hb", 256)
+      hashesPath(statePath), "hb", 256, deltaRows = nFirsts)
     // incremental near-dup labeling over the SCRUBBED novel docs — the
     // batch pipeline shingles scrubbed text too, so bands agree
     ClusterMaintenance.foldBatch(docs, clusterPath(statePath), threshold)

@@ -55,9 +55,11 @@ object Decontam {
     val hs = Staging.stage(Llm.shingleHashes(bench)
       .select("h").filter(col("h").isNotNull).distinct()
       .withColumn("hb", hashBucketOf(col("h"))))
+    val nh = hs.count()
     val novel = StateStore.novelAgainst(p, hs, Seq("h"), "hb", col("hb"),
-      256, hs.count())
-    StateStore.appendBucketed(novel.select("h", "hb"), p, "hb", 256)
+      256, nh)
+    StateStore.appendBucketed(novel.select("h", "hb"), p, "hb", 256,
+      deltaRows = nh)
   }
 
   /** Drop documents sharing at least `minShared` distinct shingle

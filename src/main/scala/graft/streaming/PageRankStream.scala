@@ -147,19 +147,22 @@ object PageRankStream {
 
     StateStore.ensureBucketed(spark, ep, "eb", docBucket(col("doc_a")),
       stateBuckets)
+    val nEdges = edgeDelta.count()
     val novelEdges = StateStore.novelAgainst(ep, edgeDelta,
       Seq("doc_a", "doc_b"), "eb", docBucket(col("doc_a")), stateBuckets,
-      deltaRows = edgeDelta.count())
-    StateStore.appendBucketed(novelEdges, ep, "eb", stateBuckets)
+      deltaRows = nEdges)
+    StateStore.appendBucketed(novelEdges, ep, "eb", stateBuckets,
+      deltaRows = nEdges)
 
     StateStore.ensureBucketed(spark, bp, "bb", bandBucket, stateBuckets)
     val novelBands = StateStore.novelAgainst(bp, bandsDelta,
       Seq("doc_id", "seg"), "bb", bandBucket, stateBuckets,
       deltaRows = nNew * numSegs)
-    StateStore.appendBucketed(novelBands, bp, "bb", stateBuckets)
+    StateStore.appendBucketed(novelBands, bp, "bb", stateBuckets,
+      deltaRows = nNew * numSegs)
 
     StateStore.appendBucketed(novel.select("doc_id", "nb"), np, "nb",
-      stateBuckets)
+      stateBuckets, deltaRows = nNew)
   }
 
   /** Compact the append-only stores — callers wire it on a batch

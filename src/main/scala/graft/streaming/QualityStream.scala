@@ -64,7 +64,8 @@ object QualityStream {
       p, delta, Seq("doc_id"), "db", col("db"), stateBuckets,
       deltaRows = dn))
     val n = novel.count()
-    if (n > 0) StateStore.appendBucketed(novel, p, "db", stateBuckets)
+    if (n > 0) StateStore.appendBucketed(novel, p, "db", stateBuckets,
+      deltaRows = n)
     n
   }
 

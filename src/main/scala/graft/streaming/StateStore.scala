@@ -176,8 +176,21 @@ object StateStore {
     * [[ensureBucketed]] can detect any bucket-count change by
     * comparison. The delta-sized repartition co-locates each bucket in
     * one task, so a fold appends at most `buckets` files. */
+  /** Delta row count below which a bucketed append writes from ONE
+    * task instead of repartitioning: the layout is identical (one file
+    * per touched bucket either way), but the small-delta path skips a
+    * full shuffle stage and 32 near-empty write tasks — per-fold fixed
+    * cost that dominates micro-batch appends. Large deltas (a bulk
+    * ingest) keep the parallel path. */
+  private val singleTaskAppendRows = 1L << 18
+
+  /** Append a delta into the bucketed layout. Pass `deltaRows` when the
+    * caller already has the count (most folds do — it feeds their
+    * novelty-probe hints): small deltas then take the single-task write
+    * path above; unknown (-1) or large deltas repartition by bucket so
+    * each bucket is one task's one file. */
   def appendBucketed(delta: DataFrame, path: String, bucketCol: String,
-                     buckets: Int): Unit = {
+                     buckets: Int, deltaRows: Long = -1L): Unit = {
     val spark = delta.sparkSession
     // stamp ONLY when this write CREATES the layout: a pre-existing
     // marker-less layout may be a legacy one written under a DIFFERENT
@@ -187,8 +200,11 @@ object StateStore {
     // between the write and the stamp leaves a marker-less layout that
     // the next ensureBucketed adjudicates by inference and restamps.
     val createsLayout = !exists(spark, path)
-    delta.repartition(col(bucketCol))
-      .write.partitionBy(bucketCol).mode("append").parquet(path)
+    val arranged =
+      if (deltaRows >= 0 && deltaRows <= singleTaskAppendRows)
+        delta.coalesce(1)
+      else delta.repartition(col(bucketCol))
+    arranged.write.partitionBy(bucketCol).mode("append").parquet(path)
     // buckets == 0 means the partition key is NOT a hash modulus (e.g.
     // AnnIndex's centroid cells) — there is no layout contract to stamp
     if (buckets > 0 && createsLayout) writeModulus(spark, path, buckets)
