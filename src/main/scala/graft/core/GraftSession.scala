@@ -24,15 +24,32 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   /** Fastest local scratch for EPHEMERAL bytes (shuffle files, spill,
-    * scratch state): the RAM-backed dir when the box has one, else the
-    * JVM default. Shuffle data is transient by definition — Spark's own
-    * tuning guide says to point `spark.local.dir` at the fastest local
-    * storage — and nothing durable ever lives here: state PUBLISHES go
-    * where the caller points them. */
-  def fastScratch: String = {
+    * scratch state): the RAM-backed dir when the box has one AND it has
+    * real headroom, else the JVM default (disk). Shuffle data is
+    * transient by definition — Spark's own tuning guide says to point
+    * `spark.local.dir` at the fastest local storage — and nothing
+    * durable ever lives here: state PUBLISHES go where the caller
+    * points them.
+    *
+    * The tmpfs is GATED, not unconditional: /dev/shm is typically capped
+    * at 50% of RAM and shares physical pages with the executor heap, so
+    * a shuffle-heavy run that would have spilled to disk can instead die
+    * with ENOSPC (or push the box into reclaim). The RAM path is taken
+    * only when the tmpfs currently has ≥ [[shmMinUsableBytes]] usable —
+    * sized at several times the engine's worst observed per-run scratch
+    * high-water mark (sf0.1 bench ≈ low single-digit GiB) — so a box
+    * where /dev/shm is small or already crowded falls back to disk.
+    * `GRAFT_SCRATCH_DIR` overrides the choice entirely (either
+    * direction) for deployments that know better. */
+  private val shmMinUsableBytes = 24L << 30
+
+  def fastScratch: String = sys.env.get("GRAFT_SCRATCH_DIR").getOrElse {
     val shm = java.nio.file.Paths.get("/dev/shm")
+    val usable = scala.util.Try(
+      java.nio.file.Files.getFileStore(shm).getUsableSpace).getOrElse(0L)
     if (java.nio.file.Files.isDirectory(shm) &&
-        java.nio.file.Files.isWritable(shm)) shm.toString
+        java.nio.file.Files.isWritable(shm) &&
+        usable >= shmMinUsableBytes) shm.toString
     else sys.props("java.io.tmpdir")
   }
 

@@ -29,7 +29,20 @@ object StateStore {
     * crash shape. */
   def exists(spark: SparkSession, path: String): Boolean = {
     graft.sinks.Sinks.recoverSwap(spark, path)
-    fs(spark, path).exists(new Path(path))
+    val f = fs(spark, path)
+    val p = new Path(path)
+    // A dir holding ONLY hidden entries (_SUCCESS, _buckets, tmp tags) is
+    // NOT state: a partitionBy write of an empty delta creates exactly
+    // that shape (the dynamic-partition writer opens files only when a
+    // row arrives), and treating it as present would send every later
+    // reader into spark.read.parquet on a schema-less layout ("Unable to
+    // infer schema") — permanently wedging the fold. One listStatus, no
+    // schema inference; data-bearing layouts short-circuit on their
+    // first bucket dir / part file.
+    f.exists(p) && f.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
   }
 
   /** Does `path` hold the bucketed (partition-dir) layout? One listing,
@@ -192,6 +205,16 @@ object StateStore {
   def appendBucketed(delta: DataFrame, path: String, bucketCol: String,
                      buckets: Int, deltaRows: Long = -1L): Unit = {
     val spark = delta.sparkSession
+    // An EMPTY delta must not touch the layout: partitionBy writes no
+    // files for zero rows but still creates the dir + _SUCCESS (+ the
+    // modulus stamp below), a shape [[exists]] must then reject — so
+    // skip the write outright. Known counts (most folds) skip free;
+    // when the count is unknown the isEmpty probe is paid only on the
+    // fold that would CREATE the layout (appending nothing to an
+    // existing layout is already harmless).
+    if (deltaRows == 0L) return
+    val createsLayout0 = !exists(spark, path)
+    if (deltaRows < 0L && createsLayout0 && delta.isEmpty) return
     // stamp ONLY when this write CREATES the layout: a pre-existing
     // marker-less layout may be a legacy one written under a DIFFERENT
     // modulus (a doubling, which dir-value inference cannot detect) —
@@ -199,7 +222,7 @@ object StateStore {
     // suppress the ensureBucketed rewrite that would fix it. A crash
     // between the write and the stamp leaves a marker-less layout that
     // the next ensureBucketed adjudicates by inference and restamps.
-    val createsLayout = !exists(spark, path)
+    val createsLayout = createsLayout0
     val arranged =
       if (deltaRows >= 0 && deltaRows <= singleTaskAppendRows)
         delta.coalesce(1)

@@ -74,4 +74,43 @@ class StateStoreSpec extends SparkSpec {
     StateStore.ensureBucketed(spark, p, "b", bucketOf(8), 8)
     assert(spark.read.parquet(p).count() === 64)
   }
+
+  test("an empty delta never creates (or wedges) a state layout") {
+    import graft.streaming.StateStore
+    import spark.implicits._
+    val base = Files.createTempDirectory("empty-delta").toString
+    def bucketOf = pmod(xxhash64(col("k")), lit(4)).cast("int")
+    val none = spark.emptyDataset[Long].toDF("k").withColumn("b", bucketOf)
+    val some = (0L until 16L).toDF("k").withColumn("b", bucketOf)
+
+    // known-empty (deltaRows == 0): skipped outright
+    val p1 = s"$base/known"
+    StateStore.appendBucketed(none, p1, "b", 4, deltaRows = 0L)
+    assert(!StateStore.exists(spark, p1),
+      "a known-empty append must not create the layout")
+
+    // unknown count (-1) on the CREATING fold: probed and skipped
+    val p2 = s"$base/unknown"
+    StateStore.appendBucketed(none, p2, "b", 4)
+    assert(!StateStore.exists(spark, p2),
+      "an unknown-count empty append must not create the layout")
+
+    // a layout wedged by a pre-fix engine (dir + _SUCCESS + tag, no data
+    // files) reads as ABSENT, so the state self-heals on the next fold
+    val p3 = s"$base/wedged"
+    val f = new org.apache.hadoop.fs.Path(p3)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new org.apache.hadoop.fs.Path(p3))
+    f.create(new org.apache.hadoop.fs.Path(p3, "_SUCCESS"), true).close()
+    StateStore.writeModulus(spark, p3, 4)
+    assert(!StateStore.exists(spark, p3),
+      "a data-file-less dir must read as absent")
+    // novelAgainst on the wedged layout must not try to infer a schema
+    assert(StateStore.novelAgainst(p3, some, Seq("k"), "b", col("b"), 4)
+      .count() === 16)
+    // and a real append then lands and reads normally
+    StateStore.appendBucketed(some, p3, "b", 4, deltaRows = 16L)
+    assert(StateStore.exists(spark, p3))
+    assert(spark.read.parquet(p3).count() === 16)
+  }
 }
