@@ -26,8 +26,11 @@ import graft.sinks.Sinks
   *    `weak`: a query-time df pass re-scanned the FULL posting store).
   *    df and the scalars are ADDITIVE (not duplicate-absorbing), so the
   *    summary carries a batch-id ledger IN THE SAME snapshot frame and
-  *    publishes through one atomic swap — the q130 CMS discipline
-  *    verbatim. The snapshot is vocabulary-sized (Heaps-law sub-linear
+  *    publishes through one atomic swap — the q130 CMS discipline,
+  *    plus a replay-horizon cap on the ledger (last 64 folds) so the
+  *    snapshot stays vocabulary-sized over the deployment's lifetime
+  *    instead of growing one row per fold forever. The snapshot is
+  *    vocabulary-sized (Heaps-law sub-linear
   *    in the corpus); a deployment whose vocabulary outgrows a
   *    single-task swap shards it into a term-bucketed delta log with
   *    compaction — the counters-ride-the-ledger-swap invariant is what
@@ -85,7 +88,7 @@ object Bm25Index {
     // source; an empty batch contributes nothing additive, so skipping
     // its ledger row is replay-safe
     val nDocs = toks.count()
-    if (nDocs == 0) return
+    if (nDocs == 0) { Staging.release(toks); return }
 
     val docsDelta = toks.select(col("doc_id"), col("dl"))
       .withColumn("db", docBucket(col("doc_id")))
@@ -116,18 +119,40 @@ object Bm25Index {
     foldSummary(spark, statePath, batchId, novelPost, novelDocs)
 
     // staged-frame counts are cheap and buy the small-delta
-    // single-task append path
-    StateStore.appendBucketed(novelPost, postingsPath(statePath), "tb",
-      stateBuckets, deltaRows = novelPost.count())
-    StateStore.appendBucketed(novelDocs, docsPath(statePath), "db",
-      stateBuckets, deltaRows = novelDocs.count())
+    // single-task append path; the two appends are independent (each
+    // novelty-guarded — any half-fold shape replays clean) and each is
+    // dominated by writer/commit fixed cost, so they overlap (Par)
+    graft.core.Par.awaitBoth(
+      StateStore.appendBucketed(novelPost, postingsPath(statePath), "tb",
+        stateBuckets, deltaRows = novelPost.count()),
+      StateStore.appendBucketed(novelDocs, docsPath(statePath), "db",
+        stateBuckets, deltaRows = novelDocs.count()))
+    // fold hygiene: the staged intermediates are dead once the appends
+    // land — drop their blocks so folds don't accumulate storage pressure
+    Staging.release(toks, novelPost, novelDocs)
   }
 
+  /** Batch-id ledger replay horizon: the snapshot keeps the last
+    * `ledgerHorizon` folded batch ids, not all of them — an unbounded
+    * ledger grows the (otherwise vocabulary-sized) snapshot by one row
+    * per fold FOREVER, and the swap rewrites the whole snapshot every
+    * micro-batch, so per-fold cost would grow with deployment lifetime.
+    * The cap is sound for the redelivery this ledger exists to absorb:
+    * at-least-once sources (foreachBatch) replay only the batches since
+    * the last checkpoint — always inside a 64-batch window — while a
+    * batch id older than the horizon is one the source has long since
+    * committed past. Pruning rides the SAME swap as the counters (the
+    * invariant), ordered by the `seq` fold counter the ledger rows
+    * carry (batch ids are opaque strings — arrival order is the
+    * engine's, not the caller's). */
+  private val ledgerHorizon = 64L
+
   /** Fold the novel rows' df/scalar deltas into the `dfsum/` snapshot,
-    * exactly once per `batchId` (the q130 ledger shape: kinds `df`,
-    * `scalar`, `batch` in one frame, one atomic swap). df counts NOVEL
-    * (term, doc_id) rows per term — exactly the distinct pairs the
-    * posting store accumulates — so the summary equals the batch pass's
+    * exactly once per `batchId` within the [[ledgerHorizon]] (the q130
+    * ledger shape: kinds `df`, `scalar`, `batch` in one frame, one
+    * atomic swap). df counts NOVEL (term, doc_id) rows per term —
+    * exactly the distinct pairs the posting store accumulates — so the
+    * summary equals the batch pass's
     * `postings.distinct.groupBy(term).count` at every fold boundary. */
   private def foldSummary(spark: SparkSession, statePath: String,
                           batchId: String, novelPost: DataFrame,
@@ -145,7 +170,8 @@ object Bm25Index {
       .groupBy("term").agg(sum("df").cast("long").as("df"))
       .select(col("term"), col("df"), lit(null).cast("long").as("nd"),
         lit(null).cast("long").as("sumdl"), lit("df").as("kind"),
-        lit(null).cast("string").as("bid"))
+        lit(null).cast("string").as("bid"),
+        lit(null).cast("long").as("seq"))
     val scalDelta = novelDocs.agg(count(lit(1)).as("nd"),
       coalesce(sum("dl"), lit(0L)).as("sumdl"))
     val oldScal =
@@ -156,15 +182,39 @@ object Bm25Index {
         sum("sumdl").cast("long").as("sumdl"))
       .select(lit(null).cast("string").as("term"),
         lit(null).cast("long").as("df"), col("nd"), col("sumdl"),
-        lit("scalar").as("kind"), lit(null).cast("string").as("bid"))
+        lit("scalar").as("kind"), lit(null).cast("string").as("bid"),
+        lit(null).cast("long").as("seq"))
     val ledgerRow = spark.range(1).select(
       lit(null).cast("string").as("term"), lit(null).cast("long").as("df"),
       lit(null).cast("long").as("nd"), lit(null).cast("long").as("sumdl"),
-      lit("batch").as("kind"), lit(batchId).as("bid"))
-    val ledger =
-      if (hasSum) old.filter(col("kind") === "batch").unionByName(ledgerRow)
-      else ledgerRow
-    // vocabulary-sized (Heaps-law) + 1 scalar + one ledger row per fold:
+      lit("batch").as("kind"), lit(batchId).as("bid"),
+      lit(null).cast("long").as("seq"))
+    // the ledger, capped to the replay horizon IN-PLAN (no extra job):
+    // the new row takes seq = max(old seq) + 1 via an all-rows window
+    // over the (≤ horizon+1 row) ledger, then rows that fell out of the
+    // horizon are pruned before the union rides the swap. A pre-`seq`
+    // snapshot (earlier engine version) reads as seq 0 for every
+    // existing row — they age out together, which only ever prunes
+    // EARLIER than the horizon would (the safe direction: a pruned id
+    // re-folds only if the source redelivers a batch older than its own
+    // checkpoint, which at-least-once delivery never does).
+    val oldLedger =
+      if (!hasSum) ledgerRow.limit(0)
+      else {
+        val b = old.filter(col("kind") === "batch")
+        if (old.columns.contains("seq")) b
+        else b.withColumn("seq", lit(0L))
+      }
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val ledger = oldLedger.unionByName(ledgerRow)
+      .withColumn("seq",
+        coalesce(col("seq"), coalesce(max("seq").over(wAll), lit(-1L)) + 1))
+      .withColumn("__mx", max("seq").over(wAll))
+      .filter(col("seq") > col("__mx") - ledgerHorizon)
+      .drop("__mx")
+    // vocabulary-sized (Heaps-law) + 1 scalar + ≤ horizon ledger rows:
     // one file, one atomic swap carrying counters AND ledger together
     Sinks.snapshotSwap(dfRows.unionByName(scalRow).unionByName(ledger)
       .repartition(1), p, Seq.empty)

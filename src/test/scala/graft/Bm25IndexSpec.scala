@@ -66,6 +66,64 @@ class Bm25IndexSpec extends SparkSpec {
     assert(topkOf(state) == before)
   }
 
+  test("the batch-id ledger is capped to the replay horizon; pre-seq snapshots migrate") {
+    val state = java.nio.file.Files.createTempDirectory("bm_horizon").toString
+    Bm25Index.foldBatch(docs.filter(col("doc_id") < 250), "b0", state)
+    Bm25Index.foldBatch(docs.filter(col("doc_id") >= 250), "b1", state)
+    val p = s"$state/dfsum"
+    def snap = spark.read.parquet(p)
+    val countersBefore = snap.filter(col("kind") =!= "batch")
+      .collect().map(_.toString).sorted.toSeq
+    // ledger rows carry the fold counter the cap orders by
+    assert(snap.filter(col("kind") === "batch").select("bid", "seq")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("b0", 0L), ("b1", 1L)))
+
+    // age the state to the horizon boundary: hand-seed 63 more ledger
+    // rows (seq 2..64) so the NEXT fold lands at seq 65 and must prune
+    // everything at seq <= 1 — including b0
+    val aged = graft.core.Staging.stage(snap.unionByName(
+      spark.range(2, 65).selectExpr("CAST(null AS STRING) AS term",
+        "CAST(null AS BIGINT) AS df", "CAST(null AS BIGINT) AS nd",
+        "CAST(null AS BIGINT) AS sumdl", "'batch' AS kind",
+        "concat('syn', id) AS bid", "id AS seq")))
+    graft.sinks.Sinks.snapshotSwap(aged.repartition(1), p, Seq.empty)
+    // a fold with no new content under a fresh id: counters unchanged,
+    // ledger gains seq 65 and sheds everything below seq 2 (horizon 64)
+    Bm25Index.foldBatch(docs.filter(col("doc_id") < 250), "b2", state)
+    val ledger = snap.filter(col("kind") === "batch").select("bid", "seq")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(ledger("b2") == 65L)
+    assert(!ledger.contains("b0") && !ledger.contains("b1"),
+      s"rows below the horizon were kept: ${ledger.keySet}")
+    assert(ledger.size == 64, s"ledger not capped: ${ledger.size}")
+    assert(snap.filter(col("kind") =!= "batch")
+      .collect().map(_.toString).sorted.toSeq == countersBefore,
+      "capping the ledger moved the counters")
+    // inside the horizon, replay is still absorbed
+    Bm25Index.foldBatch(docs.filter(col("doc_id") < 250), "b2", state)
+    assert(snap.filter(col("kind") === "batch").count() == 64)
+
+    // a pre-`seq` snapshot (earlier engine version) folds clean: its
+    // ledger rows read as seq 0 and the new fold takes seq 1
+    val legacy = java.nio.file.Files.createTempDirectory("bm_preseq").toString
+    Bm25Index.foldBatch(docs.filter(col("doc_id") < 250), "b0", legacy)
+    val noSeq = graft.core.Staging.stage(
+      spark.read.parquet(s"$legacy/dfsum").drop("seq"))
+    graft.sinks.Sinks.snapshotSwap(noSeq.repartition(1), s"$legacy/dfsum",
+      Seq.empty)
+    Bm25Index.foldBatch(docs.filter(col("doc_id") >= 250), "b1", legacy)
+    assert(spark.read.parquet(s"$legacy/dfsum")
+      .filter(col("kind") === "batch").select("bid", "seq")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("b0", 0L), ("b1", 1L)))
+    // and the migrated state still answers the two-fold retrieval
+    val ref = java.nio.file.Files.createTempDirectory("bm_preseq_ref").toString
+    Bm25Index.foldBatch(docs.filter(col("doc_id") < 250), "b0", ref)
+    Bm25Index.foldBatch(docs.filter(col("doc_id") >= 250), "b1", ref)
+    assert(topkOf(legacy) == topkOf(ref))
+  }
+
   test("the scoring probe partition-prunes; NO unpruned scan of the posting store") {
     val state = java.nio.file.Files.createTempDirectory("bm_prune").toString
     Bm25Index.foldBatch(docs, "b0", state)
