@@ -59,6 +59,30 @@ object Staging {
     } else df.localCheckpoint(eager = true)
   }
 
+  /** Drop the executor-storage blocks behind `local`-mode staged frames
+    * the caller has finished consuming. `localCheckpoint` TRUNCATES
+    * lineage — after release a frame is unreadable (no recompute path) —
+    * so this is strictly a "these frames are dead" assertion, for
+    * fold-shaped code that stages several corpus-sized intermediates per
+    * call and would otherwise leave every fold's blocks pinned in
+    * executor storage until a session-level sweep (the streaming folds
+    * stage 3–4 frames each; a query that folds twice and then runs a
+    * multi-join re-rank pays measurable storage pressure from the dead
+    * blocks). Matches only the exact RDDs the frames' plans scan, so a
+    * shared session's other cached work is untouched — unlike the bench
+    * harness's global between-pass sweep, which owns the whole session.
+    * `reliable`-mode frames are parquet scans (no blocks; their dirs go
+    * through [[reclaim]]) — no-op. Never throws: release is hygiene on
+    * the success path and must not mask a primary failure. */
+  def release(dfs: DataFrame*): Unit =
+    dfs.foreach { df =>
+      try df.queryExecution.analyzed.collectLeaves().foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+
   /** Position marker for scoped reclamation: a run on a SHARED session
     * records the mark at its start and reclaims only the dirs staged
     * after it, so it never deletes scratch staged by other work on the

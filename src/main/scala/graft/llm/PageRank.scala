@@ -39,12 +39,16 @@ object PageRank {
     * @param stageIterations execution strategy, measured per calling
     *   context (arithmetic identical either way). `false` — ONE lazy
     *   plan over the staged inputs, dangling mass as broadcast 1-row
-    *   subframes; fastest standalone (q131: 5.5 s → 3.5 s at sf0.1,
-    *   exchange reuse evaluates each level once). `true` — checkpoint
-    *   the rank frame each iteration and collect the dangling mass as
-    *   a scalar; fastest inside a fold-heavy session (q144's re-rank
-    *   runs after two state folds, where the deep lazy plan measured
-    *   ~2 s SLOWER per invocation than iteration isolation).
+    *   subframes; fastest everywhere measured since the folds started
+    *   releasing their dead staged blocks (q131 standalone: 5.5 s →
+    *   3.5 s at sf0.1; q144's post-fold re-rank: lazy 1.5 s vs staged
+    *   7.0 s — the staged mode's earlier in-context win was executor-
+    *   storage pressure from dead fold blocks taxing the lazy plan's
+    *   exchange-reuse materializations, gone once Staging.release ran
+    *   at fold end). `true` — checkpoint the rank frame each iteration
+    *   and collect the dangling mass as a scalar; kept as the bounded-
+    *   memory strategy for graphs whose per-iteration frame outgrows
+    *   what one lazy plan should hold live at once.
     * @return (doc_id, pr) — pr is the 1e-9 grid point emitted at 9 dp
     *   (8 dp would sit ON the .5 boundary for odd grid values and
     *   diverge between decimal and binary rounding) */
@@ -83,8 +87,18 @@ object PageRank {
           round(lit(0.85) * (coalesce(col("w"), lit(0L)) +
             round(dangCol.cast("double") / lit(nd)).cast("long")))
             .cast("long")).as("r"))
-      r = if (stageIterations) Staging.stage(updated) else updated
+      if (stageIterations) {
+        val prev = r
+        r = Staging.stage(updated)
+        // the previous iteration's rank blocks are dead the moment the
+        // new checkpoint exists (only `r` is ever read again); released
+        // per-iteration so the fixpoint holds ONE rank frame in executor
+        // storage, not `iters`. Staged-mode only: lazy-mode intermediates
+        // share the staged edge/node blocks, which stay live.
+        Staging.release(prev)
+      } else r = updated
     }
+    if (stageIterations) Staging.release(edges, outd, nodes)
     r.select(col("doc_id"),
       round(col("r").cast("double") / lit(1e9), 9).as("pr"))
   }

@@ -109,20 +109,10 @@ object ClusterMaintenance {
   private val GenTag = "_gen"
   private def newGen() = java.util.UUID.randomUUID().toString
 
-  /** Run two independent Spark actions concurrently and wait for both —
-    * SparkContext is thread-safe and schedules the two job DAGs across
-    * the same executor pool, so independent fixed costs (staging
-    * materializations, sibling-table writes) overlap instead of
-    * serializing. Failures propagate: if either side throws, the fold
-    * aborts before any dependent step. */
-  private def awaitBoth[A, B](a: => A, b: => B): (A, B) = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val fa = Future(a)
-    val fb = Future(b)
-    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
-  }
+  // independent-action overlap: graft.core.Par (shared with the other
+  // streaming folds — the fixed-cost analysis lives on its scaladoc)
+  private def awaitBoth[A, B](a: => A, b: => B): (A, B) =
+    graft.core.Par.awaitBoth(a, b)
 
   /** Fold one micro-batch of documents (`doc_id`, `text`) into the
     * persisted clustering state. Callable directly for batch ingests;

@@ -32,12 +32,14 @@ import graft.queries.Llm
   *    probe index; novelty on (doc_id, seg);
   *  - `edges/` (doc_a, doc_b) by doc_a-hash — verified candidate pairs,
   *    doc_a < doc_b; novelty on the pair.
-  * Fold order is edges → bands → nodes: the NODE store gates the fold
-  * (only node-novel docs are signed and paired), so it lands last — a
-  * crash anywhere earlier replays the whole fold against idempotent
-  * appends; candidate generation additionally `distinct`s its union so
-  * a crash-replayed half-fold (bands landed, edges not) cannot emit a
-  * pair twice into one delta.
+  * Fold order is {edges ∥ bands} → nodes: the NODE store gates the fold
+  * (only node-novel docs are signed and paired), so it lands strictly
+  * last — a crash anywhere earlier replays the whole fold against
+  * idempotent appends. The edge and band appends run CONCURRENTLY
+  * (graft.core.Par): each is novelty-guarded, and candidate generation
+  * `distinct`s its union, so every half-fold shape a crash can leave —
+  * bands landed but edges not, or the reverse — replays without
+  * emitting a pair twice into one delta.
   */
 object PageRankStream {
 
@@ -87,14 +89,19 @@ object PageRankStream {
     val delta = Staging.stage(
       batch.select(col("doc_id")).withColumn("nb", docBucket(col("doc_id"))))
     val dn = delta.count()
-    if (dn == 0) return
+    if (dn == 0) { Staging.release(delta); return }
     StateStore.ensureBucketed(spark, np, "nb", docBucket(col("doc_id")),
       stateBuckets)
-    val novel = Staging.stage(StateStore.novelAgainst(np, delta,
-      Seq("doc_id"), "nb", docBucket(col("doc_id")), stateBuckets,
-      deltaRows = dn))
-    val nNew = novel.count()
-    if (nNew == 0) return
+    // a fresh node store means the whole delta is novel — novelAgainst
+    // returns `delta` unchanged, and re-staging an already-staged frame
+    // would pay one more checkpoint + count for nothing
+    val novel =
+      if (!StateStore.exists(spark, np)) delta
+      else Staging.stage(StateStore.novelAgainst(np, delta,
+        Seq("doc_id"), "nb", docBucket(col("doc_id")), stateBuckets,
+        deltaRows = dn))
+    val nNew = if (novel eq delta) dn else novel.count()
+    if (nNew == 0) { Staging.release(delta, novel); return }
 
     // signatures + band entries of the novel docs (token-less docs
     // produce no signature, exactly as the batch pass)
@@ -117,6 +124,15 @@ object PageRankStream {
     // (da ≠ db; the new doc only ever appears on the right) and
     // new-vs-new (da < db) pair in a single pass instead of two
     // materialized joins over the same inputs
+    // layout certification happens HERE, sequentially, before any plan
+    // pins a file listing: ensureBucketed on a consistent layout is one
+    // tag read, but a migration fold REWRITES the store through a swap —
+    // which must never run concurrently with the candidate join's
+    // pinned-listing read of the same files below
+    StateStore.ensureBucketed(spark, ep, "eb", docBucket(col("doc_a")),
+      stateBuckets)
+    StateStore.ensureBucketed(spark, bp, "bb", bandBucket, stateBuckets)
+
     val newSide = bandsDelta.select(col("doc_id").as("db"), col("lang"),
       col("seg"), col("seg_val"), col("simhash").as("sim_b"))
     val deltaSide = bandsDelta
@@ -137,32 +153,51 @@ object PageRankStream {
       .filter(expr("CAST(bit_count(sim_a ^ sim_b) AS INT)") <= maxHamming)
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"))
-    // staged: the edge-novelty probe consumes its delta three times and
-    // the append a fourth — unstaged, EACH re-runs the candidate join
-    // (measured 4x the fold cost). distinct rides the same staging job:
-    // a crash-replayed half-fold can surface one pair through BOTH
-    // sides (its bands already in state); delta-sized
-    val edgeDelta = Staging.stage(
-      cands.distinct().withColumn("eb", docBucket(col("doc_a"))))
 
-    StateStore.ensureBucketed(spark, ep, "eb", docBucket(col("doc_a")),
-      stateBuckets)
-    val nEdges = edgeDelta.count()
-    val novelEdges = StateStore.novelAgainst(ep, edgeDelta,
-      Seq("doc_a", "doc_b"), "eb", docBucket(col("doc_a")), stateBuckets,
-      deltaRows = nEdges)
-    StateStore.appendBucketed(novelEdges, ep, "eb", stateBuckets,
-      deltaRows = nEdges)
-
-    StateStore.ensureBucketed(spark, bp, "bb", bandBucket, stateBuckets)
-    val novelBands = StateStore.novelAgainst(bp, bandsDelta,
-      Seq("doc_id", "seg"), "bb", bandBucket, stateBuckets,
-      deltaRows = nNew * numSegs)
-    StateStore.appendBucketed(novelBands, bp, "bb", stateBuckets,
-      deltaRows = nNew * numSegs)
+    // the whole edge side and the whole band side are independent (each
+    // novelty-guarded; the half-fold shapes either order can leave are
+    // the ones the distinct + novelty guards already absorb — see the
+    // fold-order note above), so they overlap END TO END: the banded
+    // candidate join (the fold's one intrinsic cost) runs concurrently
+    // with the band-side probe + append, not just the two appends. The
+    // band append landing first cannot leak into the candidate join:
+    // `cands` reads the band store through the listing prunedByTouched
+    // pinned above, which a concurrent append does not extend. The NODE
+    // append stays strictly AFTER both: it is the fold's gate.
+    val edgeDeltaSlot = new java.util.concurrent.atomic.AtomicReference[DataFrame]
+    graft.core.Par.awaitBoth(
+      {
+        // staged: the edge-novelty probe consumes its delta three times
+        // and the append a fourth — unstaged, EACH re-runs the candidate
+        // join (measured 4x the fold cost). distinct rides the same
+        // staging job: a crash-replayed half-fold can surface one pair
+        // through BOTH sides (its bands already in state); delta-sized
+        val edgeDelta = Staging.stage(
+          cands.distinct().withColumn("eb", docBucket(col("doc_a"))))
+        edgeDeltaSlot.set(edgeDelta)
+        val nEdges = edgeDelta.count()
+        val novelEdges = StateStore.novelAgainst(ep, edgeDelta,
+          Seq("doc_a", "doc_b"), "eb", docBucket(col("doc_a")), stateBuckets,
+          deltaRows = nEdges)
+        StateStore.appendBucketed(novelEdges, ep, "eb", stateBuckets,
+          deltaRows = nEdges)
+      },
+      {
+        val novelBands = StateStore.novelAgainst(bp, bandsDelta,
+          Seq("doc_id", "seg"), "bb", bandBucket, stateBuckets,
+          deltaRows = nNew * numSegs)
+        StateStore.appendBucketed(novelBands, bp, "bb", stateBuckets,
+          deltaRows = nNew * numSegs)
+      })
 
     StateStore.appendBucketed(novel.select("doc_id", "nb"), np, "nb",
       stateBuckets, deltaRows = nNew)
+    // the fold's staged intermediates are dead once the appends land —
+    // dropping their blocks here keeps a fold-heavy session's executor
+    // storage flat (the re-rank that follows two folds measured ~2 s of
+    // pressure from dead fold blocks before this release)
+    Staging.release(delta, novel, bandsDelta)
+    Option(edgeDeltaSlot.get).foreach(Staging.release(_))
   }
 
   /** Compact the append-only stores — callers wire it on a batch
@@ -187,8 +222,13 @@ object PageRankStream {
         spark.read.parquet(edgesPath(statePath)).select("doc_a", "doc_b")
       else nodes.limit(0).select(col("doc_id").as("doc_a"),
         col("doc_id").as("doc_b"))
-    // staged iterations: measured fastest in this fold-heavy context
-    // (see the PageRank.ranks scaladoc) — arithmetic identical
-    graft.llm.PageRank.ranks(nodes, pairs, stageIterations = true)
+    // ONE lazy plan, like the batch q131: re-measured AFTER the folds
+    // started releasing their dead staged blocks (Staging.release), the
+    // round-13 "staged iterations win in fold-heavy contexts" result
+    // INVERTED — lazy 1.5 s vs staged 7.0 s at sf0.1 right after two
+    // folds (the old premium was the dead fold blocks taxing the lazy
+    // plan's exchange-reuse materializations, not the plan itself) —
+    // arithmetic identical either way
+    graft.llm.PageRank.ranks(nodes, pairs, stageIterations = false)
   }
 }

@@ -184,24 +184,27 @@ object StateStore {
       }
     }
 
+  /** Delta row count below which a bucketed append writes through a
+    * FIXED small task count (8, hash-partitioned by the bucket column)
+    * instead of the full per-bucket repartition: the layout is identical
+    * (one file per touched bucket either way), but at micro-batch delta
+    * sizes the write is all fixed cost — parquet writer open/close and
+    * commit per file — and 8 tasks of ~4 files each beat BOTH measured
+    * alternatives (one task serializing all 32 files: ~0.6 s/append;
+    * 32 near-empty tasks: task overhead exceeds the file work). Large
+    * deltas (a bulk ingest) keep the full-width path so each bucket is
+    * one task's one well-sized file. */
+  private val smallDeltaAppendRows = 1L << 18
+  private val smallDeltaAppendTasks = 8
+
   /** Append a delta into the bucketed layout, stamping the modulus
     * marker when the write CREATES the layout — so a later
     * [[ensureBucketed]] can detect any bucket-count change by
-    * comparison. The delta-sized repartition co-locates each bucket in
-    * one task, so a fold appends at most `buckets` files. */
-  /** Delta row count below which a bucketed append writes from ONE
-    * task instead of repartitioning: the layout is identical (one file
-    * per touched bucket either way), but the small-delta path skips a
-    * full shuffle stage and 32 near-empty write tasks — per-fold fixed
-    * cost that dominates micro-batch appends. Large deltas (a bulk
-    * ingest) keep the parallel path. */
-  private val singleTaskAppendRows = 1L << 18
-
-  /** Append a delta into the bucketed layout. Pass `deltaRows` when the
-    * caller already has the count (most folds do — it feeds their
-    * novelty-probe hints): small deltas then take the single-task write
-    * path above; unknown (-1) or large deltas repartition by bucket so
-    * each bucket is one task's one file. */
+    * comparison. Pass `deltaRows` when the caller already has the count
+    * (most folds do — it feeds their novelty-probe hints): small deltas
+    * then take the fixed-width write path above; unknown (-1) or large
+    * deltas repartition by bucket so each bucket is one task's one
+    * file. */
   def appendBucketed(delta: DataFrame, path: String, bucketCol: String,
                      buckets: Int, deltaRows: Long = -1L): Unit = {
     val spark = delta.sparkSession
@@ -224,8 +227,8 @@ object StateStore {
     // the next ensureBucketed adjudicates by inference and restamps.
     val createsLayout = createsLayout0
     val arranged =
-      if (deltaRows >= 0 && deltaRows <= singleTaskAppendRows)
-        delta.coalesce(1)
+      if (deltaRows >= 0 && deltaRows <= smallDeltaAppendRows)
+        delta.repartition(smallDeltaAppendTasks, col(bucketCol))
       else delta.repartition(col(bucketCol))
     arranged.write.partitionBy(bucketCol).mode("append").parquet(path)
     // buckets == 0 means the partition key is NOT a hash modulus (e.g.
