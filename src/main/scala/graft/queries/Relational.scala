@@ -1050,6 +1050,118 @@ object Relational {
       .rollingActive(s, foldedEventState(s, dir)),
     Some(wauSql))
 
+  /** Per-invocation scratch for the REAL-STREAM oracle rows (q146/q147):
+    * land the batch as files, run the streaming query against them with
+    * AvailableNow, collect emissions via foreachBatch into a scratch
+    * parquet, hand the (eagerly staged) result back, delete everything.
+    * The stream is genuine — file source, checkpoint, watermark, state
+    * store — not a fold-method shortcut, because these operators ARE
+    * their flatMapGroupsWithState logic. */
+  private def withStreamScratch(prefix: String)(
+      body: String => DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.core.GraftSession.fastScratch), prefix)
+    try graft.core.Staging.stage(body(dir.toString))
+    finally {
+      val st = java.nio.file.Files.walk(dir)
+      try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally st.close()
+    }
+  }
+
+  /** Run a streaming frame to completion against the scratch checkpoint,
+    * landing every emitted row in `tmp/out`. `mode` must match the
+    * stateful operator's declared OutputMode (Sessionize emits Append,
+    * Funnel Update). */
+  private def runStream(out: DataFrame, tmp: String,
+                        mode: String): Unit = {
+    val q = out.writeStream.outputMode(mode)
+      .option("checkpointLocation", s"$tmp/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(s"$tmp/out"); () }
+      .start()
+    q.awaitTermination()
+  }
+
+  // ---- streaming sessionization as an oracle row ------------------------
+  // The custom-state tier (Sessionize, flatMapGroupsWithState) under the
+  // oracle gate: one data micro-batch (watermark 0 — nothing drops, so
+  // the result is order-independent and deterministic), then the final
+  // no-data batch fires the event-time timeouts and emits exactly the
+  // sessions the terminal watermark sealed. The oracle replays the
+  // operator's MILLISECOND arithmetic (events are µs-precision; the
+  // state keys sessions on Timestamp.getTime ms): gap break at
+  // diff_ms >= 300000, seal at last_ms + gap < floor(max_us/1000) -
+  // delay_ms — the exact watermark Spark derives (EventTimeStats tracks
+  // µs/1000). Emitting start_ms as BIGINT keeps the compare exact.
+  private val incSessions = Q(
+    "q146_incremental_sessions",
+    (s, dir) => withStreamScratch("graft_q146") { tmp =>
+      val ev = t(s, dir, "events").select(col("user_id"), col("ts"))
+      ev.write.parquet(s"$tmp/in")
+      val stream = s.readStream.schema(ev.schema).parquet(s"$tmp/in")
+      runStream(graft.streaming.Sessionize
+        .sessions(stream, gapMs = 5 * 60 * 1000, watermarkDelay = "30 minutes")
+        .toDF()
+        .select(col("user_id"), unix_millis(col("session_start")).as("start_ms"),
+          col("cnt")), tmp, "append")
+      s.read.schema("user_id BIGINT, start_ms BIGINT, cnt BIGINT")
+        .parquet(s"$tmp/out")
+        .orderBy("user_id", "start_ms")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_ns(ts)//1000000 AS ms FROM events),
+            wm AS (SELECT max(ms) - 1800000 AS w FROM e),
+            l AS (SELECT user_id, ms,
+                CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+                       OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) >= 300000
+                     THEN 1 ELSE 0 END AS brk
+              FROM e),
+            g AS (SELECT user_id, ms,
+                sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM l),
+            sess AS (SELECT user_id, min(ms) AS start_ms, max(ms) AS last_ms,
+                CAST(count(*) AS BIGINT) AS cnt
+              FROM g GROUP BY user_id, sid)
+            SELECT user_id, start_ms, cnt FROM sess, wm
+            WHERE last_ms + 300000 < w ORDER BY user_id, start_ms"""))
+
+  // ---- streaming funnel as an oracle row ---------------------------------
+  // The Funnel operator's documented consumer contract, under the oracle
+  // gate: every batch emits a PROVISIONAL per-user snapshot equal to the
+  // batch q107 walk over the events seen so far, and consumers keep the
+  // newest (last_us, rev) per user — so after one batch holding the whole
+  // table (plus the no-data batch), the kept snapshots ARE q107's answer,
+  // and q107's oracle is reused verbatim. Watermark delay is pinned wide
+  // so no user evicts mid-proof (eviction semantics are FunnelStreamSpec's
+  // subject, not this row's).
+  private val incFunnel = Q(
+    "q147_incremental_funnel",
+    (s, dir) => withStreamScratch("graft_q147") { tmp =>
+      val ev = t(s, dir, "events").select("user_id", "ts", "event_type")
+      ev.write.parquet(s"$tmp/in")
+      val stream = s.readStream.schema(ev.schema).parquet(s"$tmp/in")
+      runStream(graft.streaming.Funnel
+        .track(stream, windowUs = 24L * 3600 * 1000000, "3650 days")
+        .toDF(), tmp, "update")
+      val snaps = s.read.schema("user_id BIGINT, t1_us BIGINT, t2_us BIGINT, " +
+          "t3_us BIGINT, depth INT, converted BOOLEAN, rev BIGINT, last_us BIGINT")
+        .parquet(s"$tmp/out")
+      val newest = Window.partitionBy("user_id")
+        .orderBy(col("last_us").desc, col("rev").desc)
+      snaps.withColumn("rn", row_number().over(newest))
+        .filter(col("rn") === 1)
+        .select(col("user_id"),
+          timestamp_micros(col("t1_us")).cast("timestamp_ntz").as("t1"),
+          timestamp_micros(col("t2_us")).cast("timestamp_ntz").as("t2"),
+          timestamp_micros(col("t3_us")).cast("timestamp_ntz").as("t3"),
+          col("depth"), col("converted"))
+        .orderBy("user_id")
+    },
+    funnel.oracle)
+
   val queries: Seq[Q] = Seq(
     cursorScan, pointLookup, topN, groupAgg, joinEnrich, semiJoin, antiJoin,
     unionScan, changeLog, dedupFirst, stringAgg, md5Edges, edgesAnti,
@@ -1059,5 +1171,5 @@ object Relational {
     scd2, sqlSource, rangeOrIn,
     intersectOp, exceptOp, rollupAgg, mapFlatten, reverseEtl, asofEnrich,
     percentiles, saltedJoinAgg, pivotCounts, rangeJoin, funnel, retention,
-    rollingActive, incRetention, incRollingActive)
+    rollingActive, incRetention, incRollingActive, incSessions, incFunnel)
 }
