@@ -25,10 +25,22 @@ import graft.core.Tables
   */
 object ScaleSanity {
 
+  /** Batch families (dedup / clustering / event reports) plus the
+    * STREAMING FOLDS — the q82/q126-class rows fold the whole (scaled)
+    * table into fresh persisted state per invocation, so their slope
+    * here is the per-fold-∝-delta claim at a 10–100× delta, with the
+    * bucketed appends, novelty probes, and snapshot swaps all included
+    * in the measurement (ShuffleGrowthSpec pins the same claim's
+    * shuffle-volume side on small fixtures). */
   private val queries = Seq(
     "q43_fingerprint", "q45_minhash_sig", "q46_minhash_pairs",
     "q73_dup_clusters", "q107_funnel", "q108_retention",
-    "q109_rolling_active")
+    "q109_rolling_active",
+    // streaming folds: state maintenance ∝ delta
+    "q82_incremental_clusters", "q112_incremental_retention",
+    "q126_incremental_ann", "q127_incremental_sketch",
+    "q129_incremental_bm25", "q144_incremental_pagerank",
+    "q146_incremental_sessions")
 
   def main(args: Array[String]): Unit = {
     val Array(baseSf, kStr, outDir) = args.take(3)
@@ -51,6 +63,19 @@ object ScaleSanity {
       else events.withColumn("user_id", col("user_id") + lit(i * 10000000L))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    // embeddings (the ANN fold's table): replica i offsets ids and
+    // deterministically jitters each component, so cell occupancy keeps
+    // the base structure instead of stacking identical vectors 10-deep
+    val emb = Tables.load(spark, baseSf, "embeddings")
+    (0 until k).map { i =>
+      if (i == 0) emb
+      else emb
+        .withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+        .withColumn("embedding", expr(
+          s"transform(embedding, (x, j) -> x + CAST(0.003 * $i * " +
+            "sin(CAST(j AS DOUBLE)) AS FLOAT))"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
     val records = new AtomicLong
     val bytes = new AtomicLong
