@@ -30,11 +30,19 @@ import graft.sinks.Sinks
   *    plus a replay-horizon cap on the ledger (last 64 folds) so the
   *    snapshot stays vocabulary-sized over the deployment's lifetime
   *    instead of growing one row per fold forever. The snapshot is
-  *    vocabulary-sized (Heaps-law sub-linear
-  *    in the corpus); a deployment whose vocabulary outgrows a
-  *    single-task swap shards it into a term-bucketed delta log with
-  *    compaction — the counters-ride-the-ledger-swap invariant is what
-  *    this layout exists to keep.
+  *    vocabulary-sized (Heaps-law sub-linear in the corpus), and a
+  *    vocabulary that outgrows one task's file SHARDS INSIDE THE SAME
+  *    SWAP — the rewrite repartitions by term hash into
+  *    ⌈bytes/target⌉ files, so write parallelism scales with the
+  *    vocabulary while counters and ledger still publish in one atomic
+  *    rename. A delta-LOG design (append df deltas, avoid the rewrite)
+  *    was considered and REJECTED: a log append cannot ride the ledger
+  *    swap, and a fold replayed after a crash between the two
+  *    re-derives its novel set against stores that may have advanced —
+  *    so the log's rows are not reproducible and additive replay
+  *    double-counts. The counters-ride-the-ledger-swap invariant is
+  *    what this layout exists to keep; the per-fold rewrite cost ∝
+  *    vocabulary is the disclosed price.
   *
   * Replay safety, per tier: the two row stores novelty-guard their own
   * appends through [[StateStore.novelAgainst]] (docs on doc_id;
@@ -214,10 +222,27 @@ object Bm25Index {
       .withColumn("__mx", max("seq").over(wAll))
       .filter(col("seq") > col("__mx") - ledgerHorizon)
       .drop("__mx")
-    // vocabulary-sized (Heaps-law) + 1 scalar + ≤ horizon ledger rows:
-    // one file, one atomic swap carrying counters AND ledger together
+    // vocabulary-sized (Heaps-law) + 1 scalar + ≤ horizon ledger rows,
+    // in ONE atomic swap carrying counters AND ledger together. Sharded
+    // by term hash when the vocabulary outgrows one task's file: the
+    // shard count derives from the PREVIOUS snapshot's on-disk bytes
+    // (a driver fs op, no job — the vocabulary never shrinks, so last
+    // fold's size is a floor), keeping test-scale folds at one file and
+    // giving a huge-vocabulary deployment ⌈bytes/target⌉-way write
+    // parallelism with the same swap atomicity. `spark.graft.bm25.
+    // dfsumShardBytes` is the ops knob (default 128 MiB).
+    val target = spark.conf
+      .get("spark.graft.bm25.dfsumShardBytes", (128L << 20).toString).toLong
+    val shards =
+      if (!hasSum) 1
+      else {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val bytes = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(hp).getLength
+        math.max(1L, (bytes + target - 1) / target).toInt
+      }
     Sinks.snapshotSwap(dfRows.unionByName(scalRow).unionByName(ledger)
-      .repartition(1), p, Seq.empty)
+      .repartition(shards, col("term")), p, Seq.empty)
   }
 
   /** Compact the append-only stores (exact-row dedup + file coalesce +

@@ -124,6 +124,31 @@ class Bm25IndexSpec extends SparkSpec {
     assert(topkOf(legacy) == topkOf(ref))
   }
 
+  test("a vocabulary past the shard target swaps as multiple files, answering identically") {
+    // reference: default (single-file) snapshot
+    val ref = java.nio.file.Files.createTempDirectory("bm_shard_ref").toString
+    Bm25Index.foldBatch(docs.filter(col("doc_id") < 250), "b0", ref)
+    Bm25Index.foldBatch(docs.filter(col("doc_id") >= 250), "b1", ref)
+    // tiny shard target: the second fold sees a non-empty snapshot whose
+    // bytes exceed the target, so its swap must shard by term hash —
+    // same atomic publish, >1 data file
+    val state = java.nio.file.Files.createTempDirectory("bm_shard").toString
+    spark.conf.set("spark.graft.bm25.dfsumShardBytes", "1024")
+    try {
+      Bm25Index.foldBatch(docs.filter(col("doc_id") < 250), "b0", state)
+      Bm25Index.foldBatch(docs.filter(col("doc_id") >= 250), "b1", state)
+    } finally spark.conf.unset("spark.graft.bm25.dfsumShardBytes")
+    val files = new java.io.File(s"$state/dfsum").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files > 1, s"snapshot did not shard: $files file(s)")
+    assert(topkOf(state) == topkOf(ref),
+      "sharded summary changed the retrieval")
+    // counters and ledger still ride ONE snapshot: same rows either way
+    def all(p: String) = spark.read.parquet(s"$p/dfsum")
+      .collect().map(_.toString).sorted.toSeq
+    assert(all(state) == all(ref))
+  }
+
   test("the scoring probe partition-prunes; NO unpruned scan of the posting store") {
     val state = java.nio.file.Files.createTempDirectory("bm_prune").toString
     Bm25Index.foldBatch(docs, "b0", state)
