@@ -91,6 +91,58 @@ object AnnIndex {
       }.sortBy(_._1)
   }
 
+  /** One drift verdict over the cell-occupancy census — the decision
+    * HALF of the retrain cadence ([[census]] is the signal half). All
+    * driver-sized arithmetic; `retrain` is the verdict. */
+  final case class DriftReport(rows: Long, cells: Int, emptyCells: Int,
+      maxShare: Double, retrain: Boolean)
+
+  /** Retrain-cadence policy, pure and deterministic: fire when occupancy
+    * CROWDS (the largest cell holds more than `crowdFactor` times the
+    * uniform share — the recall-decay symptom the scaladoc on [[census]]
+    * names) or when the trained structure has gone stale enough that
+    * more than `emptyFrac` of the cells hold nothing (mass moved away
+    * from most centroids). Both thresholds compare against the CENTROID
+    * COUNT, not the occupied count, so a census that collapsed into two
+    * cells is read as crowded even though its occupied cells are
+    * "balanced" between themselves. An empty census never fires —
+    * there is nothing to migrate. */
+  def drift(census: Seq[(Long, Long)], nCents: Int,
+            crowdFactor: Double = 4.0, emptyFrac: Double = 0.5): DriftReport = {
+    val total = census.map(_._2).sum
+    val empty = nCents - census.size
+    val maxShare =
+      if (total == 0) 0.0 else census.map(_._2).max.toDouble / total
+    DriftReport(total, census.size, empty, maxShare,
+      retrain = total > 0 && nCents > 0 &&
+        (maxShare > crowdFactor / nCents ||
+          empty.toDouble / nCents > emptyFrac))
+  }
+
+  /** The maintenance cadence, wired end to end: census → [[drift]] →
+    * (when the verdict fires) caller-supplied retrain over the persisted
+    * vectors → [[rebalance]]. The trainer is a parameter because
+    * centroid training is an offline concern (Kmeans, a sample, a
+    * domain-specific codebook) — the index owns the SIGNAL and the
+    * MIGRATION, not the model. Returns the report plus the centroid set
+    * now in force: the input set when nothing fired, the retrained set
+    * otherwise — and per the [[rebalance]] contract, every subsequent
+    * fold/probe MUST use exactly the returned set. */
+  def maintain(spark: SparkSession, statePath: String, cents: DataFrame,
+               retrain: DataFrame => DataFrame,
+               crowdFactor: Double = 4.0, emptyFrac: Double = 0.5)
+      : (DriftReport, DataFrame) = {
+    val nCents = cents.count().toInt // bounded scalar: the centroid set
+    val rep = drift(census(spark, statePath), nCents, crowdFactor, emptyFrac)
+    if (!rep.retrain) (rep, cents)
+    else {
+      val newCents = retrain(spark.read.parquet(cellsPath(statePath))
+        .select("vec_id", "v", "norm"))
+      rebalance(spark, statePath, newCents)
+      (rep, newCents)
+    }
+  }
+
   /** Offline retrain-and-migrate: reassign EVERY persisted vector to
     * its nearest centroid in `newCents` and rewrite the store
     * partitioned by the new cells — the `ensureBucketed` migration

@@ -147,6 +147,46 @@ class AnnIndexStreamSpec extends SparkSpec {
       "replay after rebalance re-appended vectors")
   }
 
+  test("retrain cadence: drift verdicts are exact; maintain fires once and re-arms") {
+    import AnnIndex.{drift, DriftReport}
+    // pure policy arithmetic, pinned exactly
+    assert(drift(Seq.empty, 8) == DriftReport(0, 0, 8, 0.0, retrain = false),
+      "an empty census must never fire")
+    // uniform occupancy over all cells: quiet
+    assert(!drift((1L to 8L).map(c => (c, 100L)), 8).retrain)
+    // crowding: one cell holds > 4/nCents of the mass
+    val crowded = drift(Seq((1L, 900L)) ++ (2L to 8L).map(c => (c, 10L)), 8)
+    assert(crowded.retrain && crowded.maxShare > 0.5 && crowded.emptyCells == 0)
+    // staleness: balanced among occupied cells, but most cells empty
+    val stale = drift(Seq((1L, 100L), (2L, 100L)), 8)
+    assert(stale.retrain && stale.emptyCells == 6,
+      "two balanced cells out of 8 is stale, not healthy")
+    // threshold edges: exactly the uniform share × factor does NOT fire
+    assert(!drift((1L to 2L).map(c => (c, 100L)), 2, crowdFactor = 1.0,
+      emptyFrac = 0.5).retrain)
+
+    // end to end: fold under a 2-centroid layout whose census must read
+    // as stale against the full 8-centroid target, then maintain with a
+    // trainer that returns the spread seed set
+    val e = emb
+    val state = java.nio.file.Files.createTempDirectory("ann_policy").toString
+    AnnIndex.foldBatch(e, cents(e).filter(col("cent_id") <= 2), state)
+    var trained = 0
+    val (rep, inForce) = AnnIndex.maintain(spark, state, cents(e),
+      retrain = rows => { trained += 1; cents(e) })
+    assert(rep.retrain && trained == 1, s"policy should have fired: $rep")
+    // the store now answers as if built under the returned set
+    val ref = java.nio.file.Files.createTempDirectory("ann_policy_ref").toString
+    AnnIndex.foldBatch(e, cents(e), ref)
+    assert(AnnIndex.census(spark, state) == AnnIndex.census(spark, ref),
+      "maintain did not migrate the store to the retrained layout")
+    assert(topkOf(state, e) == topkOf(ref, e))
+    // re-armed: a healthy census does not fire, centroids pass through
+    val (rep2, same) = AnnIndex.maintain(spark, state, inForce,
+      retrain = rows => { trained += 1; fail("must not retrain"); rows })
+    assert(!rep2.retrain && trained == 1 && (same eq inForce))
+  }
+
   test("an unfolded index answers empty; compaction preserves answers and reclaims files") {
     val e = emb
     val state = java.nio.file.Files.createTempDirectory("ann_cold").toString
