@@ -82,6 +82,7 @@ object GraftSession {
     val s = builder(cores).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     quietBoundedWindowWarnings()
+    quietReleasedCheckpointWarnings()
     s
   }
 
@@ -99,4 +100,17 @@ object GraftSession {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+
+  /** Silence the "was locally checkpointed ... cannot be recomputed
+    * after unpersisting" WARN that every Staging.release emits: the
+    * unrecoverability is exactly the caller's documented assertion
+    * (the frame is dead), and the streaming folds release 3–4 frames
+    * per micro-batch — enough to drown a bench log in noise that could
+    * mask a real warning. Pinned per RDD class that carries the
+    * checkpoint (the message logs under the concrete RDD's logger). */
+  private def quietReleasedCheckpointWarnings(): Unit =
+    Seq("org.apache.spark.rdd.MapPartitionsRDD",
+        "org.apache.spark.sql.execution.SQLExecutionRDD")
+      .foreach(l => org.apache.logging.log4j.core.config.Configurator
+        .setLevel(l, org.apache.logging.log4j.Level.ERROR))
 }

@@ -104,9 +104,11 @@ object CorpusStream {
     docs.write.mode("append").parquet(docsPath(statePath))
     StateStore.appendBucketed(novel.select("content_hash", "hb"),
       hashesPath(statePath), "hb", 256, deltaRows = nFirsts)
+    Staging.release(firsts, novel) // fold hygiene: dead once appended
     // incremental near-dup labeling over the SCRUBBED novel docs — the
     // batch pipeline shingles scrubbed text too, so bands agree
     ClusterMaintenance.foldBatch(docs, clusterPath(statePath), threshold)
+    Staging.release(docs)
   }
 
   /** Wire [[foldBatch]] as a foreachBatch sink (AvailableNow by default —

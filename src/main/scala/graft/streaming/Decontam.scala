@@ -60,6 +60,7 @@ object Decontam {
       256, nh)
     StateStore.appendBucketed(novel.select("h", "hb"), p, "hb", 256,
       deltaRows = nh)
+    Staging.release(hs) // fold hygiene: the staged hashes are dead
   }
 
   /** Drop documents sharing at least `minShared` distinct shingle

@@ -61,18 +61,23 @@ object EventReports {
     val bc = batch.filter(col("event_type") === "signup")
       .groupBy("user_id")
       .agg(min(date_trunc("week", col("ts"))).as("cohort"))
-    if (!bc.isEmpty)
-      bc.write.mode("append").parquet(cohortsPath(statePath))
 
     // activity pairs: batch-distinct, then the shared bucketed novelty
     // probe with the DAY as the natural bucket — prune to the batch's
     // touched days, broadcast the delta, shuffle ∝ batch
     val bd = Staging.stage(batch
       .select(col("user_id"), to_date(col("ts")).as("d")).distinct())
-    StateStore.novelAgainst(daysPath(statePath), bd,
-      Seq("user_id", "d"), "d", col("d"))
-      .repartition(col("d"))
-      .write.partitionBy("d").mode("append").parquet(daysPath(statePath))
+    // the two state tables are independent (cohorts absorb replay via
+    // min, days via the novelty probe — no ordering contract), and both
+    // writes are fixed-cost-dominated at micro-batch sizes: overlap
+    graft.core.Par.awaitBoth(
+      if (!bc.isEmpty)
+        bc.write.mode("append").parquet(cohortsPath(statePath)),
+      StateStore.novelAgainst(daysPath(statePath), bd,
+          Seq("user_id", "d"), "d", col("d"))
+        .repartition(col("d"))
+        .write.partitionBy("d").mode("append").parquet(daysPath(statePath)))
+    Staging.release(bd) // fold hygiene: the staged delta is dead
   }
 
   /** Wire [[foldBatch]] as a foreachBatch sink with the engine's

@@ -59,13 +59,14 @@ object QualityStream {
         col("y"))
       .withColumn("db", docBucket))
     val dn = delta.count()
-    if (dn == 0) return 0L
+    if (dn == 0) { Staging.release(delta); return 0L }
     val novel = Staging.stage(StateStore.novelAgainst(
       p, delta, Seq("doc_id"), "db", col("db"), stateBuckets,
       deltaRows = dn))
     val n = novel.count()
     if (n > 0) StateStore.appendBucketed(novel, p, "db", stateBuckets,
       deltaRows = n)
+    Staging.release(delta, novel) // fold hygiene: staged frames are dead
     n
   }
 
@@ -80,8 +81,10 @@ object QualityStream {
     val cols = Seq("x_stop", "x_mwl", "x_len")
     val (_, mu, sd) = QualityModel.stats(raw, cols)
     val st = Staging.stage(QualityModel.standardize(raw, cols, mu, sd))
-    QualityModel.train(st,
+    val steps = QualityModel.train(st,
       Seq("xs_bias", "xs_x_stop", "xs_x_mwl", "xs_x_len"), "y", lr, iters, l2)
+    Staging.release(st) // steps are collected scalars; the frame is dead
+    steps
   }
 
   /** Row count of the feature store (footer walk, no job). */
