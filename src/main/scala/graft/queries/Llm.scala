@@ -42,6 +42,15 @@ object Llm {
     * leaks a corpus-derived state dir to /tmp, and Bench/Verify invoke
     * each query several times per run (ADVICE r12). The delete runs in
     * `finally` so an aborted invocation doesn't leak either. */
+  /** Bodies that end in a global ORDER BY stage the result FIRST
+    * (`Staging.stage(result).orderBy(...)`): the eager stage below
+    * otherwise materializes the sort, whose range partitioner SAMPLES
+    * the child — executing the body's whole final plan twice (measured:
+    * q144's re-rank plan paid ~2 s once for the sampling pass and again
+    * for the sort). Staged first, the sampling reads checkpointed
+    * blocks. A `.count()`-shaped consumer never sees this (the
+    * optimizer eliminates sorts under aggregation), which is exactly
+    * why it hid from the phase profiles. */
   private def withTempState(prefix: String)(body: String => DataFrame): DataFrame = {
     // per-invocation scratch is EPHEMERAL by construction (deleted in
     // the finally below), so it goes on the fastest local scratch —
@@ -1916,8 +1925,8 @@ object Llm {
         docs.filter(col("doc_id") < 250), state)
       graft.streaming.ClusterMaintenance.foldBatch(
         docs.filter(col("doc_id") >= 250), state)
-      graft.streaming.ClusterMaintenance.labels(s, state)
-        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      Staging.stage(graft.streaming.ClusterMaintenance.labels(s, state)
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id")))
         .orderBy("doc_id")
     },
     Some(s"""WITH RECURSIVE $minhashSigSqlCte, $minhashBandsSqlCte,
@@ -3972,8 +3981,8 @@ object Llm {
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("norm").as("qnorm"))
-      graft.streaming.AnnIndex.topK(s, state, cents, queries,
-          nprobe = 2, k = 5)
+      Staging.stage(graft.streaming.AnnIndex.topK(s, state, cents, queries,
+          nprobe = 2, k = 5))
         .orderBy(col("query_id"), col("score").desc, col("vec_id"))
     },
     Some(ivfOracleSql))
@@ -3994,7 +4003,8 @@ object Llm {
         docs.filter(col("doc_id") < 250), state)
       graft.streaming.SketchStream.foldBatch(
         docs.filter(col("doc_id") >= 250), state)
-      graft.streaming.SketchStream.report(s, state).orderBy("source")
+      Staging.stage(graft.streaming.SketchStream.report(s, state))
+        .orderBy("source")
     },
     Some(s"""WITH $sketchBaseSql,
             krn AS (SELECT source, h, row_number() OVER (PARTITION BY source
@@ -4115,7 +4125,7 @@ object Llm {
         docs.filter(col("doc_id") < 250), "fold-a", state)
       graft.streaming.Bm25Index.foldBatch(
         docs.filter(col("doc_id") >= 250), "fold-b", state)
-      graft.streaming.Bm25Index.topK(s, state)
+      Staging.stage(graft.streaming.Bm25Index.topK(s, state))
         .orderBy(col("query_id"), col("score").desc, col("doc_id"))
     },
     Some(bm25OracleSql))
@@ -4142,11 +4152,11 @@ object Llm {
         .select(explode(expr(shingleSparkExpr)).as("item"))
         .groupBy("item").agg(count(lit(1)).as("cnt")))
       val top = counts.orderBy(col("cnt").desc, col("item")).limit(cmsTopN)
-      graft.streaming.SketchStream.cmsEstimates(s, state,
+      Staging.stage(graft.streaming.SketchStream.cmsEstimates(s, state,
           top.select("item"))
         .join(broadcast(top.select(col("item"), col("cnt").as("n_true"))),
           Seq("item"))
-        .select("item", "n_true", "n_est")
+        .select("item", "n_true", "n_est"))
         .orderBy("item")
     },
     Some(cmsOracleSql))
@@ -4239,7 +4249,8 @@ object Llm {
         docs.filter(col("doc_id") < 250), state)
       graft.streaming.PageRankStream.foldBatch(
         docs.filter(col("doc_id") >= 250), state)
-      graft.streaming.PageRankStream.ranks(s, state).orderBy("doc_id")
+      Staging.stage(graft.streaming.PageRankStream.ranks(s, state))
+        .orderBy("doc_id")
     },
     pagerank.oracle)
 
