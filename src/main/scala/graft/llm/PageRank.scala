@@ -36,37 +36,55 @@ object PageRank {
   /** Ranks over `nodes0` (one `doc_id` per vertex, isolated vertices
     * included) given undirected candidate `pairs` (doc_a, doc_b).
     *
-    * @param stageIterations execution strategy, measured per calling
-    *   context (arithmetic identical either way). `false` — ONE lazy
-    *   plan over the staged inputs, dangling mass as broadcast 1-row
-    *   subframes; fastest everywhere measured since the folds started
-    *   releasing their dead staged blocks (q131 standalone: 5.5 s →
-    *   3.5 s at sf0.1; q144's post-fold re-rank: lazy 1.5 s vs staged
-    *   7.0 s — the staged mode's earlier in-context win was executor-
-    *   storage pressure from dead fold blocks taxing the lazy plan's
-    *   exchange-reuse materializations, gone once Staging.release ran
-    *   at fold end). `true` — checkpoint the rank frame each iteration
-    *   and collect the dangling mass as a scalar; kept as the bounded-
-    *   memory strategy for graphs whose per-iteration frame outgrows
-    *   what one lazy plan should hold live at once.
+    * @param stageIterations execution strategy, measured per CONSUMER
+    *   SHAPE (arithmetic identical either way). The measurement caveat
+    *   that burned two rounds of strategy flip-flopping: a `count()`
+    *   probe lets column pruning DELETE the rank arithmetic (only join
+    *   multiplicity survives), so any strategy comparison must
+    *   MATERIALIZE (localCheckpoint) — and under that, the two
+    *   strategies cost the same (~3.7 s at sf0.1 with the
+    *   invariant-join hoist). `false` — ONE lazy plan, dangling mass as
+    *   broadcast 1-row subframes, invariant join left inline (in-job
+    *   exchange reuse covers it): right for consumers the optimizer can
+    *   prune (q131's bench shape) because it materializes nothing it
+    *   doesn't have to. `true` — checkpoint the rank frame each
+    *   iteration, dangling mass as a collected scalar, invariant join
+    *   checkpointed once: the bounded-memory choice for graphs whose
+    *   per-iteration frame outgrows one lazy plan.
+    * @param hoistInvariant checkpoint the iteration-invariant
+    *   edge ⋈ degree join up front (None = follow `stageIterations`).
+    *   Orthogonal to the iteration strategy: an always-materialized
+    *   consumer (q144's oracle row) wants the hoist even under the
+    *   lazy plan — `Some(true)` there measured 12.0 s for the whole
+    *   query vs 13.6 s staged-iterations (the per-iteration dangling
+    *   collect + checkpoint jobs are pure fixed cost at this scale) and
+    *   vs 14.5 s lazy without the hoist.
     * @return (doc_id, pr) — pr is the 1e-9 grid point emitted at 9 dp
     *   (8 dp would sit ON the .5 boundary for odd grid values and
     *   diverge between decimal and binary rounding) */
   def ranks(nodes0: DataFrame, pairs: DataFrame,
-            stageIterations: Boolean = false): DataFrame = {
+            stageIterations: Boolean = false,
+            hoistInvariant: Option[Boolean] = None): DataFrame = {
+    val hoist = hoistInvariant.getOrElse(stageIterations)
     val edges = Staging.stage(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(
           pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
     val outd = Staging.stage(
       edges.groupBy("src").agg(count(lit(1)).as("deg")))
-    // the edge ⋈ degree join is ITERATION-INVARIANT — staged once, each
-    // iteration pays ONE edge-sized join (vs two) against the rank
-    // frame. (Round 13 measured-and-rejected this hoist, but under a
-    // count()-shaped consumer whose column pruning had deleted the rank
-    // arithmetic being measured; against the real materialized plan the
-    // hoist is worth ~1/3 of the re-rank.)
-    val edgesW = Staging.stage(edges.join(outd, Seq("src")))
+    // the edge ⋈ degree join is ITERATION-INVARIANT — in staged mode it
+    // checkpoints once and each iteration pays ONE edge-sized join (vs
+    // two) against the rank frame, worth ~1/3 of the materialized
+    // re-rank (6.5 → ~3.7 s at sf0.1). (Round 13 measured-and-rejected
+    // this hoist, but under a count()-shaped consumer whose column
+    // pruning had deleted the rank arithmetic being measured.) In lazy
+    // mode it stays a plan fragment: the single job reuses its exchange
+    // across iterations anyway, and an unconditional checkpoint would
+    // tax every count-shaped consumer with a materialization the
+    // optimizer would otherwise prune away.
+    val edgesW =
+      if (hoist) Staging.stage(edges.join(outd, Seq("src")))
+      else edges.join(outd, Seq("src"))
     val nodes = Staging.stage(nodes0.select("doc_id"))
     val nd = nodes.count() // bounded scalar: the vertex count
     var r = Staging.stage(nodes.select(col("doc_id"),
@@ -104,7 +122,8 @@ object PageRank {
         Staging.release(prev)
       } else r = updated
     }
-    if (stageIterations) Staging.release(edges, outd, edgesW, nodes)
+    if (stageIterations) Staging.release(edges, outd, nodes)
+    if (hoist && stageIterations) Staging.release(edgesW)
     r.select(col("doc_id"),
       round(col("r").cast("double") / lit(1e9), 9).as("pr"))
   }

@@ -222,13 +222,15 @@ object PageRankStream {
         spark.read.parquet(edgesPath(statePath)).select("doc_a", "doc_b")
       else nodes.limit(0).select(col("doc_id").as("doc_a"),
         col("doc_id").as("doc_b"))
-    // ONE lazy plan, like the batch q131: re-measured AFTER the folds
-    // started releasing their dead staged blocks (Staging.release), the
-    // round-13 "staged iterations win in fold-heavy contexts" result
-    // INVERTED — lazy 1.5 s vs staged 7.0 s at sf0.1 right after two
-    // folds (the old premium was the dead fold blocks taxing the lazy
-    // plan's exchange-reuse materializations, not the plan itself) —
-    // arithmetic identical either way
-    graft.llm.PageRank.ranks(nodes, pairs, stageIterations = false)
+    // ONE lazy plan WITH the invariant-join hoist: this frame is always
+    // MATERIALIZED (the oracle row checkpoints it), so the hoist pays
+    // for itself (~1/3 of the re-rank), while staged iterations would
+    // add per-iteration dangling-collect + checkpoint jobs that are
+    // pure fixed cost at micro-batch graph sizes — measured 12.0 s
+    // (lazy + hoist) vs 13.6 s (staged) vs 14.5 s (lazy, no hoist) for
+    // the whole q144 at sf0.1. Strategy notes and the count()-pruning
+    // measurement trap: the PageRank.ranks scaladoc.
+    graft.llm.PageRank.ranks(nodes, pairs, stageIterations = false,
+      hoistInvariant = Some(true))
   }
 }
