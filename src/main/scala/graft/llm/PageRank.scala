@@ -33,6 +33,21 @@ object PageRank {
     * test could not be unrolled by the oracle). */
   val iters = 3
 
+  /** Node-count gate below which the node-sized iteration frames (the
+    * rank vector, its inflow aggregate, the dangling set) ride explicit
+    * broadcasts instead of shuffles. The vertex count is ALREADY a
+    * collected bounded scalar here, so the gate is free — and it is the
+    * difference between one edge-scan per iteration (broadcast-hash
+    * join, map-side) and a full edge-sized shuffle WRITE per iteration:
+    * AQE's runtime SMJ→broadcast conversion only fires after both
+    * sides' exchanges materialize, so the 2.7M-row edge shuffle is paid
+    * before AQE can skip it (measured at sf0.1: 5.2 s → 2.7 s for the
+    * materialized 3-iteration re-rank). Above the gate — graphs whose
+    * rank vector genuinely cannot broadcast — every join keeps the
+    * shuffle path. 1M rows ≈ 32 MB of UnsafeRow, comfortably inside
+    * executor memory with three such broadcasts live. */
+  private val broadcastableNodes = 1L << 20
+
   /** Ranks over `nodes0` (one `doc_id` per vertex, isolated vertices
     * included) given undirected candidate `pairs` (doc_a, doc_b).
     *
@@ -41,24 +56,25 @@ object PageRank {
     *   that burned two rounds of strategy flip-flopping: a `count()`
     *   probe lets column pruning DELETE the rank arithmetic (only join
     *   multiplicity survives), so any strategy comparison must
-    *   MATERIALIZE (localCheckpoint) — and under that, the two
-    *   strategies cost the same (~3.7 s at sf0.1 with the
-    *   invariant-join hoist). `false` — ONE lazy plan, dangling mass as
-    *   broadcast 1-row subframes, invariant join left inline (in-job
-    *   exchange reuse covers it): right for consumers the optimizer can
-    *   prune (q131's bench shape) because it materializes nothing it
-    *   doesn't have to. `true` — checkpoint the rank frame each
-    *   iteration, dangling mass as a collected scalar, invariant join
-    *   checkpointed once: the bounded-memory choice for graphs whose
+    *   MATERIALIZE (localCheckpoint). `false` — ONE lazy plan: right
+    *   for consumers the optimizer can prune (q131's bench shape)
+    *   because it materializes nothing it doesn't have to; the price is
+    *   a plan tree that references each previous iteration twice
+    *   (dangling + inflow), kept honest by exchange reuse. `true` —
+    *   checkpoint the rank frame once per iteration (the dangling
+    *   broadcast rides inside the same job; nothing is collected):
+    *   each iteration's plan is then two scans of blocks, not a tree —
+    *   the right shape for always-materialized consumers (q144's
+    *   oracle row) AND the bounded-memory choice for graphs whose
     *   per-iteration frame outgrows one lazy plan.
     * @param hoistInvariant checkpoint the iteration-invariant
     *   edge ⋈ degree join up front (None = follow `stageIterations`).
     *   Orthogonal to the iteration strategy: an always-materialized
-    *   consumer (q144's oracle row) wants the hoist even under the
-    *   lazy plan — `Some(true)` there measured 12.0 s for the whole
-    *   query vs 13.6 s staged-iterations (the per-iteration dangling
-    *   collect + checkpoint jobs are pure fixed cost at this scale) and
-    *   vs 14.5 s lazy without the hoist.
+    *   consumer wants the hoist even under the lazy plan (each
+    *   iteration then scans checkpointed blocks instead of re-running
+    *   the join), while a count()-pruned consumer should leave it
+    *   inline so nothing is materialized that the optimizer would
+    *   prune away.
     * @return (doc_id, pr) — pr is the 1e-9 grid point emitted at 9 dp
     *   (8 dp would sit ON the .5 boundary for odd grid values and
     *   diverge between decimal and binary rounding) */
@@ -66,64 +82,83 @@ object PageRank {
             stageIterations: Boolean = false,
             hoistInvariant: Option[Boolean] = None): DataFrame = {
     val hoist = hoistInvariant.getOrElse(stageIterations)
-    val edges = Staging.stage(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionByName(
-          pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
-    val outd = Staging.stage(
-      edges.groupBy("src").agg(count(lit(1)).as("deg")))
-    // the edge ⋈ degree join is ITERATION-INVARIANT — in staged mode it
-    // checkpoints once and each iteration pays ONE edge-sized join (vs
-    // two) against the rank frame, worth ~1/3 of the materialized
-    // re-rank (6.5 → ~3.7 s at sf0.1). (Round 13 measured-and-rejected
-    // this hoist, but under a count()-shaped consumer whose column
-    // pruning had deleted the rank arithmetic being measured.) In lazy
-    // mode it stays a plan fragment: the single job reuses its exchange
-    // across iterations anyway, and an unconditional checkpoint would
-    // tax every count-shaped consumer with a materialization the
-    // optimizer would otherwise prune away.
+    // NOT staged: both callers hand this method already-materialized
+    // inputs (q144 reads the persisted edge/node state off parquet;
+    // q131 stages its pair frame before calling) — a checkpoint of a
+    // cheap narrow transform over a materialized scan would be a pure
+    // extra job. The union is re-evaluated by its consumers instead.
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(
+        pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val outd = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // the edge ⋈ degree join is ITERATION-INVARIANT — staged once, each
+    // iteration pays ONE edge-sized join (vs two) against the rank
+    // frame, worth ~1/3 of the materialized re-rank. (Round 13
+    // measured-and-rejected this hoist, but under a count()-shaped
+    // consumer whose column pruning had deleted the rank arithmetic
+    // being measured.) In lazy mode it stays a plan fragment: the
+    // single job reuses its exchange across iterations anyway, and an
+    // unconditional checkpoint would tax every count-shaped consumer
+    // with a materialization the optimizer would otherwise prune away.
     val edgesW =
       if (hoist) Staging.stage(edges.join(outd, Seq("src")))
       else edges.join(outd, Seq("src"))
-    val nodes = Staging.stage(nodes0.select("doc_id"))
+    val nodes = nodes0.select("doc_id")
     val nd = nodes.count() // bounded scalar: the vertex count
-    var r = Staging.stage(nodes.select(col("doc_id"),
-      round(lit(1e9) / lit(nd)).cast("long").as("r")))
+    // the DANGLING SET (vertices with no out-edges) is iteration-
+    // invariant too: computing it once turns every iteration's dangling
+    // mass into a broadcast-semi-join 1-row aggregate over the rank
+    // frame — no per-iteration anti-join against the degree table
+    // (lazy mode's old shape) and no per-iteration driver collect
+    // (staged mode's old shape, one scheduling round-trip per
+    // iteration). Node-sized, staged in both modes.
+    val dangN = Staging.stage(
+      nodes.join(outd, nodes("doc_id") === outd("src"), "left_anti"))
+    // node-sized frames broadcast only under the gate (see
+    // broadcastableNodes); the hint changes join strategy, never values
+    val small = nd <= broadcastableNodes
+    def ifSmallBcast(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df
+    var r: DataFrame = nodes.select(col("doc_id"),
+      round(lit(1e9) / lit(nd)).cast("long").as("r"))
     for (_ <- 1 to iters) {
-      // dangling mass: ranks of vertices with no out-edges — a 1-row
-      // exact integer aggregate
-      val dangDf = r.join(outd, r("doc_id") === outd("src"), "left_anti")
+      // dangling mass: ranks of the (pre-staged) dangling vertices — a
+      // 1-row exact integer aggregate riding a broadcast in BOTH modes
+      val dangDf = r.join(ifSmallBcast(dangN), Seq("doc_id"), "left_semi")
         .agg(coalesce(sum("r"), lit(0L)).as("dang"))
-      val dangCol =
-        if (stageIterations) lit(dangDf.head().getLong(0))
-        else col("dang")
+      val rIn = ifSmallBcast(r)
       val inflow = edgesW
-        .join(r, edgesW("src") === r("doc_id"))
+        .join(rIn, edgesW("src") === rIn("doc_id"))
         .select(col("dst"),
           round(col("r").cast("double") / col("deg")).cast("long").as("w"))
         .groupBy("dst").agg(sum("w").cast("long").as("w"))
-      val next = nodes
-        .join(inflow, nodes("doc_id") === inflow("dst"), "left")
-      val withDang =
-        if (stageIterations) next else next.crossJoin(broadcast(dangDf))
-      val updated = withDang.select(nodes("doc_id"),
-        (round(lit(0.15) * lit(1e9) / lit(nd)).cast("long") +
-          round(lit(0.85) * (coalesce(col("w"), lit(0L)) +
-            round(dangCol.cast("double") / lit(nd)).cast("long")))
-            .cast("long")).as("r"))
+      val inflowIn = ifSmallBcast(inflow)
+      val updated = nodes
+        .join(inflowIn, nodes("doc_id") === inflowIn("dst"), "left")
+        .crossJoin(broadcast(dangDf))
+        .select(nodes("doc_id"),
+          (round(lit(0.15) * lit(1e9) / lit(nd)).cast("long") +
+            round(lit(0.85) * (coalesce(col("w"), lit(0L)) +
+              round(col("dang").cast("double") / lit(nd)).cast("long")))
+              .cast("long")).as("r"))
       if (stageIterations) {
         val prev = r
+        // ONE materialization job per iteration (the dangling broadcast
+        // rides inside it) — the rank frame is checkpointed so the next
+        // iteration's two reads of `r` scan blocks, not a plan tree
         r = Staging.stage(updated)
         // the previous iteration's rank blocks are dead the moment the
         // new checkpoint exists (only `r` is ever read again); released
         // per-iteration so the fixpoint holds ONE rank frame in executor
-        // storage, not `iters`. Staged-mode only: lazy-mode intermediates
-        // share the staged edge/node blocks, which stay live.
-        Staging.release(prev)
+        // storage, not `iters`. Staged-mode only (the r0 select has no
+        // blocks of its own).
+        if (prev ne null) Staging.release(prev)
       } else r = updated
     }
-    if (stageIterations) Staging.release(edges, outd, nodes)
-    if (hoist && stageIterations) Staging.release(edgesW)
+    if (stageIterations) {
+      Staging.release(dangN)
+      if (hoist) Staging.release(edgesW)
+    }
     r.select(col("doc_id"),
       round(col("r").cast("double") / lit(1e9), 9).as("pr"))
   }

@@ -37,9 +37,10 @@ import graft.queries.Llm
   * last — a crash anywhere earlier replays the whole fold against
   * idempotent appends. The edge and band appends run CONCURRENTLY
   * (graft.core.Par): each is novelty-guarded, and candidate generation
-  * `distinct`s its union, so every half-fold shape a crash can leave —
-  * bands landed but edges not, or the reverse — replays without
-  * emitting a pair twice into one delta.
+  * excludes current-delta docs from its state-side probe slice, so
+  * every half-fold shape a crash can leave — bands landed but edges
+  * not, or the reverse — replays without emitting a pair twice into
+  * one delta.
   */
 object PageRankStream {
 
@@ -138,10 +139,20 @@ object PageRankStream {
     val deltaSide = bandsDelta
       .select(col("doc_id").as("da"), col("lang"), col("seg"),
         col("seg_val"), col("simhash").as("sim_a"), lit(true).as("is_new"))
+    // the state-side slice EXCLUDES docs in the current delta: a crash
+    // between the band append and the node append leaves a doc's bands
+    // in state while the doc is still node-novel, so its replay would
+    // otherwise pair once through the state side AND once through the
+    // is_new side — emitting the pair twice into one edge delta, which
+    // the novelty guard (state-vs-delta only) cannot absorb. The
+    // exclusion is a broadcast anti over the pruned slice (delta-sized
+    // build, slice-sized probe); it replaces a full edge-delta-sized
+    // distinct() shuffle as the replay armor.
     val leftBands =
       if (!StateStore.exists(spark, bp)) deltaSide
       else StateStore.prunedByTouched(spark, bp, "bb", bandsDelta, col("bb"),
           stateBuckets, deltaRows = nNew * numSegs)
+        .join(broadcast(novel.select("doc_id")), Seq("doc_id"), "left_anti")
         .select(col("doc_id").as("da"), col("lang"), col("seg"),
           col("seg_val"), col("simhash").as("sim_a"), lit(false).as("is_new"))
         .unionByName(deltaSide)
@@ -169,11 +180,12 @@ object PageRankStream {
       {
         // staged: the edge-novelty probe consumes its delta three times
         // and the append a fourth — unstaged, EACH re-runs the candidate
-        // join (measured 4x the fold cost). distinct rides the same
-        // staging job: a crash-replayed half-fold can surface one pair
-        // through BOTH sides (its bands already in state); delta-sized
+        // join (measured 4x the fold cost). No distinct: pairs are
+        // emitted exactly once by construction (lowest agreeing segment
+        // + the state-side delta exclusion above), so a dedup shuffle
+        // over the edge delta would be a pure no-op exchange.
         val edgeDelta = Staging.stage(
-          cands.distinct().withColumn("eb", docBucket(col("doc_a"))))
+          cands.withColumn("eb", docBucket(col("doc_a"))))
         edgeDeltaSlot.set(edgeDelta)
         val nEdges = edgeDelta.count()
         val novelEdges = StateStore.novelAgainst(ep, edgeDelta,
@@ -222,15 +234,14 @@ object PageRankStream {
         spark.read.parquet(edgesPath(statePath)).select("doc_a", "doc_b")
       else nodes.limit(0).select(col("doc_id").as("doc_a"),
         col("doc_id").as("doc_b"))
-    // ONE lazy plan WITH the invariant-join hoist: this frame is always
-    // MATERIALIZED (the oracle row checkpoints it), so the hoist pays
-    // for itself (~1/3 of the re-rank), while staged iterations would
-    // add per-iteration dangling-collect + checkpoint jobs that are
-    // pure fixed cost at micro-batch graph sizes — measured 12.0 s
-    // (lazy + hoist) vs 13.6 s (staged) vs 14.5 s (lazy, no hoist) for
-    // the whole q144 at sf0.1. Strategy notes and the count()-pruning
-    // measurement trap: the PageRank.ranks scaladoc.
-    graft.llm.PageRank.ranks(nodes, pairs, stageIterations = false,
-      hoistInvariant = Some(true))
+    // STAGED iterations with the invariant-join hoist: this frame is
+    // always MATERIALIZED (the oracle row checkpoints it), and under
+    // the node-count-gated broadcasts each staged iteration is one
+    // map-side pass over the edge frame — measured at sf0.1: 2.4–2.9 s
+    // staged vs 2.8–3.6 s one lazy plan vs ~5–6.5 s before the
+    // broadcast gate (when every iteration paid an edge-sized shuffle
+    // write the size gate now skips). Strategy notes and the
+    // count()-pruning measurement trap: the PageRank.ranks scaladoc.
+    graft.llm.PageRank.ranks(nodes, pairs, stageIterations = true)
   }
 }
