@@ -20,12 +20,14 @@ import graft.core.Staging
   * strategies below are arithmetic-identical (the same expressions over
   * the same exact integers), so the choice never touches results.
   *
-  * Scale shape: an iteration is two keyed joins plus one keyed
-  * aggregation — edge- and node-sized shuffles, no broadcast mandate on
-  * anything corpus-sized. The node count is a bounded-scalar collect
-  * re-entered as a constant-folded literal; the per-iteration dangling
-  * mass is a 1-row aggregate riding a broadcast (lazy mode) or a
-  * collected literal (staged mode).
+  * Scale shape: an iteration is one node-sized join (rank ⋈ degree),
+  * one edge ⋈ node join, and one keyed aggregation — the edge set is
+  * scanned once per iteration and NEVER shuffled when the node-sized
+  * side fits the broadcast gate; above the gate every join falls back
+  * to shuffles, with nothing corpus-sized ever mandated onto a
+  * broadcast. The node count is a bounded-scalar collect re-entered as
+  * a constant-folded literal; the per-iteration dangling mass is a
+  * 1-row aggregate riding a broadcast in both modes.
   */
 object PageRank {
 
@@ -67,42 +69,29 @@ object PageRank {
     *   the right shape for always-materialized consumers (q144's
     *   oracle row) AND the bounded-memory choice for graphs whose
     *   per-iteration frame outgrows one lazy plan.
-    * @param hoistInvariant checkpoint the iteration-invariant
-    *   edge ⋈ degree join up front (None = follow `stageIterations`).
-    *   Orthogonal to the iteration strategy: an always-materialized
-    *   consumer wants the hoist even under the lazy plan (each
-    *   iteration then scans checkpointed blocks instead of re-running
-    *   the join), while a count()-pruned consumer should leave it
-    *   inline so nothing is materialized that the optimizer would
-    *   prune away.
     * @return (doc_id, pr) — pr is the 1e-9 grid point emitted at 9 dp
     *   (8 dp would sit ON the .5 boundary for odd grid values and
     *   diverge between decimal and binary rounding) */
   def ranks(nodes0: DataFrame, pairs: DataFrame,
-            stageIterations: Boolean = false,
-            hoistInvariant: Option[Boolean] = None): DataFrame = {
-    val hoist = hoistInvariant.getOrElse(stageIterations)
+            stageIterations: Boolean = false): DataFrame = {
     // NOT staged: both callers hand this method already-materialized
     // inputs (q144 reads the persisted edge/node state off parquet;
     // q131 stages its pair frame before calling) — a checkpoint of a
     // cheap narrow transform over a materialized scan would be a pure
-    // extra job. The union is re-evaluated by its consumers instead.
+    // extra job. The union is re-evaluated by its consumers instead
+    // (one columnar re-scan of two long columns per iteration).
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(
         pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    val outd = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    // the edge ⋈ degree join is ITERATION-INVARIANT — staged once, each
-    // iteration pays ONE edge-sized join (vs two) against the rank
-    // frame, worth ~1/3 of the materialized re-rank. (Round 13
-    // measured-and-rejected this hoist, but under a count()-shaped
-    // consumer whose column pruning had deleted the rank arithmetic
-    // being measured.) In lazy mode it stays a plan fragment: the
-    // single job reuses its exchange across iterations anyway, and an
-    // unconditional checkpoint would tax every count-shaped consumer
-    // with a materialization the optimizer would otherwise prune away.
-    val edgesW =
-      if (hoist) Staging.stage(edges.join(outd, Seq("src")))
-      else edges.join(outd, Seq("src"))
+    // the DEGREE TABLE is iteration-invariant and NODE-sized — staged
+    // once, it replaces the old edge ⋈ degree hoist (an edge-sized
+    // checkpoint): the per-edge contribution round(r_src / deg_src) is
+    // CONSTANT per source vertex, so it is computed on the node-sized
+    // rank ⋈ degree frame and the edges only ever join against that —
+    // the edge set itself never acquires a degree column, never
+    // checkpoints, never shuffles under the broadcast gate.
+    val outd = Staging.stage(
+      edges.groupBy("src").agg(count(lit(1)).as("deg")))
     val nodes = nodes0.select("doc_id")
     val nd = nodes.count() // bounded scalar: the vertex count
     // the DANGLING SET (vertices with no out-edges) is iteration-
@@ -126,11 +115,14 @@ object PageRank {
       // 1-row exact integer aggregate riding a broadcast in BOTH modes
       val dangDf = r.join(ifSmallBcast(dangN), Seq("doc_id"), "left_semi")
         .agg(coalesce(sum("r"), lit(0L)).as("dang"))
-      val rIn = ifSmallBcast(r)
-      val inflow = edgesW
-        .join(rIn, edgesW("src") === rIn("doc_id"))
-        .select(col("dst"),
-          round(col("r").cast("double") / col("deg")).cast("long").as("w"))
+      // per-vertex contribution, node-sized: round(r/deg) is the same
+      // value for every out-edge of a vertex
+      val wN = ifSmallBcast(r.join(ifSmallBcast(outd),
+          r("doc_id") === outd("src"))
+        .select(outd("src"),
+          round(col("r").cast("double") / col("deg")).cast("long").as("w")))
+      val inflow = edges
+        .join(wN, Seq("src"))
         .groupBy("dst").agg(sum("w").cast("long").as("w"))
       val inflowIn = ifSmallBcast(inflow)
       val updated = nodes
@@ -155,10 +147,7 @@ object PageRank {
         if (prev ne null) Staging.release(prev)
       } else r = updated
     }
-    if (stageIterations) {
-      Staging.release(dangN)
-      if (hoist) Staging.release(edgesW)
-    }
+    if (stageIterations) Staging.release(dangN, outd)
     r.select(col("doc_id"),
       round(col("r").cast("double") / lit(1e9), 9).as("pr"))
   }

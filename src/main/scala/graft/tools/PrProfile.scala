@@ -70,17 +70,16 @@ object PrProfile {
       if (trace) println("[job] ---- ranks (lazy, materialized) ----")
       t("ckpt")(PageRankStream.ranks(spark, state)
         .localCheckpoint(eager = true).count())
-      def ranksVariant(staged: Boolean, hoist: Boolean): Long = {
+      def ranksVariant(staged: Boolean): Long = {
         val nodes = spark.read.parquet(s"$state/nodes").select("doc_id")
         val pairs = spark.read.parquet(s"$state/edges").select("doc_a", "doc_b")
-        graft.llm.PageRank.ranks(nodes, pairs, stageIterations = staged,
-            hoistInvariant = Some(hoist))
+        graft.llm.PageRank.ranks(nodes, pairs, stageIterations = staged)
           .localCheckpoint(eager = true).count()
       }
       if (trace) println("[job] ---- ranks (staged iters, materialized) ----")
-      t("ckptSt")(ranksVariant(staged = true, hoist = true))
-      if (trace) println("[job] ---- ranks (lazy nohoist, materialized) ----")
-      t("ckptNh")(ranksVariant(staged = false, hoist = false))
+      t("ckptSt")(ranksVariant(staged = true))
+      if (trace) println("[job] ---- ranks (lazy, materialized 2) ----")
+      t("ckptNh")(ranksVariant(staged = false))
       // EXPERIMENT: staged iterations with (a) the invariant edge⋈deg
       // frame pre-partitioned by src and sorted (iterations then only
       // exchange the node-sized rank frame) and (b) an explicit
