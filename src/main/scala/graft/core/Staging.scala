@@ -59,6 +59,37 @@ object Staging {
     } else df.localCheckpoint(eager = true)
   }
 
+  /** Stage `df` AND return its row count in ONE job. The fold-shaped
+    * callers almost always need the staged frame's count immediately
+    * (novelty-probe sizing hints, empty-delta early returns), and an
+    * eager checkpoint followed by a count pays two scheduling
+    * round-trips for one materialization: here the checkpoint is LAZY
+    * and the count is the materializing action — the local-checkpoint
+    * blocks persist as the count's side effect (all partitions compute
+    * under an aggregation, so the deferred checkpoint finds every block
+    * cached and launches no fix-up job). `reliable` mode keeps its
+    * write-then-read shape; the count reads parquet footers, not a
+    * second scan. */
+  def stageCounted(df: DataFrame): (DataFrame, Long) = {
+    val staged = stageLazy(df)
+    (staged, staged.count())
+  }
+
+  /** Lazy staging: the checkpoint blocks materialize on the caller's
+    * FIRST action over the returned frame or ANY derivation of it (the
+    * persist happens at iterator level, so a count over an exploded
+    * projection still caches every block it scans). For call sites
+    * whose immediate next step is an action anyway — a count that
+    * feeds probe hints, an isEmpty gate — this folds the staging job
+    * into that action. The caller MUST run one full-scan action before
+    * treating the frame as cheap-to-rescan; `reliable` mode has no
+    * lazy shape (the write IS the staging) and falls back to [[stage]]. */
+  def stageLazy(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    if (spark.conf.get("spark.graft.staging", "local") == "reliable") stage(df)
+    else df.localCheckpoint(eager = false)
+  }
+
   /** Drop the executor-storage blocks behind `local`-mode staged frames
     * the caller has finished consuming. `localCheckpoint` TRUNCATES
     * lineage — after release a frame is unreadable (no recompute path) —

@@ -87,15 +87,13 @@ object Bm25Index {
     * its novel rows, ≤ `stateBuckets` files. */
   def foldBatch(batch: DataFrame, batchId: String, statePath: String): Unit = {
     val spark = batch.sparkSession
-    val toks = Staging.stage(
+    // staged and counted in one job; an empty batch contributes nothing
+    // additive, so skipping its ledger row is replay-safe
+    val (toks, nDocs) = Staging.stageCounted(
       batch.select(col("doc_id"),
           expr(graft.queries.Llm.toksExpr).as("tk"))
         .select(col("doc_id"), col("tk"),
           size(col("tk")).cast("long").as("dl")))
-    // the empty-batch early-out reads the staged frame (cheap), not the
-    // source; an empty batch contributes nothing additive, so skipping
-    // its ledger row is replay-safe
-    val nDocs = toks.count()
     if (nDocs == 0) { Staging.release(toks); return }
 
     val docsDelta = toks.select(col("doc_id"), col("dl"))
@@ -105,7 +103,7 @@ object Bm25Index {
     // staged: the summary fold and the append below must see the SAME
     // novel set — an unstaged frame re-probes the store after the
     // append and would read back empty
-    val novelDocs = Staging.stage(
+    val (novelDocs, nNovelDocs) = Staging.stageCounted(
       StateStore.novelAgainst(docsPath(statePath), docsDelta,
         Seq("doc_id"), "db", docBucket(col("doc_id")), stateBuckets,
         deltaRows = nDocs))
@@ -119,22 +117,22 @@ object Bm25Index {
     // nDocs is a LOWER bound on posting rows — valid for the hint's
     // "delta ≫ buckets" direction (it can only under-skip, never
     // mis-prune)
-    val novelPost = Staging.stage(
+    val (novelPost, nNovelPost) = Staging.stageCounted(
       StateStore.novelAgainst(postingsPath(statePath),
         postDelta, Seq("term", "doc_id"), "tb", termBucket(col("term")),
         stateBuckets, deltaRows = nDocs))
 
     foldSummary(spark, statePath, batchId, novelPost, novelDocs)
 
-    // staged-frame counts are cheap and buy the small-delta
-    // single-task append path; the two appends are independent (each
-    // novelty-guarded — any half-fold shape replays clean) and each is
-    // dominated by writer/commit fixed cost, so they overlap (Par)
+    // the staged-counted sizes buy the small-delta single-task append
+    // path; the two appends are independent (each novelty-guarded — any
+    // half-fold shape replays clean) and each is dominated by
+    // writer/commit fixed cost, so they overlap (Par)
     graft.core.Par.awaitBoth(
       StateStore.appendBucketed(novelPost, postingsPath(statePath), "tb",
-        stateBuckets, deltaRows = novelPost.count()),
+        stateBuckets, deltaRows = nNovelPost),
       StateStore.appendBucketed(novelDocs, docsPath(statePath), "db",
-        stateBuckets, deltaRows = novelDocs.count()))
+        stateBuckets, deltaRows = nNovelDocs))
     // fold hygiene: the staged intermediates are dead once the appends
     // land — drop their blocks so folds don't accumulate storage pressure
     Staging.release(toks, novelPost, novelDocs)

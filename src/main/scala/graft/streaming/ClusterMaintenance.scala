@@ -136,13 +136,14 @@ object ClusterMaintenance {
     // per-artifact bucket columns are narrow post-staging projections
     // of the checkpointed rows, re-derived per consumer at in-memory
     // scan cost
-    val delta = Staging.stage(NearDup.bandsAndToks(batch))
+    val delta = Staging.stageLazy(NearDup.bandsAndToks(batch))
     val deltaBands = NearDup.explodeBands(delta).drop("toks")
       .withColumn("pb", bandBucket)
     val deltaToks = delta.select(col("doc_id"), col("toks"))
       .withColumn("tb", tokBucket(col("doc_id")))
     // counted once off the staged delta: feeds the pruning hints AND
-    // the small-delta single-task append path
+    // the small-delta single-task append path. The count is ALSO the
+    // lazy staging's materializing action (one job for both).
     val nBands = deltaBands.count()
     // one-time migration for pre-upgrade state: unbucketed layouts and
     // stale (larger) bucket moduli both rewrite in place
@@ -182,7 +183,7 @@ object ClusterMaintenance {
       else {
         val idx = StateStore.prunedByTouched(spark, bandsPath(statePath),
           "pb", deltaBands, col("pb"), stateBuckets, nBands)
-        val cand = Staging.stage(idx
+        val (cand, nCand) = Staging.stageCounted(idx
           .select(col("doc_id").as("corpus_id"), col("band"),
             col("bucket"), col("b0").as("b0_c"))
           .join(broadcast(deltaBands.select(col("doc_id").as("delta_id"),
@@ -194,7 +195,7 @@ object ClusterMaintenance {
           .select("delta_id", "corpus_id"))
         val corpusToks = StateStore.prunedByTouched(spark,
           toksPath(statePath), "tb", cand, tokBucket(col("corpus_id")),
-          stateBuckets, cand.count())
+          stateBuckets, nCand)
         val scored = corpusToks
           .select(col("doc_id").as("corpus_id"), col("toks").as("toks_c"))
           .join(broadcast(cand), Seq("corpus_id"))

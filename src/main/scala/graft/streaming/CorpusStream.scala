@@ -81,7 +81,7 @@ object CorpusStream {
     // hb = the hash's first two hex digits as an int — the state
     // store's 256-way partition key
     val w = Window.partitionBy("content_hash").orderBy("doc_id")
-    val firsts = Staging.stage(gated
+    val (firsts, nFirsts) = Staging.stageCounted(gated
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
       .withColumn("hb", hashBucketOf(col("content_hash"))))
@@ -92,8 +92,7 @@ object CorpusStream {
     // pre-bucketing (flat) hashes/ table once on first contact.
     StateStore.ensureBucketed(spark, hashesPath(statePath), "hb",
       hashBucketOf(col("content_hash")), 256)
-    val nFirsts = firsts.count()
-    val novel = Staging.stage(StateStore.novelAgainst(hashesPath(statePath),
+    val novel = Staging.stageLazy(StateStore.novelAgainst(hashesPath(statePath),
       firsts, Seq("content_hash"), "hb", col("hb"), 256, nFirsts))
 
     // DOCS BEFORE HASHES: a crash between the two appends must err

@@ -52,10 +52,9 @@ object Decontam {
   def foldBenchmark(bench: DataFrame, statePath: String): Unit = {
     if (bench.isEmpty) return
     val p = ngramsPath(statePath)
-    val hs = Staging.stage(Llm.shingleHashes(bench)
+    val (hs, nh) = Staging.stageCounted(Llm.shingleHashes(bench)
       .select("h").filter(col("h").isNotNull).distinct()
       .withColumn("hb", hashBucketOf(col("h"))))
-    val nh = hs.count()
     val novel = StateStore.novelAgainst(p, hs, Seq("h"), "hb", col("hb"),
       256, nh)
     StateStore.appendBucketed(novel.select("h", "hb"), p, "hb", 256,

@@ -87,21 +87,19 @@ object PageRankStream {
     // would checkpoint the corpus bytes twice per fold for a probe that
     // only reads keys — the text is joined back exactly once, for the
     // signature pass, whose output is what gets staged
-    val delta = Staging.stage(
+    val (delta, dn) = Staging.stageCounted(
       batch.select(col("doc_id")).withColumn("nb", docBucket(col("doc_id"))))
-    val dn = delta.count()
     if (dn == 0) { Staging.release(delta); return }
     StateStore.ensureBucketed(spark, np, "nb", docBucket(col("doc_id")),
       stateBuckets)
     // a fresh node store means the whole delta is novel — novelAgainst
     // returns `delta` unchanged, and re-staging an already-staged frame
     // would pay one more checkpoint + count for nothing
-    val novel =
-      if (!StateStore.exists(spark, np)) delta
-      else Staging.stage(StateStore.novelAgainst(np, delta,
+    val (novel, nNew) =
+      if (!StateStore.exists(spark, np)) (delta, dn)
+      else Staging.stageCounted(StateStore.novelAgainst(np, delta,
         Seq("doc_id"), "nb", docBucket(col("doc_id")), stateBuckets,
         deltaRows = dn))
-    val nNew = if (novel eq delta) dn else novel.count()
     if (nNew == 0) { Staging.release(delta, novel); return }
 
     // signatures + band entries of the novel docs (token-less docs
@@ -184,10 +182,9 @@ object PageRankStream {
         // emitted exactly once by construction (lowest agreeing segment
         // + the state-side delta exclusion above), so a dedup shuffle
         // over the edge delta would be a pure no-op exchange.
-        val edgeDelta = Staging.stage(
+        val (edgeDelta, nEdges) = Staging.stageCounted(
           cands.withColumn("eb", docBucket(col("doc_a"))))
         edgeDeltaSlot.set(edgeDelta)
-        val nEdges = edgeDelta.count()
         val novelEdges = StateStore.novelAgainst(ep, edgeDelta,
           Seq("doc_a", "doc_b"), "eb", docBucket(col("doc_a")), stateBuckets,
           deltaRows = nEdges)

@@ -54,16 +54,14 @@ object QualityStream {
     // anti-join's left side); the staged count feeds the probe's
     // deltaRows hint, skipping the touched-bucket collect for deltas
     // that have touched every bucket anyway
-    val delta = Staging.stage(feats
+    val (delta, dn) = Staging.stageCounted(feats
       .select(col("doc_id"), col("x_stop"), col("x_mwl"), col("x_len"),
         col("y"))
       .withColumn("db", docBucket))
-    val dn = delta.count()
     if (dn == 0) { Staging.release(delta); return 0L }
-    val novel = Staging.stage(StateStore.novelAgainst(
+    val (novel, n) = Staging.stageCounted(StateStore.novelAgainst(
       p, delta, Seq("doc_id"), "db", col("db"), stateBuckets,
       deltaRows = dn))
-    val n = novel.count()
     if (n > 0) StateStore.appendBucketed(novel, p, "db", stateBuckets,
       deltaRows = n)
     Staging.release(delta, novel) // fold hygiene: staged frames are dead

@@ -16,10 +16,28 @@ import graft.core.GraftSession
 object QTime {
 
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val names = args.drop(1).toSeq
+    val doTrace = args.contains("-trace")
+    val sfDir = args.filterNot(_ == "-trace").headOption
+      .getOrElse("/root/testdata/sf0.1")
+    val names = args.filterNot(_ == "-trace").drop(1).toSeq
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    // -trace: per-job wall times on the LAST timed pass of each query
+    // (callsite + elapsed), for attributing a slow query to its jobs
+    @volatile var trace = false
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val epoch = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+    if (doTrace) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          if (trace) jobStarts.put(js.jobId,
+            (System.nanoTime(), js.stageInfos.headOption.map(_.name).getOrElse("?")))
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          if (trace) Option(jobStarts.remove(je.jobId)).foreach { case (t0, site) =>
+            val at = (t0 - epoch.get) / 1e9
+            println(f"[job] @$at%7.2f ${(System.nanoTime() - t0) / 1e9}%6.2f s  $site")
+          }
+      })
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
     val picked = if (names.isEmpty) all
       else all.filter { case (n, _) => names.exists(n.startsWith) }
@@ -31,11 +49,16 @@ object QTime {
       release()
     }
     picked.foreach { case (name, fn) =>
-      val ts = Seq.fill(3) {
+      val ts = (1 to 3).map { pass =>
+        if (doTrace && pass == 3) {
+          trace = true; epoch.set(System.nanoTime())
+          println(s"[job] ==== $name pass 3 ====")
+        }
         val t0 = System.nanoTime()
         val t = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
           catch { case e: Throwable =>
             System.err.println(s"[qtime] $name failed: ${e.getMessage}"); -1.0 }
+        trace = false
         release()
         t
       }.sorted
