@@ -1490,6 +1490,33 @@ object Llm {
             GROUP BY s.doc_id, x.doc_id HAVING count(*) >= 2
             ORDER BY s.doc_id, bench_id"""))
 
+  // ---- streaming decontamination as an oracle row -----------------------
+  // The q126 discipline applied to the exclusion-set gate: the BENCHMARK
+  // arrives incrementally (eval suites land over time), folding in two
+  // batches into the persisted 256-way bucketed shingle-hash state, and
+  // gating the corpus against the ACCUMULATED state must answer the
+  // batch q80 kept-set oracle verbatim — the state's distinct-hash union
+  // equals the one-shot benchmark set (novelty appends dedup across
+  // folds), and `gate`'s distinct-shared-shingle threshold is exactly
+  // q65/q80's ≥ 2 rule. Completes the stream == batch matrix for the
+  // decontamination family (DecontamStreamSpec holds the replay /
+  // shuffle-flatness properties; this row puts the equality under the
+  // driver's oracle gate).
+  private val decontamIncremental = Q(
+    "q148_incremental_decontam",
+    (s, dir) => withTempState("graft_q148_state") { state =>
+      val docs = t(s, dir, "documents")
+      graft.streaming.Decontam.foldBenchmark(
+        docs.filter(col("doc_id") < 5), state)
+      graft.streaming.Decontam.foldBenchmark(
+        docs.filter(col("doc_id") >= 5 && col("doc_id") < 10), state)
+      Staging.stage(graft.streaming.Decontam.gate(
+          docs.filter(col("doc_id") >= 10), state)
+        .select(col("doc_id"), col("lang"), col("n_chars")))
+        .orderBy("doc_id")
+    },
+    Some(bloomKeptOracleSql))
+
   // ---- deterministic stratified sampling --------------------------------
   // Per-stratum downsampling at reproducible rates: keep a doc when the
   // first hex digit of md5(text) falls under the stratum's digit budget
@@ -4981,5 +5008,5 @@ object Llm {
     pcaLoadings, pcaProject, pcaIncremental, pcaComponents,
     profileCensus, zipfFit,
     lrTrainQ, lrScoreQ, lrEvalQ, lrAucQ, lrCalibQ, lrIncrementalQ,
-    lrImportanceQ)
+    lrImportanceQ, decontamIncremental)
 }

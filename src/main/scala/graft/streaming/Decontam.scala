@@ -62,35 +62,66 @@ object Decontam {
     Staging.release(hs) // fold hygiene: the staged hashes are dead
   }
 
+  /** Benchmark-state byte size below which [[gate]] broadcasts the
+    * STATE side instead of the batch's hash set (one getContentSummary
+    * call — no job): a young exclusion set gated against a bulk corpus
+    * batch is q65's exact broadcast-bench shape, and the delta-broadcast
+    * path would build a corpus-sized hash broadcast to probe it. */
+  private val stateBroadcastBytes = 64L << 20
+
   /** Drop documents sharing at least `minShared` distinct shingle
     * hashes with the persisted benchmark set — q65's contamination rule
     * against state instead of a literal. Pass-through when no benchmark
-    * has been folded. The state is partition-pruned to the batch's
-    * touched buckets and only scanned; every join keyed on the batch
-    * side is against a broadcast of batch-derived (bounded) frames, so
-    * per-batch shuffle is batch-sized however large the benchmark
-    * grows. */
+    * has been folded. Which side broadcasts is decided per call from
+    * the state layout's byte size: a small exclusion set rides the
+    * broadcast itself (the corpus side is then ONE map-side join + agg,
+    * never staged, never shuffled before the per-doc partial count —
+    * q65's batch plan); a benchmark that outgrew the broadcast is
+    * partition-pruned to the batch's touched buckets and only scanned,
+    * with every join keyed on the batch side against a broadcast of
+    * batch-derived frames — per-batch shuffle stays batch-sized however
+    * large the benchmark grows. */
   def gate(batch: DataFrame, statePath: String, minShared: Int = 2): DataFrame = {
     val spark = batch.sparkSession
     val p = ngramsPath(statePath)
     if (!StateStore.exists(spark, p)) return batch
-    // the batch's (doc_id, h) pairs — staged once, consumed three times
-    // (bucket prune, the seen-set probe, the per-doc count)
-    val pairs = Staging.stage(Llm.shingleHashes(batch)
-      .filter(col("h").isNotNull)
-      .withColumn("hb", hashBucketOf(col("h"))))
-    val batchHashes = pairs.select("h", "hb").distinct()
-    // state ∩ batch: pruned scan vs broadcast batch hashes — ≤ batch-sized
-    val seen = StateStore.prunedByTouched(spark, p, "hb", batchHashes,
-      col("hb"), 256)
-      .join(broadcast(batchHashes.select("h")), Seq("h"))
-      .select("h").distinct()
-    val flagged = pairs
-      .join(broadcast(seen), Seq("h"))
-      .groupBy("doc_id")
-      .agg(countDistinct(col("h")).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
-      .select("doc_id")
+    val stateBytes = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+    val flagged =
+      if (stateBytes <= stateBroadcastBytes) {
+        // small-state regime: broadcast the exclusion set as-is — NOT
+        // distinct'ed first (that exchange would be the one shuffle that
+        // grows with the benchmark, ShuffleGrowthSpec's subject).
+        // Replay-duplicated hash rows only duplicate join output, and
+        // the per-doc countDistinct below collapses them exactly.
+        val benchH = spark.read.parquet(p).select("h")
+        Llm.shingleHashes(batch).filter(col("h").isNotNull)
+          .join(broadcast(benchH), Seq("h"))
+          .groupBy("doc_id")
+          .agg(countDistinct(col("h")).as("n_shared"))
+          .filter(col("n_shared") >= minShared)
+          .select("doc_id")
+      } else {
+        // accumulated-state regime: the batch's (doc_id, h) pairs are
+        // staged once and consumed three times (bucket prune, the
+        // seen-set probe, the per-doc count)
+        val pairs = Staging.stage(Llm.shingleHashes(batch)
+          .filter(col("h").isNotNull)
+          .withColumn("hb", hashBucketOf(col("h"))))
+        val batchHashes = pairs.select("h", "hb").distinct()
+        // state ∩ batch: pruned scan vs broadcast batch hashes
+        val seen = StateStore.prunedByTouched(spark, p, "hb", batchHashes,
+          col("hb"), 256)
+          .join(broadcast(batchHashes.select("h")), Seq("h"))
+          .select("h").distinct()
+        pairs
+          .join(broadcast(seen), Seq("h"))
+          .groupBy("doc_id")
+          .agg(countDistinct(col("h")).as("n_shared"))
+          .filter(col("n_shared") >= minShared)
+          .select("doc_id")
+      }
     batch.join(broadcast(flagged), Seq("doc_id"), "left_anti")
   }
 

@@ -294,13 +294,16 @@ object StateStore {
     * (≤ delta-sized); the anti-join then runs delta-vs-seen. Shuffle is
     * delta-sized regardless of accumulated state. `delta` must carry
     * the key columns under the state's names. */
-  /** State row count below which [[novelAgainst]] broadcasts the STATE
-    * side instead of the delta (the bulk-ingest regime: a young state
-    * probed by a corpus-sized delta — fold 2 of the oracle rows'
+  /** State layout byte size below which [[novelAgainst]] broadcasts the
+    * STATE side instead of the delta (the bulk-ingest regime: a young
+    * state probed by a corpus-sized delta — fold 2 of the oracle rows'
     * seed-then-rest scripts, or a deployment's first big backfill).
-    * Decided per call from the layout's parquet footers (driver-side
-    * milliseconds); keys-only rows, so 1M rows is a few tens of MB. */
-  private val stateBroadcastRows = 1L << 20
+    * Decided per call from ONE getContentSummary call — a per-file
+    * footer walk was measured at ~1 s of driver time per fold on
+    * 256-bucket layouts (hundreds of small files), which is exactly the
+    * fixed cost this path exists to avoid. 8 MB of keys-only parquet is
+    * a few tens of MB in memory — comfortably broadcastable. */
+  private val stateBroadcastBytes = 8L << 20
 
   def novelAgainst(path: String, delta: DataFrame, keys: Seq[String],
                    bucketCol: String, deltaBucket: Column,
@@ -313,20 +316,14 @@ object StateStore {
       // Which side broadcasts? The steady-state shape is a bounded
       // micro-batch against an accumulated corpus: broadcast the DELTA,
       // state never shuffles. But when the LAYOUT itself is still small
-      // relative to the delta (footer count — no job), the one-join
-      // state-broadcast anti beats building a delta-sized broadcast
-      // (measured: fold 2 of q144 broadcasts 1.35M edge keys to probe a
-      // 4k-row store without this). Both shapes shuffle nothing.
-      // one getContentSummary call screens out clearly-big layouts
-      // before the per-file footer walk (whose cost grows with the
-      // file census — exactly the layouts that can never qualify)
+      // (one getContentSummary call — no job, no footer walk), the
+      // one-join state-broadcast anti beats building a delta-sized
+      // broadcast (measured: fold 2 of q144 broadcasts 1.35M edge keys
+      // to probe a 4k-row store without this). Both shapes shuffle
+      // nothing; a small state broadcasts cheaply whatever the delta.
       val stateBytes = fs(spark, path)
         .getContentSummary(new Path(path)).getLength
-      val stateRows =
-        if (stateBytes > (64L << 20)) Long.MaxValue
-        else parquetRowCount(spark, path)
-      if (stateRows <= stateBroadcastRows &&
-          (deltaRows < 0 || stateRows * 4 <= deltaRows))
+      if (stateBytes <= stateBroadcastBytes)
         delta.join(broadcast(state.select(keys.map(col): _*)), keys,
           "left_anti")
       else {
