@@ -80,57 +80,6 @@ object PrProfile {
       t("ckptSt")(ranksVariant(staged = true))
       if (trace) println("[job] ---- ranks (lazy, materialized 2) ----")
       t("ckptNh")(ranksVariant(staged = false))
-      // EXPERIMENT: staged iterations with (a) the invariant edge⋈deg
-      // frame pre-partitioned by src and sorted (iterations then only
-      // exchange the node-sized rank frame) and (b) an explicit
-      // broadcast of the rank frame (scale-unsafe — a strategy PROBE to
-      // attribute the per-iteration cost to the join exchange).
-      def ranksExp(bcastR: Boolean): Long = {
-        import graft.core.Staging
-        val spark2 = spark
-        import spark2.implicits._
-        val nodes = spark.read.parquet(s"$state/nodes").select("doc_id")
-        val pairs = spark.read.parquet(s"$state/edges").select("doc_a", "doc_b")
-        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        val outd = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        val edgesW = Staging.stage(
-          edges.join(outd, Seq("src"))
-            .repartition(col("src")).sortWithinPartitions("src"))
-        val dangN = Staging.stage(
-          nodes.join(outd, nodes("doc_id") === outd("src"), "left_anti"))
-        val nd = nodes.count()
-        var r: org.apache.spark.sql.DataFrame = nodes.select(col("doc_id"),
-          round(lit(1e9) / lit(nd)).cast("long").as("r"))
-        for (_ <- 1 to graft.llm.PageRank.iters) {
-          val dangDf = r.join(broadcast(dangN), Seq("doc_id"), "left_semi")
-            .agg(coalesce(sum("r"), lit(0L)).as("dang"))
-          val rIn = if (bcastR) broadcast(r) else r
-          val inflow = edgesW
-            .join(rIn, edgesW("src") === rIn("doc_id"))
-            .select(col("dst"),
-              round(col("r").cast("double") / col("deg")).cast("long").as("w"))
-            .groupBy("dst").agg(sum("w").cast("long").as("w"))
-          val updated = nodes
-            .join(inflow, nodes("doc_id") === inflow("dst"), "left")
-            .crossJoin(broadcast(dangDf))
-            .select(nodes("doc_id"),
-              (round(lit(0.15) * lit(1e9) / lit(nd)).cast("long") +
-                round(lit(0.85) * (coalesce(col("w"), lit(0L)) +
-                  round(col("dang").cast("double") / lit(nd)).cast("long")))
-                  .cast("long")).as("r"))
-          val prev = r
-          r = Staging.stage(updated)
-          Staging.release(prev)
-        }
-        val n = r.count()
-        Staging.release(edgesW, dangN, r)
-        n
-      }
-      if (trace) println("[job] ---- ranks (exp: src-partitioned edges) ----")
-      t("expPart")(ranksExp(bcastR = false))
-      if (trace) println("[job] ---- ranks (exp: broadcast rank frame) ----")
-      t("expBcast")(ranksExp(bcastR = true))
       release()
       val st = java.nio.file.Files.walk(java.nio.file.Paths.get(state))
       try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
