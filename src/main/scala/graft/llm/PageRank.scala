@@ -110,6 +110,11 @@ object PageRank {
       if (small) broadcast(df) else df
     var r: DataFrame = nodes.select(col("doc_id"),
       round(lit(1e9) / lit(nd)).cast("long").as("r"))
+    // the initial rank frame is the CALLER's — its plan leaves are
+    // nodes0's, so releasing it would unpersist blocks the caller may
+    // still be reading (a staged node frame) while `nodes` feeds every
+    // remaining iteration. Only frames THIS loop staged are released.
+    val r0 = r
     for (_ <- 1 to iters) {
       // dangling mass: ranks of the (pre-staged) dangling vertices — a
       // 1-row exact integer aggregate riding a broadcast in BOTH modes
@@ -142,9 +147,8 @@ object PageRank {
         // the previous iteration's rank blocks are dead the moment the
         // new checkpoint exists (only `r` is ever read again); released
         // per-iteration so the fixpoint holds ONE rank frame in executor
-        // storage, not `iters`. Staged-mode only (the r0 select has no
-        // blocks of its own).
-        if (prev ne null) Staging.release(prev)
+        // storage, not `iters`. Never the initial frame (see r0 above).
+        if (prev ne r0) Staging.release(prev)
       } else r = updated
     }
     if (stageIterations) Staging.release(dangN, outd)

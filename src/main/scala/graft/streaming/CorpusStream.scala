@@ -92,6 +92,15 @@ object CorpusStream {
     // pre-bucketing (flat) hashes/ table once on first contact.
     StateStore.ensureBucketed(spark, hashesPath(statePath), "hb",
       hashBucketOf(col("content_hash")), 256)
+    // LAZY staging ordering invariant: `novel`'s plan re-probes the
+    // LIVE hash store until its checkpoint blocks materialize, and the
+    // materializing action is the `docs` stage below (an eager
+    // checkpoint over a derivation scans — and caches — every block).
+    // That stage MUST run before the hashes append mutates the store: a
+    // reorder that appends hashes first would make the first real
+    // materialization re-probe the mutated store and read back EMPTY,
+    // silently dropping the batch's docs. If this site ever needs to
+    // move, switch it to eager Staging.stage instead.
     val novel = Staging.stageLazy(StateStore.novelAgainst(hashesPath(statePath),
       firsts, Seq("content_hash"), "hb", col("hb"), 256, nFirsts))
 

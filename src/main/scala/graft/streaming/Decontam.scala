@@ -66,8 +66,14 @@ object Decontam {
     * STATE side instead of the batch's hash set (one getContentSummary
     * call — no job): a young exclusion set gated against a bulk corpus
     * batch is q65's exact broadcast-bench shape, and the delta-broadcast
-    * path would build a corpus-sized hash broadcast to probe it. */
-  private val stateBroadcastBytes = 64L << 20
+    * path would build a corpus-sized hash broadcast to probe it.
+    * The threshold is [[StateStore.stateBroadcastBytes]] — ONE policy
+    * for every state-vs-delta broadcast decision: the number is an
+    * ON-DISK size, and hash columns decompress 5–10× into the broadcast
+    * relation, so a per-site 64 MB gate (this site's first cut) could
+    * push a several-hundred-MB broadcast onto the driver and every
+    * executor from a near-threshold benchmark. */
+  private val stateBroadcastBytes = StateStore.stateBroadcastBytes
 
   /** Drop documents sharing at least `minShared` distinct shingle
     * hashes with the persisted benchmark set — q65's contamination rule

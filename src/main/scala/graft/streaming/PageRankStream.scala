@@ -56,32 +56,93 @@ object PageRankStream {
     pmod(xxhash64(col("seg"), col("seg_val"), col("lang")),
       lit(stateBuckets)).cast("int")
 
-  // q131's banding parameters: 32-bit simhash, 8 segments × 4 bits,
-  // Hamming ≤ 6 (pigeonhole: 8 > 6, so every qualifying pair agrees on
-  // ≥ 1 segment and the equi-join finds it)
-  private val simBits = 32
-  private val numSegs = 8
-  private val segBits = 4
-  private val maxHamming = 6
-  private val segMask = (1L << segBits) - 1
+  /** The LSH banding of the near-dup graph — a DEPLOYMENT parameter,
+    * not a constant: candidate generation equi-joins on
+    * `(seg, seg_val, lang)`, so each segment bucket holds
+    * `2^segBits` distinct values and banded candidates stay
+    * bounded-occupancy only while the corpus is small relative to the
+    * band space. As the corpus grows, WIDEN the banding (more signature
+    * bits per segment → exponentially more bucket values) exactly like
+    * raising `stateBuckets` — the algorithmic shape (hash-equi-join,
+    * never all-pairs) is unchanged, only the bucket fan-out grows.
+    * Measured in BENCH_SF1.md's streaming-folds section: at the default
+    * 8×4-bit banding a 10× corpus shuffles 11.4× (the 16-value band
+    * space saturating); at [[Banding.wide]] the slope returns to
+    * ~linear.
+    *
+    * Pigeonhole soundness: `maxHamming` differing bits touch at most
+    * `maxHamming` segments, so with `numSegs > maxHamming` every
+    * qualifying pair agrees on ≥ 1 segment and the equi-join finds it —
+    * the `require` makes the recall guarantee a constructor invariant.
+    * `simBits ≤ 63` keeps the signature sign-free in a BIGINT (the
+    * cross-engine-exactness constraint the batch q50/q131 arithmetic
+    * shares). */
+  final case class Banding(simBits: Int, numSegs: Int, segBits: Int,
+                           maxHamming: Int) {
+    require(simBits >= 1 && simBits <= 63,
+      s"simBits must be in [1, 63] (sign-free BIGINT), got $simBits")
+    require(numSegs >= 1 && segBits >= 1 && numSegs * segBits <= simBits,
+      s"segments must tile the signature: $numSegs × $segBits > $simBits bits")
+    require(numSegs > maxHamming,
+      s"pigeonhole recall needs numSegs > maxHamming ($numSegs ≤ $maxHamming)")
+    val segMask: Long = (1L << segBits) - 1
+    /** The state tag value — all four parameters, so a fold under ANY
+      * changed setting is refused against existing band/edge state. */
+    def tag: String = s"$simBits:$numSegs:$segBits:$maxHamming"
+    /** Exactly-once pair emission: keep a candidate only at its LOWEST
+      * agreeing segment (a zero segBits-wide slice of sim_a ^ sim_b) —
+      * the batch path's literal-mask arithmetic verbatim. */
+    def firstAgreeingSeg: String = (0 until numSegs)
+      .map(j => s"WHEN ((sim_a ^ sim_b) & ${segMask << (j * segBits)}L) = 0 THEN $j")
+      .mkString("CASE ", " ", " END")
+  }
 
-  /** Exactly-once pair emission: keep a candidate only at its LOWEST
-    * agreeing segment (a zero segBits-wide slice of sim_a ^ sim_b) —
-    * the batch path's literal-mask arithmetic verbatim. */
-  private val firstAgreeingSeg = (0 until numSegs)
-    .map(j => s"WHEN ((sim_a ^ sim_b) & ${segMask << (j * segBits)}L) = 0 THEN $j")
-    .mkString("CASE ", " ", " END")
+  object Banding {
+    /** q131's oracle constants: 32-bit simhash, 8 segments × 4 bits,
+      * Hamming ≤ 6 — the TEST-SCALE semantic (the batch q51/q131 rows
+      * are pinned to it), and the default so q144 answers the batch
+      * oracle verbatim. */
+    val default: Banding = Banding(32, 8, 4, 6)
+    /** The documented scale setting: 63-bit signature (the BIGINT
+      * sign-free ceiling), 9 segments × 7 bits → 128 values per
+      * (segment, lang) bucket — the banding a corpus that saturates
+      * the default's 16-value band space moves to. */
+    val wide: Banding = Banding(63, 9, 7, 6)
+  }
 
   /** Fold one micro-batch of documents (`doc_id`, `lang`, `text`) into
     * the persisted graph. Per-fold cost: one signature pass over the
     * batch's NOVEL docs, one pruned band-store probe, one banded
     * self-join of the delta, novelty-guarded ≤`stateBuckets`-file
-    * appends. No accumulated row ever shuffles. */
-  def foldBatch(batch: DataFrame, statePath: String): Unit = {
+    * appends. No accumulated row ever shuffles.
+    *
+    * `banding` must be held fixed over a state's lifetime: band rows
+    * and verified edges are meaningless under any other setting, so the
+    * band store stamps a `_banding` tag on creation and later folds
+    * REFUSE a mismatch (re-banding an existing graph is a batch
+    * rebuild, not a fold). A pre-tag state (written by an engine
+    * version with the constants inlined) is adopted and stamped with
+    * the current setting — the `_buckets`-marker posture. */
+  def foldBatch(batch: DataFrame, statePath: String,
+                banding: Banding = Banding.default): Unit = {
+    import banding.{simBits, numSegs, segBits, maxHamming, segMask,
+      firstAgreeingSeg}
     val spark = batch.sparkSession
     val np = nodesPath(statePath)
     val bp = bandsPath(statePath)
     val ep = edgesPath(statePath)
+
+    // banding-consistency guard (see the foldBatch scaladoc): one small
+    // tag read per fold; a mismatch is refused BEFORE any append can
+    // mix settings in one store. Absent tag on an existing store =
+    // pre-tag state, adopted + stamped after this fold's appends land.
+    val taggedBanding = StateStore.readTag(spark, bp, "_banding")
+    taggedBanding.foreach { t =>
+      require(t == banding.tag,
+        s"band state at $bp was built under banding $t; refusing to fold " +
+          s"under ${banding.tag} — re-banding an existing graph is a batch " +
+          "rebuild (new statePath), not a fold")
+    }
 
     // id-only delta for the novelty probe: staging the batch TEXT here
     // would checkpoint the corpus bytes twice per fold for a probe that
@@ -201,6 +262,10 @@ object PageRankStream {
 
     StateStore.appendBucketed(novel.select("doc_id", "nb"), np, "nb",
       stateBuckets, deltaRows = nNew)
+    // stamp the banding once the layout exists (creation or a pre-tag
+    // state's adoption); a crash before the stamp replays as adoption
+    if (taggedBanding.isEmpty)
+      StateStore.writeTag(spark, bp, "_banding", banding.tag)
     // the fold's staged intermediates are dead once the appends land —
     // dropping their blocks here keeps a fold-heavy session's executor
     // storage flat (the re-rank that follows two folds measured ~2 s of

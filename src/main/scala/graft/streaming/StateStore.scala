@@ -287,13 +287,6 @@ object StateStore {
     }
   }
 
-  /** Delta rows whose `keys` are NOT yet in the bucketed state table —
-    * the novelty probe shared by the exact-dedup hash store and the
-    * activity-pair store. The pruned state is inner-joined against a
-    * broadcast of the delta's keys, producing the already-seen subset
-    * (≤ delta-sized); the anti-join then runs delta-vs-seen. Shuffle is
-    * delta-sized regardless of accumulated state. `delta` must carry
-    * the key columns under the state's names. */
   /** State layout byte size below which [[novelAgainst]] broadcasts the
     * STATE side instead of the delta (the bulk-ingest regime: a young
     * state probed by a corpus-sized delta — fold 2 of the oracle rows'
@@ -301,10 +294,22 @@ object StateStore {
     * Decided per call from ONE getContentSummary call — a per-file
     * footer walk was measured at ~1 s of driver time per fold on
     * 256-bucket layouts (hundreds of small files), which is exactly the
-    * fixed cost this path exists to avoid. 8 MB of keys-only parquet is
-    * a few tens of MB in memory — comfortably broadcastable. */
-  private val stateBroadcastBytes = 8L << 20
+    * fixed cost this path exists to avoid. 8 MB of ON-DISK parquet
+    * decompresses to a few tens of MB of broadcast relation (hash/key
+    * columns commonly expand 5–10×) — comfortably inside executor
+    * memory. Shared (`private[streaming]`) so every state-vs-delta
+    * broadcast-side decision in the streaming package answers the same
+    * memory question with the same number ([[Decontam.gate]] was the
+    * site that diverged, at 64 MB — several hundred MB decompressed). */
+  private[streaming] val stateBroadcastBytes = 8L << 20
 
+  /** Delta rows whose `keys` are NOT yet in the bucketed state table —
+    * the novelty probe shared by the exact-dedup hash store and the
+    * activity-pair store. The pruned state is inner-joined against a
+    * broadcast of the delta's keys, producing the already-seen subset
+    * (≤ delta-sized); the anti-join then runs delta-vs-seen. Shuffle is
+    * delta-sized regardless of accumulated state. `delta` must carry
+    * the key columns under the state's names. */
   def novelAgainst(path: String, delta: DataFrame, keys: Seq[String],
                    bucketCol: String, deltaBucket: Column,
                    buckets: Int = 0, deltaRows: Long = -1L): DataFrame = {

@@ -42,6 +42,27 @@ object ScaleSanity {
     "q129_incremental_bm25", "q144_incremental_pagerank",
     "q146_incremental_sessions")
 
+  /** q144's fold under [[graft.streaming.PageRankStream.Banding.wide]]
+    * — the deployment banding whose slope the default-banding cell
+    * motivates (the 8×4-bit band space saturates at 10× corpus; the
+    * 9×7-bit setting has 8× the bucket values per segment). Same split
+    * shape as the oracle row's body; state is scratch under the
+    * synthetic sf dir. */
+  private def q144WideBanding(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame = {
+    import graft.streaming.PageRankStream
+    val state = s"$dir/__state_q144_wide"
+    val fs = new org.apache.hadoop.fs.Path(state).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(state), true)
+    val docs = Tables.load(s, dir, "documents")
+    PageRankStream.foldBatch(docs.filter(col("doc_id") < 250), state,
+      PageRankStream.Banding.wide)
+    PageRankStream.foldBatch(docs.filter(col("doc_id") >= 250), state,
+      PageRankStream.Banding.wide)
+    PageRankStream.ranks(s, state)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(baseSf, kStr, outDir) = args.take(3)
     val k = kStr.toInt
@@ -88,11 +109,15 @@ object ScaleSanity {
         }
       }
     }
-    queries.foreach { name =>
+    val bodies: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)] =
+      queries.map(n => n -> SparkEntry.queries(n)) :+
+        ("q144_wide_banding" -> (q144WideBanding _))
+    bodies.foreach { case (name, body) =>
       records.set(0); bytes.set(0)
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, outDir).count()
+      val n = body(spark, outDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
       // listener events are async; settle before reading
       var prev = -1L

@@ -58,6 +58,41 @@ class PageRankStreamSpec extends SparkSpec {
     assert(streamedRanks(state) == before, "replay changed the ranks")
   }
 
+  test("wide banding finds exactly the wide-signature pair set; " +
+      "a mismatched-banding fold is refused") {
+    val wide = PageRankStream.Banding.wide
+    val state = java.nio.file.Files.createTempDirectory("prs_wide").toString
+    PageRankStream.foldBatch(docs.filter(col("doc_id") < 250), state, wide)
+    PageRankStream.foldBatch(docs.filter(col("doc_id") >= 250), state, wide)
+    // batch reference at the SAME wide signature: per-lang all-pairs
+    // under the Hamming gate — the pigeonhole guarantee says the banded
+    // equi-join must find every one of these, and the lowest-agreeing-
+    // segment emission says none twice
+    val sims = graft.queries.Llm.simhashOf(
+      docs.select(col("doc_id"), col("lang"), col("text")), wide.simBits)
+    val a = sims.select(col("lang"), col("doc_id").as("doc_a"),
+      col("simhash").as("sa"))
+    val b = sims.select(col("lang"), col("doc_id").as("doc_b"),
+      col("simhash").as("sb"))
+    val expected = a.join(b, "lang")
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(expr("CAST(bit_count(sa ^ sb) AS INT)") <= wide.maxHamming)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = spark.read.parquet(s"$state/edges")
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == expected,
+      s"wide-banded streamed edges (${streamed.size}) != " +
+        s"batch wide-signature pairs (${expected.size})")
+    // the state is stamped; a fold under the default banding is refused
+    val refused = intercept[IllegalArgumentException] {
+      PageRankStream.foldBatch(docs.filter(col("doc_id") < 10), state)
+    }
+    assert(refused.getMessage.contains("refusing to fold"),
+      s"unexpected refusal message: ${refused.getMessage}")
+  }
+
   test("cold state answers empty; compaction preserves the ranks") {
     val state = java.nio.file.Files.createTempDirectory("prs_edge").toString
     assert(PageRankStream.ranks(spark, state).isEmpty,
