@@ -196,7 +196,7 @@ object Llm {
     * and the streaming gates. One definition so shingle hashing cannot
     * drift between the batch and streaming contamination paths. */
   private[graft] def shingleHashes(docs: DataFrame): DataFrame =
-    docs
+    Staging.spread(docs)
       .withColumn("toks", expr(toksExpr))
       .select(col("doc_id"),
         explode(expr(s"array_distinct($shingleSparkExpr)")).as("sh"))
@@ -217,7 +217,7 @@ object Llm {
   // 4 short strings per doc on the wire), and is the shape that scales —
   // shingle explosion is linear and the shuffle is per-doc, not per-pair.
   private def minhashSigOf(docs: DataFrame): DataFrame =
-    docs
+    Staging.spread(docs)
       .withColumn("toks", expr(toksExpr))
       .withColumn("shingles", expr(shingleSparkExpr))
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
@@ -403,6 +403,13 @@ object Llm {
     * aggregation, so a micro-batch signs exactly like the full corpus
     * (the streaming graph fold relies on this). */
   private[graft] def simhashOf(docs: DataFrame, bits: Int): DataFrame = {
+    // NOT spread (unlike the shingle-md5 passes): the word explode does
+    // no per-element hashing until after the per-doc sign sums collapse
+    // it, so its work-per-input-byte is LOW — measured at sf0.1, a
+    // pre-explode Staging.spread round trip costs more CPU serializing
+    // the text column than the fan-out stage it parallelizes (q51 task
+    // CPU 1.5 → 3.7 s, q144 25 → 32 s, wall a wash), the opposite of
+    // the 200-md5s-per-doc shingle passes where spread wins 2–4×.
     val words = docs
       .select(col("doc_id"), col("lang"),
         explode(expr(s"array_distinct($toksExpr)")).as("w"))
@@ -979,7 +986,7 @@ object Llm {
     * identically cross-engine. Shared by q60 (the report) and q101
     * (quality-ranked survivor selection). */
   private def qualityCols(docs: DataFrame): DataFrame =
-    docs
+    Staging.spread(docs)
       .withColumn("toks", expr(toksExpr))
       .withColumn("tok_cnt", size(col("toks")).cast("double"))
       .withColumn("punct_ratio",
@@ -2358,7 +2365,10 @@ object Llm {
   private val dupSpans = Q(
     "q87_dup_spans",
     (s, dir) => {
-      val toks = Staging.stage(t(s, dir, "documents")
+      // spread BEFORE staging: the staged blocks inherit the input's
+      // partitioning, so a single-split corpus file would run the k-gram
+      // explode below on one core (Staging.spread's contract)
+      val toks = Staging.stage(Staging.spread(t(s, dir, "documents"))
         .select(col("doc_id"), expr(toksExpr).as("toks")))
       val grams = toks
         .select(col("doc_id"), explode(expr(
@@ -2587,7 +2597,7 @@ object Llm {
   private val dupSpanScrub = Q(
     "q92_dup_span_scrub",
     (s, dir) => {
-      val toks = Staging.stage(t(s, dir, "documents")
+      val toks = Staging.stage(Staging.spread(t(s, dir, "documents"))
         .select(col("doc_id"), expr(toksExpr).as("toks")))
       val pos = toks.select(col("doc_id"),
         posexplode(col("toks")).as(Seq("p0", "w")))
@@ -3635,7 +3645,7 @@ object Llm {
     * production sketch pass aggregates straight from the shingle stream
     * with map-side partials and no distinct. */
   private def sourceShingleHashes(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    Staging.spread(t(s, dir, "documents"))
       .withColumn("toks", expr(toksExpr))
       .select(col("source"),
         explode(expr(s"array_distinct($shingleSparkExpr)")).as("item"))
@@ -3824,7 +3834,7 @@ object Llm {
   private val cmsHeavy = Q(
     "q123_cms_heavy",
     (s, dir) => {
-      val counts = Staging.stage(t(s, dir, "documents")
+      val counts = Staging.stage(Staging.spread(t(s, dir, "documents"))
         .withColumn("toks", expr(toksExpr))
         .select(explode(expr(shingleSparkExpr)).as("item"))
         .groupBy("item").agg(count(lit(1)).as("cnt")))

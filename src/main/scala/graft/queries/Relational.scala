@@ -1162,6 +1162,33 @@ object Relational {
     },
     funnel.oracle)
 
+  // ---- the event fold under the REAL streaming harness -------------------
+  // q112/q113 prove stream == batch for the event reports by calling the
+  // fold DIRECTLY; q146/q147 proved the engine's REAL harness (file
+  // source, checkpoint, AvailableNow) is oracle-viable. This row closes
+  // the matrix: the SAME EventReports fold runs as a genuine foreachBatch
+  // sink — maxFilesPerTrigger=1 over a 4-file landing makes four
+  // checkpointed micro-batches, so batch sequencing, the serial callback,
+  // the checkpoint store, AND the mid-stream compaction cadence
+  // (compactEvery=2 → two live compactions) are all inside the measured
+  // path — and the retention report over the resulting state answers the
+  // batch q108 oracle verbatim. The folds are order-insensitive, so
+  // however the file source batches the landing the state converges —
+  // exactly the property q112 pins by folding newest-half-first.
+  private val streamedRetention = Q(
+    "q149_streamed_retention",
+    (s, dir) => withStreamScratch("graft_q149") { tmp =>
+      val ev = t(s, dir, "events").select("user_id", "ts", "event_type")
+      ev.repartition(4).write.parquet(s"$tmp/in")
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+      graft.streaming.EventReports
+        .sink(stream, s"$tmp/state", s"$tmp/ck", compactEvery = 2)
+        .awaitTermination()
+      graft.streaming.EventReports.retention(s, s"$tmp/state")
+    },
+    Some(retentionSql))
+
   val queries: Seq[Q] = Seq(
     cursorScan, pointLookup, topN, groupAgg, joinEnrich, semiJoin, antiJoin,
     unionScan, changeLog, dedupFirst, stringAgg, md5Edges, edgesAnti,
@@ -1171,5 +1198,6 @@ object Relational {
     scd2, sqlSource, rangeOrIn,
     intersectOp, exceptOp, rollupAgg, mapFlatten, reverseEtl, asofEnrich,
     percentiles, saltedJoinAgg, pivotCounts, rangeJoin, funnel, retention,
-    rollingActive, incRetention, incRollingActive, incSessions, incFunnel)
+    rollingActive, incRetention, incRollingActive, incSessions, incFunnel,
+    streamedRetention)
 }

@@ -67,7 +67,7 @@ object NearDup {
     * staged frame). Consumers explode the compact per-doc form AFTER
     * staging ([[explodeBands]]) — narrow work over checkpointed rows. */
   def bandsAndToks(docs: DataFrame): DataFrame =
-    docs
+    graft.core.Staging.spread(docs)
       .withColumn("toks", expr(Llm.toksExpr))
       .withColumn("shingles", expr(Llm.shingleSparkExpr))
       .select(col("doc_id"), expr(bandArrayExpr).as("bs"),

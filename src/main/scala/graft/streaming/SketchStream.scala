@@ -81,7 +81,7 @@ object SketchStream {
   /** The delta's (source, h) distinct hash rows — the q120 hashing path
     * applied to a batch's 3-word shingles. */
   private def deltaHashes(batch: DataFrame): DataFrame =
-    batch
+    graft.core.Staging.spread(batch)
       .withColumn("toks", expr(graft.queries.Llm.toksExpr))
       .select(col("source"),
         explode(expr(s"array_distinct(${graft.queries.Llm.shingleSparkExpr})"))
@@ -167,7 +167,7 @@ object SketchStream {
   /** The batch's cell deltas: every 3-shingle occurrence (NOT distinct —
     * CMS counts frequency) hashed into the d×w grid. */
   private def cmsDelta(batch: DataFrame): DataFrame =
-    cmsCell(batch
+    cmsCell(graft.core.Staging.spread(batch)
       .withColumn("toks", expr(graft.queries.Llm.toksExpr))
       .select(explode(expr(graft.queries.Llm.shingleSparkExpr)).as("item"))
       .groupBy("item").agg(count(lit(1)).as("cnt"))

@@ -37,6 +37,28 @@ object QTime {
             val at = (t0 - epoch.get) / 1e9
             println(f"[job] @$at%7.2f ${(System.nanoTime() - t0) / 1e9}%6.2f s  $site")
           }
+        // slow-stage detail for the jobs the [job] lines can't explain:
+        // stage name + task count + wall, only when it cost ≥ 0.2 s
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          if (trace) {
+            val si = sc.stageInfo
+            val wall = (for {s <- si.submissionTime; c <- si.completionTime}
+              yield (c - s) / 1e3).getOrElse(-1.0)
+            if (wall >= 0.2)
+              println(f"[stage]   ${wall}%6.2f s  ${si.numTasks}%4d tasks  ${si.name}")
+          }
+      })
+    // CPU attribution: co-tenant load inflates wall-clock but barely
+    // touches the task CPU sum, so cpu= is the comparison-stable signal
+    // on a shared box (wall minus cpu/cores ≈ driver gaps + contention)
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) cpuNs.addAndGet(m.executorCpuTime)
+        }
       })
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
     val picked = if (names.isEmpty) all
@@ -49,20 +71,26 @@ object QTime {
       release()
     }
     picked.foreach { case (name, fn) =>
-      val ts = (1 to 3).map { pass =>
+      val passes = (1 to 3).map { pass =>
         if (doTrace && pass == 3) {
           trace = true; epoch.set(System.nanoTime())
           println(s"[job] ==== $name pass 3 ====")
         }
         val t0 = System.nanoTime()
+        val c0 = cpuNs.get
         val t = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
           catch { case e: Throwable =>
             System.err.println(s"[qtime] $name failed: ${e.getMessage}"); -1.0 }
         trace = false
         release()
-        t
-      }.sorted
-      println(f"[qtime] $name%-32s min=${ts.head}%.2f med=${ts(1)}%.2f max=${ts(2)}%.2f")
+        // listener events are async; settle briefly so the pass's tasks land
+        Thread.sleep(150)
+        (t, (cpuNs.get - c0) / 1e9)
+      }
+      val ts = passes.map(_._1).sorted
+      val cpu = passes.map(_._2).sorted.apply(1)
+      println(f"[qtime] $name%-32s min=${ts.head}%.2f med=${ts(1)}%.2f " +
+        f"max=${ts(2)}%.2f cpu=$cpu%.2f")
     }
     spark.stop()
   }
