@@ -58,9 +58,22 @@ object Staging {
     * moves PRE-expansion bytes — the cheap side of the stage it
     * unblocks — so it stays a rounding error at any scale, and it
     * load-balances skewed inputs for free. Round-robin, no key: the
-    * downstream aggregations re-shuffle by their own keys anyway. */
-  def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * downstream aggregations re-shuffle by their own keys anyway.
+    *
+    * SKIPPED when the frame is fed by at least `defaultParallelism`
+    * files — such an input already has byte-level parallelism as wide
+    * as the session, and the repartition would be pure overhead
+    * (measured at a 100× synthetic scale-up, where the fixture dir is
+    * many-file: the unconditional exchange doubled the minhash pass's
+    * shuffle records for zero speedup). `inputFiles` is a plan walk,
+    * not a job; a frame with no file scan underneath (a staged
+    * micro-batch) reports zero files and keeps the fan-out, which is
+    * the safe direction — its repartition moves micro-batch-sized
+    * rows. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.inputFiles.length >= target) df else df.repartition(target)
+  }
 
   def stage(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
