@@ -1026,28 +1026,34 @@ object Relational {
   // oracle is the corresponding BATCH oracle verbatim: stream == batch
   // becomes driver-visible, not just spec-pinned. The mid-log time cut
   // is a 1-row aggregate (bounded scalar, the cursor-read category).
-  private def foldedEventState(s: SparkSession, dir: String): String = {
-    val state = java.nio.file.Files
-      .createTempDirectory("graft_q112_state").toString
+  private def foldEventsInto(s: SparkSession, dir: String,
+                             state: String): Unit = {
     val ev = t(s, dir, "events").select("user_id", "ts", "event_type")
     val cut = ev.agg(avg(unix_micros(col("ts").cast("timestamp"))))
       .collect()(0).getDouble(0).toLong
     val us = unix_micros(col("ts").cast("timestamp"))
     graft.streaming.EventReports.foldBatch(ev.filter(us >= cut), state)
     graft.streaming.EventReports.foldBatch(ev.filter(us < cut), state)
-    state
   }
 
+  // both rows run under withStreamScratch so the per-invocation state
+  // dir is DELETED after the (staged) report materializes — the old
+  // createTempDirectory shape leaked one folded state dir per
+  // invocation, and Bench invokes each row several times per section
   private val incRetention = Q(
     "q112_incremental_retention",
-    (s, dir) => graft.streaming.EventReports
-      .retention(s, foldedEventState(s, dir)),
+    (s, dir) => withStreamScratch("graft_q112") { tmp =>
+      foldEventsInto(s, dir, tmp)
+      graft.streaming.EventReports.retention(s, tmp)
+    },
     Some(retentionSql))
 
   private val incRollingActive = Q(
     "q113_incremental_wau",
-    (s, dir) => graft.streaming.EventReports
-      .rollingActive(s, foldedEventState(s, dir)),
+    (s, dir) => withStreamScratch("graft_q113") { tmp =>
+      foldEventsInto(s, dir, tmp)
+      graft.streaming.EventReports.rollingActive(s, tmp)
+    },
     Some(wauSql))
 
   /** Per-invocation scratch for the REAL-STREAM oracle rows (q146/q147):
