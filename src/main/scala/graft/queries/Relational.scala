@@ -1173,7 +1173,7 @@ object Relational {
   // fold DIRECTLY; q146/q147 proved the engine's REAL harness (file
   // source, checkpoint, AvailableNow) is oracle-viable. This row closes
   // the matrix: the SAME EventReports fold runs as a genuine foreachBatch
-  // sink — maxFilesPerTrigger=1 over a 4-file landing makes four
+  // sink — maxFilesPerTrigger=1 over a 2-file landing makes two
   // checkpointed micro-batches, so batch sequencing, the serial callback,
   // and the checkpoint store are all inside the measured path — and the
   // retention report over the resulting state answers the batch q108
