@@ -118,30 +118,53 @@ object PageRankStream {
     *
     * `banding` must be held fixed over a state's lifetime: band rows
     * and verified edges are meaningless under any other setting, so the
-    * band store stamps a `_banding` tag on creation and later folds
-    * REFUSE a mismatch (re-banding an existing graph is a batch
-    * rebuild, not a fold). A pre-tag state (written by an engine
-    * version with the constants inlined) is adopted and stamped with
-    * the current setting — the `_buckets`-marker posture. */
+    * band store stamps a `_banding` tag BEFORE its first append lands
+    * and later folds REFUSE a mismatch (re-banding an existing graph is
+    * a batch rebuild, not a fold — see [[rebandTo]]). An UNTAGGED store
+    * that already exists was necessarily written by a pre-tag engine
+    * version whose constants were inlined — i.e. under
+    * [[Banding.default]] — so it is treated AS default: a non-default
+    * fold on it is refused (adopting it under the caller's setting
+    * would be exactly the silent mixed-banding state the tag exists to
+    * prevent), and a default fold adopts + stamps it. */
   def foldBatch(batch: DataFrame, statePath: String,
                 banding: Banding = Banding.default): Unit = {
-    import banding.{simBits, numSegs, segBits, maxHamming, segMask,
-      firstAgreeingSeg}
+    import banding.{simBits, numSegs, maxHamming, firstAgreeingSeg}
     val spark = batch.sparkSession
     val np = nodesPath(statePath)
     val bp = bandsPath(statePath)
     val ep = edgesPath(statePath)
 
+    // an interrupted [[rebandTo]] leaves the band/edge stores in a
+    // mixed-generation shape its marker records; folding into it would
+    // mix bandings however the tag reads — refuse until it completes
+    StateStore.readTag(spark, np, "_rebanding").foreach { t =>
+      require(requirement = false,
+        s"state at $statePath has an interrupted re-band to $t; " +
+          "re-run rebandTo to complete it before folding")
+    }
+
     // banding-consistency guard (see the foldBatch scaladoc): one small
     // tag read per fold; a mismatch is refused BEFORE any append can
-    // mix settings in one store. Absent tag on an existing store =
-    // pre-tag state, adopted + stamped after this fold's appends land.
-    val taggedBanding = StateStore.readTag(spark, bp, "_banding")
-    taggedBanding.foreach { t =>
-      require(t == banding.tag,
-        s"band state at $bp was built under banding $t; refusing to fold " +
-          s"under ${banding.tag} — re-banding an existing graph is a batch " +
-          "rebuild (new statePath), not a fold")
+    // mix settings in one store. An absent tag on an EXISTING store
+    // means pre-tag state, which was necessarily built under the then-
+    // inlined constants — Banding.default — so only a default fold may
+    // proceed (and adopt-stamp it, below): stamping the CALLER's
+    // setting here would silently mix bandings, the exact corruption
+    // the tag refuses.
+    StateStore.readTag(spark, bp, "_banding") match {
+      case Some(t) =>
+        require(t == banding.tag,
+          s"band state at $bp was built under banding $t; refusing to fold " +
+            s"under ${banding.tag} — re-banding an existing graph is a batch " +
+            "rebuild (rebandTo / new statePath), not a fold")
+      case None if StateStore.exists(spark, bp) =>
+        require(banding == Banding.default,
+          s"band state at $bp predates the _banding tag, so it was built " +
+            s"under the default ${Banding.default.tag}; refusing to fold " +
+            s"under ${banding.tag} — re-banding an existing graph is a " +
+            "batch rebuild (rebandTo / new statePath), not a fold")
+      case None => () // fresh state: stamped below, before any append
     }
 
     // id-only delta for the novelty probe: staging the batch TEXT here
@@ -168,14 +191,8 @@ object PageRankStream {
     val sims = Llm.simhashOf(
       batch.select(col("doc_id"), col("lang"), col("text"))
         .join(broadcast(novel.select("doc_id")), Seq("doc_id")), simBits)
-    val bandsDelta = Staging.stage(sims.select(
-        col("doc_id"), col("lang"), col("simhash"),
-        explode(expr(s"transform(sequence(0, ${numSegs - 1}), i -> " +
-          s"named_struct('seg', i, 'seg_val', " +
-          s"shiftright(simhash, i * $segBits) & $segMask))")).as("sb"))
-      .select(col("doc_id"), col("lang"), col("sb.seg").as("seg"),
-        col("sb.seg_val").as("seg_val"), col("simhash"))
-      .withColumn("bb", bandBucket))
+    val bandsDelta = Staging.stage(
+      segRows(sims, banding).withColumn("bb", bandBucket))
 
     // candidates BEFORE the band append (else new-vs-new would double
     // through the state side), in ONE join: the left side is the pruned
@@ -192,6 +209,18 @@ object PageRankStream {
     StateStore.ensureBucketed(spark, ep, "eb", docBucket(col("doc_a")),
       stateBuckets)
     StateStore.ensureBucketed(spark, bp, "bb", bandBucket, stateBuckets)
+
+    // stamp the banding BEFORE any append can land (creation, pre-tag
+    // adoption, or a modulus-migration rewrite that replaced the
+    // directory carrying the tag): the guard above already proved this
+    // fold's setting is the store's setting, so a crash between the
+    // stamp and the appends replays against a correctly-tagged store —
+    // the old stamp-after-appends order left a window in which a replay
+    // under a DIFFERENT banding would have been silently adopted. The
+    // tag file is hidden (underscore), so a tag-only directory still
+    // reads as "no state" to every exists() gate.
+    if (StateStore.readTag(spark, bp, "_banding").isEmpty)
+      StateStore.writeTag(spark, bp, "_banding", banding.tag)
 
     val newSide = bandsDelta.select(col("doc_id").as("db"), col("lang"),
       col("seg"), col("seg_val"), col("simhash").as("sim_b"))
@@ -262,16 +291,82 @@ object PageRankStream {
 
     StateStore.appendBucketed(novel.select("doc_id", "nb"), np, "nb",
       stateBuckets, deltaRows = nNew)
-    // stamp the banding once the layout exists (creation or a pre-tag
-    // state's adoption); a crash before the stamp replays as adoption
-    if (taggedBanding.isEmpty)
-      StateStore.writeTag(spark, bp, "_banding", banding.tag)
     // the fold's staged intermediates are dead once the appends land —
     // dropping their blocks here keeps a fold-heavy session's executor
     // storage flat (the re-rank that follows two folds measured ~2 s of
     // pressure from dead fold blocks before this release)
     Staging.release(delta, novel, bandsDelta)
     Option(edgeDeltaSlot.get).foreach(Staging.release(_))
+  }
+
+  /** (doc_id, lang, seg, seg_val, simhash) band rows of a signature
+    * frame under `banding` — the one definition of the segment
+    * explode, shared by the fold and the re-band rebuild. */
+  private def segRows(sims: DataFrame, banding: Banding): DataFrame = {
+    import banding.{numSegs, segBits, segMask}
+    sims.select(col("doc_id"), col("lang"), col("simhash"),
+        explode(expr(s"transform(sequence(0, ${numSegs - 1}), i -> " +
+          s"named_struct('seg', i, 'seg_val', " +
+          s"shiftright(simhash, i * $segBits) & $segMask))")).as("sb"))
+      .select(col("doc_id"), col("lang"), col("sb.seg").as("seg"),
+        col("sb.seg_val").as("seg_val"), col("simhash"))
+  }
+
+  /** Re-band an existing graph to `newBanding` — the BATCH REBUILD the
+    * fold guard's refusals point at, made operational: re-sign every
+    * folded doc, rebuild the band store and the verified edge set under
+    * the new setting, swap both atomically, restamp. The node store
+    * (the ingest ledger) is untouched; `corpus` must carry
+    * (`doc_id`, `lang`, `text`) for every folded doc — band state holds
+    * signatures, not text, so re-signing needs the source of truth
+    * (the same contract as an IVF retrain's vector re-read,
+    * [[AnnIndex.rebalance]]). Corpus rows never folded are ignored
+    * (this is a re-band, not a fold — fold them afterwards); folded
+    * docs MISSING from the corpus lose their band rows and pairs, so
+    * corpus completeness is the caller's contract. Cost ∝ corpus —
+    * maintenance cadence, never per batch.
+    *
+    * Crash consistency: a `_rebanding` marker lands FIRST, on the one
+    * store this rebuild never swaps (nodes/), and folds refuse while it
+    * exists — without it, the instant between the band swap (which
+    * necessarily drops the `_banding` tag with the directory it
+    * replaces) and the restamp would read as adoptable pre-tag state.
+    * Any crash leaves the marker, so the remedy is always "re-run
+    * rebandTo" (idempotent: each swap publishes complete-old or
+    * complete-new). */
+  def rebandTo(corpus: DataFrame, statePath: String,
+               newBanding: Banding): Unit = {
+    val spark = corpus.sparkSession
+    val np = nodesPath(statePath)
+    val bp = bandsPath(statePath)
+    val ep = edgesPath(statePath)
+    require(StateStore.exists(spark, np),
+      s"no folded state at $statePath to re-band")
+    StateStore.writeTag(spark, np, "_rebanding", newBanding.tag)
+    val docs = corpus.select("doc_id", "lang", "text")
+      .join(spark.read.parquet(np).select("doc_id"), Seq("doc_id"))
+    val sims = Llm.simhashOf(docs, newBanding.simBits)
+    // staged: consumed by both self-join sides and the band swap write
+    val bands = Staging.stage(
+      segRows(sims, newBanding).withColumn("bb", bandBucket))
+    val aSide = bands.select(col("doc_id").as("da"), col("lang"),
+      col("seg"), col("seg_val"), col("simhash").as("sim_a"))
+    val bSide = bands.select(col("doc_id").as("db"), col("lang"),
+      col("seg"), col("seg_val"), col("simhash").as("sim_b"))
+    val edges = aSide.join(bSide, Seq("seg", "seg_val", "lang"))
+      .filter(col("da") < col("db"))
+      .filter(col("seg") === expr(newBanding.firstAgreeingSeg))
+      .filter(expr("CAST(bit_count(sim_a ^ sim_b) AS INT)")
+        <= newBanding.maxHamming)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"))
+      .withColumn("eb", docBucket(col("doc_a")))
+    graft.sinks.Sinks.snapshotSwap(edges.repartition(col("eb")), ep, Seq("eb"))
+    StateStore.writeModulus(spark, ep, stateBuckets)
+    graft.sinks.Sinks.snapshotSwap(bands.repartition(col("bb")), bp, Seq("bb"))
+    StateStore.writeModulus(spark, bp, stateBuckets)
+    StateStore.writeTag(spark, bp, "_banding", newBanding.tag)
+    StateStore.deleteTag(spark, np, "_rebanding")
+    Staging.release(bands)
   }
 
   /** Compact the append-only stores — callers wire it on a batch

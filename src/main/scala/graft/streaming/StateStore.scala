@@ -96,6 +96,11 @@ object StateStore {
     fc.rename(tmp, tag, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** Remove a tag file — absence is the tag contract's "no value", so
+    * deletion is how a maintenance op retires its in-progress marker. */
+  def deleteTag(spark: SparkSession, path: String, name: String): Unit =
+    fs(spark, path).delete(new Path(path, name), false)
+
   /** The modulus recorded when the layout was written (the `_buckets`
     * tag), if any. The marker is the AUTHORITATIVE record — dir-value
     * inference cannot detect a DOUBLING (old modulus k → new 2k leaves

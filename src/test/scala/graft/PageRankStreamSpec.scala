@@ -93,6 +93,65 @@ class PageRankStreamSpec extends SparkSpec {
       s"unexpected refusal message: ${refused.getMessage}")
   }
 
+  test("an untagged existing band store is treated as default-banded: " +
+      "a wide fold is refused, a default fold adopts and stamps it") {
+    val state = java.nio.file.Files.createTempDirectory("prs_pretag").toString
+    PageRankStream.foldBatch(docs.filter(col("doc_id") < 250), state)
+    // simulate pre-tag state (written by an engine version with the
+    // constants inlined): drop the stamp the fold just wrote
+    graft.streaming.StateStore.deleteTag(spark, s"$state/bands", "_banding")
+    val refused = intercept[IllegalArgumentException] {
+      PageRankStream.foldBatch(docs.filter(col("doc_id") >= 250), state,
+        PageRankStream.Banding.wide)
+    }
+    assert(refused.getMessage.contains("predates the _banding tag"),
+      s"unexpected refusal message: ${refused.getMessage}")
+    // a default fold is the legal adoption path — and it restamps
+    PageRankStream.foldBatch(docs.filter(col("doc_id") >= 250), state)
+    assert(graft.streaming.StateStore.readTag(spark, s"$state/bands",
+      "_banding").contains(PageRankStream.Banding.default.tag))
+    assert(streamedRanks(state) == batchRanks,
+      "adopted pre-tag state diverged from the batch ranks")
+  }
+
+  test("rebandTo rebuilds the graph under the new banding; folds resume; " +
+      "an interrupted re-band refuses folds until re-run") {
+    val wide = PageRankStream.Banding.wide
+    val state = java.nio.file.Files.createTempDirectory("prs_reband").toString
+    PageRankStream.foldBatch(docs.filter(col("doc_id") < 250), state)
+    PageRankStream.rebandTo(docs.filter(col("doc_id") < 250), state, wide)
+    assert(graft.streaming.StateStore.readTag(spark, s"$state/bands",
+      "_banding").contains(wide.tag), "re-band must restamp the tag")
+    // folds RESUME under the new setting (and only under it)
+    intercept[IllegalArgumentException] {
+      PageRankStream.foldBatch(docs.filter(col("doc_id") >= 250), state)
+    }
+    PageRankStream.foldBatch(docs.filter(col("doc_id") >= 250), state, wide)
+    // end state == a from-scratch wide build over the same corpus
+    val scratch = java.nio.file.Files.createTempDirectory("prs_reband2").toString
+    PageRankStream.foldBatch(docs, scratch, wide)
+    def edgeSet(s: String) = spark.read.parquet(s"$s/edges")
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edgeSet(state) == edgeSet(scratch),
+      "rebanded-then-folded edge set != from-scratch wide build")
+    assert(streamedRanks(state) == streamedRanks(scratch),
+      "rebanded ranks != from-scratch wide ranks")
+    // an interrupted re-band (marker present) refuses folds outright
+    graft.streaming.StateStore.writeTag(spark, s"$state/nodes",
+      "_rebanding", wide.tag)
+    val blocked = intercept[IllegalArgumentException] {
+      PageRankStream.foldBatch(docs.filter(col("doc_id") < 10), state, wide)
+    }
+    assert(blocked.getMessage.contains("interrupted re-band"),
+      s"unexpected message: ${blocked.getMessage}")
+    // re-running rebandTo completes it and clears the marker
+    PageRankStream.rebandTo(docs, state, wide)
+    assert(graft.streaming.StateStore.readTag(spark, s"$state/nodes",
+      "_rebanding").isEmpty, "completed re-band must clear its marker")
+    PageRankStream.foldBatch(docs.filter(col("doc_id") < 10), state, wide)
+  }
+
   test("cold state answers empty; compaction preserves the ranks") {
     val state = java.nio.file.Files.createTempDirectory("prs_edge").toString
     assert(PageRankStream.ranks(spark, state).isEmpty,
