@@ -116,9 +116,21 @@ object ClusterMaintenance {
 
   /** Fold one micro-batch of documents (`doc_id`, `text`) into the
     * persisted clustering state. Callable directly for batch ingests;
-    * [[sink]] wires it as the foreachBatch of a stream. */
+    * [[sink]] wires it as the foreachBatch of a stream.
+    *
+    * `banding` must be held fixed over a state's lifetime (the
+    * [[PageRankStream.foldBatch]] contract applied to the cluster
+    * tier): band rows are meaningless under any other setting, so the
+    * band store stamps a `_banding` tag BEFORE its first append lands
+    * and later folds REFUSE a mismatch. An UNTAGGED store that already
+    * exists was necessarily written by a pre-tag engine version whose
+    * constants were inlined — i.e. under [[NearDup.Banding.default]] —
+    * so only a default fold may adopt (and stamp) it; re-banding an
+    * existing clustering is a batch rebuild (new statePath), not a
+    * fold. The default answers the q46/q73/q82 oracles verbatim. */
   def foldBatch(batch: DataFrame, statePath: String,
-                threshold: Double = 0.5): Unit = {
+                threshold: Double = 0.5,
+                banding: NearDup.Banding = NearDup.Banding.default): Unit = {
     // a ProcessingTime trigger delivers an EMPTY micro-batch every idle
     // interval; folding one would append a zero-row file set to bands/
     // and toks/ each time — a small-file leak no compaction cadence can
@@ -126,8 +138,27 @@ object ClusterMaintenance {
     // skip entirely (the isEmpty probe is a LocalLimit(1) scan).
     if (batch.isEmpty) return
     val spark = batch.sparkSession
-    val fs = new Path(statePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // banding-consistency guard (see the scaladoc): refuse a mismatch
+    // BEFORE any append can mix settings in one store; an untagged
+    // existing store is pre-tag state = default-banded, adoptable only
+    // by a default fold (stamping the CALLER's setting on it would be
+    // the silent mixed-banding corruption the tag refuses)
+    val bp = bandsPath(statePath)
+    StateStore.readTag(spark, bp, "_banding") match {
+      case Some(t) =>
+        require(t == banding.tag,
+          s"band state at $bp was built under banding $t; refusing to " +
+            s"fold under ${banding.tag} — re-banding an existing " +
+            "clustering is a batch rebuild (new statePath), not a fold")
+      case None if StateStore.exists(spark, bp) =>
+        require(banding == NearDup.Banding.default,
+          s"band state at $bp predates the _banding tag, so it was built " +
+            s"under the default ${NearDup.Banding.default.tag}; refusing " +
+            s"to fold under ${banding.tag} — re-banding an existing " +
+            "clustering is a batch rebuild (new statePath), not a fold")
+      case None => () // fresh state: stamped below, before any append
+    }
 
     // the delta's own artifacts, staged once as ONE combined frame —
     // the tokenizer and the band expression run a single time over the
@@ -136,7 +167,7 @@ object ClusterMaintenance {
     // per-artifact bucket columns are narrow post-staging projections
     // of the checkpointed rows, re-derived per consumer at in-memory
     // scan cost
-    val delta = Staging.stageLazy(NearDup.bandsAndToks(batch))
+    val delta = Staging.stageLazy(NearDup.bandsAndToks(batch, banding))
     val deltaBands = NearDup.explodeBands(delta).drop("toks")
       .withColumn("pb", bandBucket)
     val deltaToks = delta.select(col("doc_id"), col("toks"))
@@ -144,6 +175,12 @@ object ClusterMaintenance {
     // counted once off the staged delta: feeds the pruning hints AND
     // the small-delta single-task append path. The count is ALSO the
     // lazy staging's materializing action (one job for both).
+    // (A co-partitioned re-staging of the band rows was measured and
+    // REJECTED here: localCheckpoint does not carry outputPartitioning
+    // into the LogicalRDD, so the self-join re-planned both exchanges
+    // anyway — ScaleSanity k=100 read +1.0M records over the status
+    // quo, in which AQE already converts one join side to a broadcast
+    // off the first materialized exchange.)
     val nBands = deltaBands.count()
     // one-time migration for pre-upgrade state: unbucketed layouts and
     // stale (larger) bucket moduli both rewrite in place
@@ -151,22 +188,51 @@ object ClusterMaintenance {
       stateBuckets)
     StateStore.ensureBucketed(spark, toksPath(statePath), "tb",
       tokBucket(col("doc_id")), stateBuckets)
+    // stamp the banding BEFORE any append can land (creation, pre-tag
+    // adoption, or a modulus-migration rewrite that replaced the
+    // directory carrying the tag): the guard above proved this fold's
+    // setting is the store's, so a crash between stamp and appends
+    // replays against a correctly-tagged store — stamping AFTER the
+    // appends would leave a window where a replay under a different
+    // banding reads as adoptable pre-tag state. The tag file is hidden
+    // (underscore), so a tag-only dir still reads as "no state".
+    if (StateStore.readTag(spark, bp, "_banding").isEmpty)
+      StateStore.writeTag(spark, bp, "_banding", banding.tag)
+
+    // which side of the verification joins broadcasts: the batch's
+    // token table is micro-batch-bounded in the steady state (ride the
+    // broadcast, zero shuffle), but a BULK ingest's token table is
+    // corpus-sized — an unbounded broadcast, the same hazard shape the
+    // state-broadcast policy exists for — so past the policy bound the
+    // joins fall back to keyed shuffles, the honest bulk cost.
+    // ~512 B per doc of in-memory token array vs the shared on-disk
+    // policy × its documented ~8× decompression.
+    val toksBroadcastable = (nBands / banding.numBands.max(1)) * 512L <=
+      StateStore.stateBroadcastBytes * 8
+    def toksSide(df: DataFrame) = if (toksBroadcastable) broadcast(df) else df
 
     // delta-vs-delta candidates: the batch's internal band self-join,
-    // same exactly-once lowest-agreeing-band emission as batch q46
+    // same exactly-once lowest-colliding-band emission as batch q46
+    // (NearDup.lowestBandOnly — at the default banding it is literally
+    // q46's band-0-or-b0-differs rule). The join's strategy is left to
+    // the planner: micro-batch sides broadcast off source stats, and a
+    // bulk ingest pays one materialized exchange that AQE then turns
+    // into the other side's broadcast — the q73-class plan transition,
+    // measured at ScaleSanity k=100 as the whole decade-2 step (the
+    // candidates themselves stay linear: 49k rows at 500k docs).
     val a = deltaBands.select(col("doc_id").as("doc_a"), col("band"),
-      col("bucket"), col("b0").as("b0_a"))
+      col("bucket"), col("bpre").as("bpre_a"))
     val b = deltaBands.select(col("doc_id").as("doc_b"), col("band"),
-      col("bucket"), col("b0").as("b0_b"))
+      col("bucket"), col("bpre").as("bpre_b"))
     val ddCand = a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .filter(col("band") === 0 || col("b0_a") =!= col("b0_b"))
+      .filter(NearDup.lowestBandOnly(col("bpre_a"), col("bpre_b")))
       .select("doc_a", "doc_b")
     val ddScored = ddCand
-      .join(deltaToks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
-        Seq("doc_a"))
-      .join(deltaToks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
-        Seq("doc_b"))
+      .join(toksSide(deltaToks.select(col("doc_id").as("doc_a"),
+        col("toks").as("toks_a"))), Seq("doc_a"))
+      .join(toksSide(deltaToks.select(col("doc_id").as("doc_b"),
+        col("toks").as("toks_b"))), Seq("doc_b"))
     val dd = Llm.jaccardScore(ddScored, "toks_a", "toks_b", threshold)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
 
@@ -179,17 +245,21 @@ object ClusterMaintenance {
     // touched-bucket collects are bounded scalars (≤ stateBuckets ints,
     // the Upsert.partitioned touched-partition category).
     val dc =
-      if (!fs.exists(new Path(bandsPath(statePath)))) dd.limit(0)
+      if (!StateStore.exists(spark, bandsPath(statePath))) dd.limit(0)
       else {
-        val idx = StateStore.prunedByTouched(spark, bandsPath(statePath),
-          "pb", deltaBands, col("pb"), stateBuckets, nBands)
+        // withBpre: a store persisted by a pre-banding engine version
+        // lacks the prefix column; the guard proved such state is
+        // default-banded, where the prefix derives from the legacy b0
+        val idx = NearDup.withBpre(
+          StateStore.prunedByTouched(spark, bandsPath(statePath),
+            "pb", deltaBands, col("pb"), stateBuckets, nBands))
         val (cand, nCand) = Staging.stageCounted(idx
           .select(col("doc_id").as("corpus_id"), col("band"),
-            col("bucket"), col("b0").as("b0_c"))
+            col("bucket"), col("bpre").as("bpre_c"))
           .join(broadcast(deltaBands.select(col("doc_id").as("delta_id"),
-            col("band"), col("bucket"), col("b0").as("b0_d"))),
+            col("band"), col("bucket"), col("bpre").as("bpre_d"))),
             Seq("band", "bucket"))
-          .filter(col("band") === 0 || col("b0_d") =!= col("b0_c"))
+          .filter(NearDup.lowestBandOnly(col("bpre_d"), col("bpre_c")))
           // a replayed batch is already in the index; never self-pair
           .filter(col("delta_id") =!= col("corpus_id"))
           .select("delta_id", "corpus_id"))
@@ -199,7 +269,7 @@ object ClusterMaintenance {
         val scored = corpusToks
           .select(col("doc_id").as("corpus_id"), col("toks").as("toks_c"))
           .join(broadcast(cand), Seq("corpus_id"))
-          .join(broadcast(deltaToks.select(col("doc_id").as("delta_id"),
+          .join(toksSide(deltaToks.select(col("doc_id").as("delta_id"),
             col("toks").as("toks_d"))), Seq("delta_id"))
         Llm.jaccardScore(scored, "toks_d", "toks_c", threshold)
           .select(col("delta_id").as("src"), col("corpus_id").as("dst"))
@@ -222,8 +292,15 @@ object ClusterMaintenance {
         if (!edges.isEmpty) foldLabels(spark, edges, labelsPath(statePath))
       },
       awaitBoth(
-        StateStore.appendBucketed(deltaBands, bandsPath(statePath), "pb",
-          stateBuckets, deltaRows = nBands),
+        // at the DEFAULT banding the persisted schema stays the legacy
+        // (doc_id, band, bucket, b0, pb) — bpre is derivable there
+        // (withBpre) and dropping it lets new appends land in pre-tag
+        // stores without a mixed-schema directory; a non-default store
+        // is tag-fresh by the guard and persists the prefix column
+        StateStore.appendBucketed(
+          if (banding == NearDup.Banding.default) deltaBands.drop("bpre")
+          else deltaBands,
+          bandsPath(statePath), "pb", stateBuckets, deltaRows = nBands),
         StateStore.appendBucketed(deltaToks, toksPath(statePath), "tb",
           stateBuckets, deltaRows = nBands)))
     ()
@@ -545,12 +622,13 @@ object ClusterMaintenance {
   def sink(stream: DataFrame, statePath: String, checkpointDir: String,
            threshold: Double = 0.5,
            trigger: Trigger = Trigger.AvailableNow(),
-           compactEvery: Int = 8): StreamingQuery =
+           compactEvery: Int = 8,
+           banding: NearDup.Banding = NearDup.Banding.default): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        foldBatch(batch, statePath, threshold)
+        foldBatch(batch, statePath, threshold, banding)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           compactState(batch.sparkSession, statePath)
       }

@@ -63,9 +63,54 @@ object ScaleSanity {
     PageRankStream.ranks(s, state)
   }
 
+  /** q82's fold under [[graft.streaming.NearDup.Banding.wide]] — the
+    * cluster tier's scale setting (4 bands × 3 slices vs the oracle's
+    * 2×2): same split shape as the oracle row's body, scratch state
+    * under the synthetic sf dir. The default cell's second-decade
+    * reading (14.5× shuffle, BENCH_SF1.md) is the 2-slice bucket
+    * occupancy saturating; this cell records the wide slope. */
+  private def q82WideBanding(s: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame = {
+    import graft.streaming.{ClusterMaintenance, NearDup}
+    val state = s"$dir/__state_q82_wide"
+    val fs = new org.apache.hadoop.fs.Path(state).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(state), true)
+    val docs = Tables.load(s, dir, "documents")
+    ClusterMaintenance.foldBatch(docs.filter(col("doc_id") < 250), state,
+      banding = NearDup.Banding.wide)
+    ClusterMaintenance.foldBatch(docs.filter(col("doc_id") >= 250), state,
+      banding = NearDup.Banding.wide)
+    ClusterMaintenance.labels(s, state)
+  }
+
+  /** q144 at a THIRD banding between the default (8×4-bit, 16 values
+    * per segment) and wide (9×7-bit, 128): 8 segments × 5 bits = 32
+    * values — one added segment bit. Three measured settings turn the
+    * "one segment bit ≈ one decade of headroom" discipline from prose
+    * into a recorded curve. */
+  private def q144MidBanding(s: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame = {
+    import graft.streaming.PageRankStream
+    val mid = PageRankStream.Banding(40, 8, 5, 6)
+    val state = s"$dir/__state_q144_mid"
+    val fs = new org.apache.hadoop.fs.Path(state).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(state), true)
+    val docs = Tables.load(s, dir, "documents")
+    PageRankStream.foldBatch(docs.filter(col("doc_id") < 250), state, mid)
+    PageRankStream.foldBatch(docs.filter(col("doc_id") >= 250), state, mid)
+    PageRankStream.ranks(s, state)
+  }
+
   def main(args: Array[String]): Unit = {
-    val Array(baseSf, kStr, outDir) = args.take(3)
+    val pos = args.filterNot(_.startsWith("-"))
+    val Array(baseSf, kStr, outDir) = pos.take(3)
     val k = kStr.toInt
+    // optional 4th arg: comma-separated cell names — re-measuring one
+    // family must not pay the whole suite (q144's default k=100 cell
+    // alone is ~7 min)
+    val only = pos.lift(3).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = graft.core.GraftSession.local(cpus)
 
@@ -98,6 +143,9 @@ object ScaleSanity {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
+    // -stages: per-stage shuffle-write attribution (stage name + records)
+    // for decomposing a superlinear aggregate into the stage that grew
+    val stageDetail = args.contains("-stages")
     val records = new AtomicLong
     val bytes = new AtomicLong
     val listener = new SparkListener {
@@ -108,12 +156,23 @@ object ScaleSanity {
           bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         }
       }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (stageDetail) {
+          val si = sc.stageInfo
+          val w = si.taskMetrics.shuffleWriteMetrics.recordsWritten
+          if (w >= 10000)
+            println(s"[shuffle] rec=$w tasks=${si.numTasks} ${si.name.take(90)}")
+        }
     }
     val bodies: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame)] =
       queries.map(n => n -> SparkEntry.queries(n)) :+
-        ("q144_wide_banding" -> (q144WideBanding _))
-    bodies.foreach { case (name, body) =>
+        ("q144_wide_banding" -> (q144WideBanding _)) :+
+        ("q144_mid_banding" -> (q144MidBanding _)) :+
+        ("q82_wide_banding" -> (q82WideBanding _))
+    bodies.filter(b => only.forall(_.contains(b._1))).foreach {
+      case (name, body) =>
       records.set(0); bytes.set(0)
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()

@@ -218,6 +218,76 @@ class StreamingSpec extends SparkSpec {
     assert(afterCompact === batch, "a fold against compacted state is unchanged")
   }
 
+  test("wide-banded cluster folds: split == bulk, mismatched fold refused, " +
+      "untagged state adoptable only by a default fold") {
+    import graft.streaming.{ClusterMaintenance, NearDup}
+    val wide = NearDup.Banding.wide
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+
+    // split folds == one bulk fold at the same wide setting: fold 2's
+    // delta-vs-corpus probe reads fold 1's PERSISTED wide rows (bpre
+    // column included), so this pins the non-default state schema
+    // round-trip, the general lowest-colliding-band rule on both the
+    // dd and dc paths, and the label fold — end to end
+    val split = Files.createTempDirectory("cmw-split").toString
+    ClusterMaintenance.foldBatch(docs.filter(col("doc_id") < 250), split,
+      banding = wide)
+    ClusterMaintenance.foldBatch(docs.filter(col("doc_id") >= 250), split,
+      banding = wide)
+    val bulk = Files.createTempDirectory("cmw-bulk").toString
+    ClusterMaintenance.foldBatch(docs, bulk, banding = wide)
+    def labelsOf(s: String) = ClusterMaintenance.labels(spark, s)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val splitLabels = labelsOf(split)
+    assert(splitLabels.nonEmpty, "fixture must contain wide near-dup pairs")
+    assert(splitLabels === labelsOf(bulk),
+      "split wide folds != one bulk wide fold")
+    assert(graft.streaming.StateStore.readTag(spark, s"$split/bands",
+      "_banding").contains(wide.tag), "wide state must be stamped")
+    assert(spark.read.parquet(s"$split/bands").columns.contains("bpre"),
+      "a non-default store must persist the band-prefix column")
+
+    // exactly-once emission under >2 bands: no candidate pair may
+    // surface from two bands — the lowest-colliding-band rule (the
+    // 2-band b0 rule's generalization) must pick exactly one
+    val bands = spark.read.parquet(s"$bulk/bands")
+    val dupEmissions = bands.select(col("doc_id").as("a"), col("band"),
+        col("bucket"), col("bpre").as("pa"))
+      .join(bands.select(col("doc_id").as("b"), col("band"),
+        col("bucket"), col("bpre").as("pb")), Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .filter(!exists(zip_with(col("pa"), col("pb"), (x, y) => x === y),
+        c => c))
+      .groupBy("a", "b").count().filter(col("count") > 1).count()
+    assert(dupEmissions == 0, "a pair surfaced from more than one band")
+
+    // a default fold into the wide state is refused
+    val refused = intercept[IllegalArgumentException] {
+      ClusterMaintenance.foldBatch(docs.filter(col("doc_id") < 10), split)
+    }
+    assert(refused.getMessage.contains("refusing to fold"),
+      s"unexpected refusal message: ${refused.getMessage}")
+
+    // untagged existing state (pre-tag engine) = default-banded: a wide
+    // fold is refused, a default fold adopts and restamps
+    val legacy = Files.createTempDirectory("cmw-legacy").toString
+    ClusterMaintenance.foldBatch(docs.filter(col("doc_id") < 250), legacy)
+    graft.streaming.StateStore.deleteTag(spark, s"$legacy/bands", "_banding")
+    val blocked = intercept[IllegalArgumentException] {
+      ClusterMaintenance.foldBatch(docs.filter(col("doc_id") >= 250), legacy,
+        banding = wide)
+    }
+    assert(blocked.getMessage.contains("predates the _banding tag"),
+      s"unexpected message: ${blocked.getMessage}")
+    ClusterMaintenance.foldBatch(docs.filter(col("doc_id") >= 250), legacy)
+    assert(graft.streaming.StateStore.readTag(spark, s"$legacy/bands",
+      "_banding").contains(NearDup.Banding.default.tag))
+    assert(labelsOf(legacy) === SparkEntry.queries("q82_incremental_clusters")(
+      spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "adopted legacy state diverged from the oracle labeling")
+  }
+
   test("an empty micro-batch folds to a no-op: no state files, labels unchanged") {
     import graft.streaming.ClusterMaintenance
     import spark.implicits._
