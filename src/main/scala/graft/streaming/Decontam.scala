@@ -78,15 +78,18 @@ object Decontam {
   /** Drop documents sharing at least `minShared` distinct shingle
     * hashes with the persisted benchmark set — q65's contamination rule
     * against state instead of a literal. Pass-through when no benchmark
-    * has been folded. Which side broadcasts is decided per call from
-    * the state layout's byte size: a small exclusion set rides the
-    * broadcast itself (the corpus side is then ONE map-side join + agg,
-    * never staged, never shuffled before the per-doc partial count —
-    * q65's batch plan); a benchmark that outgrew the broadcast is
-    * partition-pruned to the batch's touched buckets and only scanned,
-    * with every join keyed on the batch side against a broadcast of
-    * batch-derived frames — per-batch shuffle stays batch-sized however
-    * large the benchmark grows. */
+    * has been folded. Which side broadcasts is decided per call, and
+    * BOTH sides are gated by the one [[StateStore.stateBroadcastBytes]]
+    * policy: a small exclusion set rides the broadcast itself (the
+    * corpus side is then ONE map-side join + agg, never staged, never
+    * shuffled before the per-doc partial count — q65's batch plan); a
+    * benchmark that outgrew the broadcast is partition-pruned to the
+    * batch's touched buckets and only scanned, with the BATCH's hash
+    * set riding the broadcasts — which its own size gate verifies is
+    * micro-batch-sized; and when neither side fits (a bulk backfill
+    * gated against an accumulated set) the gate degrades to one keyed
+    * shuffle join, the honest bulk-vs-bulk cost, rather than build an
+    * unbounded broadcast on either side. */
   def gate(batch: DataFrame, statePath: String, minShared: Int = 2): DataFrame = {
     val spark = batch.sparkSession
     val p = ngramsPath(statePath)
@@ -94,7 +97,10 @@ object Decontam {
     val stateBytes = new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
-    val flagged =
+    // flaggedBounded: whether `flagged` is micro-batch-bounded (safe to
+    // broadcast into the kept-set anti-join below) — only the bulk-batch
+    // fallback, where flagged can be corpus-sized, says no
+    val (flagged, flaggedBounded) =
       if (stateBytes <= stateBroadcastBytes) {
         // small-state regime: broadcast the exclusion set as-is — NOT
         // distinct'ed first (that exchange would be the one shuffle that
@@ -102,33 +108,68 @@ object Decontam {
         // Replay-duplicated hash rows only duplicate join output, and
         // the per-doc countDistinct below collapses them exactly.
         val benchH = spark.read.parquet(p).select("h")
-        Llm.shingleHashes(batch).filter(col("h").isNotNull)
+        (Llm.shingleHashes(batch).filter(col("h").isNotNull)
           .join(broadcast(benchH), Seq("h"))
           .groupBy("doc_id")
           .agg(countDistinct(col("h")).as("n_shared"))
           .filter(col("n_shared") >= minShared)
-          .select("doc_id")
+          .select("doc_id"), true)
       } else {
         // accumulated-state regime: the batch's (doc_id, h) pairs are
-        // staged once and consumed three times (bucket prune, the
-        // seen-set probe, the per-doc count)
-        val pairs = Staging.stage(Llm.shingleHashes(batch)
+        // staged once and counted (the count feeds the broadcast-side
+        // decision below AND materializes the staging in one job)
+        val (pairs, nPairs) = Staging.stageCounted(Llm.shingleHashes(batch)
           .filter(col("h").isNotNull)
           .withColumn("hb", hashBucketOf(col("h"))))
-        val batchHashes = pairs.select("h", "hb").distinct()
-        // state ∩ batch: pruned scan vs broadcast batch hashes
-        val seen = StateStore.prunedByTouched(spark, p, "hb", batchHashes,
-          col("hb"), 256)
-          .join(broadcast(batchHashes.select("h")), Seq("h"))
-          .select("h").distinct()
-        pairs
-          .join(broadcast(seen), Seq("h"))
-          .groupBy("doc_id")
-          .agg(countDistinct(col("h")).as("n_shared"))
-          .filter(col("n_shared") >= minShared)
-          .select("doc_id")
+        // which side broadcasts, part 2: with the STATE past the
+        // broadcast bound, this path rides the BATCH's distinct hash
+        // set on broadcasts instead — which is only safe while the
+        // batch itself is micro-batch-sized. A bulk batch (a
+        // corpus-sized backfill gated against an accumulated set)
+        // would otherwise build an unbounded batch-hash broadcast —
+        // the mirror image of the state-broadcast hazard the 8 MB
+        // policy exists for. Same policy number, estimated in memory:
+        // nPairs (≥ the distinct hash count) × ~64 B per UnsafeRow'd
+        // 32-hex hash vs the policy's on-disk bound × the documented
+        // ~8× decompression.
+        if (nPairs * 64L <= stateBroadcastBytes * 8) {
+          val batchHashes = pairs.select("h", "hb").distinct()
+          // state ∩ batch: pruned scan vs broadcast batch hashes
+          val seen = StateStore.prunedByTouched(spark, p, "hb", batchHashes,
+            col("hb"), 256)
+            .join(broadcast(batchHashes.select("h")), Seq("h"))
+            .select("h").distinct()
+          (pairs
+            .join(broadcast(seen), Seq("h"))
+            .groupBy("doc_id")
+            .agg(countDistinct(col("h")).as("n_shared"))
+            .filter(col("n_shared") >= minShared)
+            .select("doc_id"), true)
+        } else {
+          // both sides past the bound: no broadcast is safe, so pay
+          // ONE keyed shuffle join (state ⋈ pairs on h) — the honest
+          // cost of bulk-vs-bulk. No bucket pruning (a corpus-sized
+          // hash set touches every bucket with near-certainty; the
+          // deltaRows hint makes prunedByTouched skip the wasted
+          // collect) and no state-side distinct (replay-duplicated
+          // state rows only duplicate join output, which the per-doc
+          // countDistinct collapses exactly).
+          val slice = StateStore.prunedByTouched(spark, p, "hb", pairs,
+            col("hb"), 256, deltaRows = nPairs)
+          (pairs
+            .join(slice.select("h"), Seq("h"))
+            .groupBy("doc_id")
+            .agg(countDistinct(col("h")).as("n_shared"))
+            .filter(col("n_shared") >= minShared)
+            .select("doc_id"), false)
+        }
       }
-    batch.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+    // the kept-set anti-join: `flagged` is batch-doc-bounded in the
+    // micro-batch regimes (broadcast), corpus-sized in the bulk-batch
+    // fallback (leave the strategy to the planner rather than force a
+    // driver-sized copy)
+    if (flaggedBounded) batch.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+    else batch.join(flagged, Seq("doc_id"), "left_anti")
   }
 
   /** Compact the exclusion set (append-only, one file set per folded
