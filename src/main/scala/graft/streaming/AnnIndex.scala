@@ -1,7 +1,10 @@
 package graft.streaming
 
+import java.util.concurrent.atomic.AtomicReference
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.llm.TopK
 
@@ -130,17 +133,73 @@ object AnnIndex {
     * fold/probe MUST use exactly the returned set. */
   def maintain(spark: SparkSession, statePath: String, cents: DataFrame,
                retrain: DataFrame => DataFrame,
-               crowdFactor: Double = 4.0, emptyFrac: Double = 0.5)
+               crowdFactor: Double = 4.0, emptyFrac: Double = 0.5,
+               budgetCells: Int = 0)
       : (DriftReport, DataFrame) = {
-    val nCents = cents.count().toInt // bounded scalar: the centroid set
+    // the cell count the policy judges occupancy AGAINST: by default the
+    // live set's own count, but a deployment that seeded small and
+    // intends to grow into a larger codebook passes its target as
+    // `budgetCells` — a 2-cell seed layout can never read as stale or
+    // crowded against itself (empty = 0 by construction; maxShare ≤ 1 <
+    // crowdFactor/2), while against a 16-cell budget it reads 14/16
+    // empty and fires exactly when the corpus outgrows the seed
+    val nCents = // bounded scalar: the centroid set
+      if (budgetCells > 0) budgetCells else cents.count().toInt
     val rep = drift(census(spark, statePath), nCents, crowdFactor, emptyFrac)
     if (!rep.retrain) (rep, cents)
     else {
-      val newCents = retrain(spark.read.parquet(cellsPath(statePath))
-        .select("vec_id", "v", "norm"))
+      // staged BEFORE the migration: the trainer's output may be a lazy
+      // plan over the very store rebalance is about to swap — returning
+      // it unstaged would hand later folds a frame that re-derives
+      // different centroids from the REASSIGNED layout
+      val newCents = graft.core.Staging.stage(
+        retrain(spark.read.parquet(cellsPath(statePath))
+          .select("vec_id", "v", "norm")))
       rebalance(spark, statePath, newCents)
       (rep, newCents)
     }
+  }
+
+  /** Wire [[foldBatch]] as a foreachBatch sink with the engine's
+    * compaction cadence AND the retrain loop on its own cadence: every
+    * `maintainEvery`-th micro-batch runs [[maintain]] — census → drift
+    * verdict → (when fired) the caller-supplied trainer → [[rebalance]]
+    * — so a deployment gets the full IVF maintenance story by wiring
+    * ONE call instead of hand-rolling the cadence
+    * ([[EventReports.sink]]'s compaction pattern, applied to retrain).
+    *
+    * The centroid set lives in the returned AtomicReference because a
+    * retrain CHANGES it and, per the [[rebalance]] contract, every
+    * later fold and probe MUST use the set now in force: folds inside
+    * the sink read it each batch, and query paths share the same
+    * reference. foreachBatch callbacks run serially, so the reference
+    * is never contended — it exists to hand the live set across the
+    * sink boundary, not for synchronization. Both cadences key on the
+    * CHECKPOINTED batchId, so the schedule survives restarts; pass 0
+    * to disable either. `budgetCells` is the occupancy yardstick for
+    * the drift verdict (see [[maintain]]) — set it to the target
+    * codebook size when seeding smaller than you intend to grow. */
+  def sink(stream: DataFrame, cents0: DataFrame, statePath: String,
+           checkpointDir: String, retrain: DataFrame => DataFrame,
+           trigger: Trigger = Trigger.AvailableNow(),
+           compactEvery: Int = 8, maintainEvery: Int = 4,
+           crowdFactor: Double = 4.0, emptyFrac: Double = 0.5,
+           budgetCells: Int = 0)
+      : (StreamingQuery, AtomicReference[DataFrame]) = {
+    val cents = new AtomicReference(cents0)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatch(batch, cents.get, statePath)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compact(batch.sparkSession, statePath)
+        if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0)
+          cents.set(maintain(batch.sparkSession, statePath, cents.get,
+            retrain, crowdFactor, emptyFrac, budgetCells)._2)
+      }
+      .start()
+    (q, cents)
   }
 
   /** Offline retrain-and-migrate: reassign EVERY persisted vector to

@@ -274,6 +274,74 @@ class AnnIndexStreamSpec extends SparkSpec {
     assert(!rep2.retrain && (same eq inForce))
   }
 
+  test("the sink runs the retrain loop on its cadence: the SINK itself " +
+      "recovers recall >= 0.8 on the drifted corpus across micro-batches") {
+    // the full-loop fixture, driven through the production wiring: two
+    // landed files -> two checkpointed micro-batches folded under the
+    // outgrown 2-cell codebook; maintainEvery=2 fires the policy inside
+    // the sink after batch 2, Kmeans retrains, rebalance migrates, and
+    // the centroid reference the sink returns IS the set in force
+    val e = emb
+    val state = java.nio.file.Files.createTempDirectory("ann_sink").toString
+    val in = java.nio.file.Files.createTempDirectory("ann_sink_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ann_sink_ck").toString
+    val permExpr =
+      "transform(sequence(0, 63), i -> element_at(v, ((i + 32) % 64) + 1))"
+    val b = e.select((col("vec_id") + 10000L).as("vec_id"),
+      expr(permExpr).as("v"), col("norm"))
+    e.coalesce(1).write.mode("append").parquet(in)
+    b.coalesce(1).write.mode("append").parquet(in)
+
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    var trained = 0
+    val (q, centsRef) = AnnIndex.sink(stream,
+      cents(e).filter(col("cent_id") <= 2), state, ckpt,
+      retrain = rows => {
+        trained += 1
+        val cb = graft.llm.Kmeans.train(
+          rows.select(col("vec_id"),
+            expr("transform(v, x -> x / norm)").as("embedding")),
+          k = 16, iters = 4)
+        cb.select(col("cent_id"), col("cv").as("cvec"),
+          sqrt(expr("vector_dot(cv, cv)")).as("cnorm"))
+      },
+      compactEvery = 0, maintainEvery = 2, budgetCells = 16)
+    assert(q.awaitTermination(180000), "stream did not drain in time")
+    assert(trained == 1, s"the cadence should have fired exactly once, got $trained")
+    val inForce = centsRef.get
+    assert(inForce.count() == 16, "the trained codebook is what's in force")
+    assert(AnnIndex.census(spark, state).size == 16,
+      "the sink's maintenance did not re-tile the store")
+
+    // recall floor on the drifted queries under the sink's own centroid
+    // set — the same disclosed half-width probe as the offline loop test
+    val all = spark.read.parquet(s"$state/cells")
+      .select("vec_id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], bb: Array[Double]) = {
+      val d = a.zip(bb).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(bb.map(x => x * x).sum))
+    }
+    val qids = (10000L to 10004L).toSet
+    val truth = all.filter(t => qids(t._1)).map { case (qid, qv) =>
+      qid -> all.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, sc) => (-sc, id) }.take(5).map(_._1).toSet
+    }.toMap
+    val dq = b.filter(col("vec_id") < 10005L)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+    val got = AnnIndex.topK(spark, state, inForce, dq, nprobe = 8, k = 5)
+      .collect().groupBy(_.getLong(0))
+      .map { case (k2, rs) => k2 -> rs.map(_.getLong(1)).toSet }
+    val recall = truth.map { case (k2, t) =>
+      got.getOrElse(k2, Set.empty[Long]).count(t) / 5.0 }.sum / truth.size
+    info(f"sink-cadence recall after retrain (nprobe=8/16): $recall%.2f")
+    assert(recall >= 0.8, s"sink-recovered recall $recall below the 0.8 floor")
+  }
+
   test("an unfolded index answers empty; compaction preserves answers and reclaims files") {
     val e = emb
     val state = java.nio.file.Files.createTempDirectory("ann_cold").toString
