@@ -1198,6 +1198,26 @@ object Relational {
     },
     Some(retentionSql))
 
+  // q149's twin for the WAU report: the SAME real-harness fold (file
+  // source, checkpoint, two sequenced micro-batches, compaction off —
+  // it is EventReportsStreamSpec's subject and costs more than the rest
+  // of the row), answering the batch q109 oracle verbatim off the
+  // folded state. With q149 this makes BOTH event reports real-stream
+  // oracle rows, not just the shared fold.
+  private val streamedRollingActive = Q(
+    "q150_streamed_wau",
+    (s, dir) => withStreamScratch("graft_q150") { tmp =>
+      val ev = t(s, dir, "events").select("user_id", "ts", "event_type")
+      ev.repartition(2).write.parquet(s"$tmp/in")
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+      graft.streaming.EventReports
+        .sink(stream, s"$tmp/state", s"$tmp/ck", compactEvery = 0)
+        .awaitTermination()
+      graft.streaming.EventReports.rollingActive(s, s"$tmp/state")
+    },
+    Some(wauSql))
+
   val queries: Seq[Q] = Seq(
     cursorScan, pointLookup, topN, groupAgg, joinEnrich, semiJoin, antiJoin,
     unionScan, changeLog, dedupFirst, stringAgg, md5Edges, edgesAnti,
@@ -1208,5 +1228,5 @@ object Relational {
     intersectOp, exceptOp, rollupAgg, mapFlatten, reverseEtl, asofEnrich,
     percentiles, saltedJoinAgg, pivotCounts, rangeJoin, funnel, retention,
     rollingActive, incRetention, incRollingActive, incSessions, incFunnel,
-    streamedRetention)
+    streamedRetention, streamedRollingActive)
 }
