@@ -77,7 +77,6 @@ object BandingProbe {
     val nDefault = defaultPairs.count()
 
     Seq("wide" -> NearDup.Banding.wide,
-        "b3r3" -> NearDup.Banding(3, 3),
         "b5r3" -> NearDup.Banding(5, 3),
         "b8r3" -> NearDup.Banding(8, 3),
         "b4r2" -> NearDup.Banding(4, 2))
