@@ -654,10 +654,14 @@ object ClusterMaintenance {
     // lands each bucket whole in one task, so the compacted state is
     // one file per bucket (the bucket is the compaction granule — at
     // 100 TB the bucket count, not this routine, sizes the files)
-    Seq(bandsPath(statePath) -> "pb", toksPath(statePath) -> "tb")
-      .foreach { case (p, bcol) =>
+    // the band store's _banding tag and the token store's _rebanding
+    // marker (the one store rebandTo never swaps carries it) must
+    // survive the compaction swap — see compactBucketed's preserveTags
+    Seq((bandsPath(statePath), "pb", Seq("_banding")),
+        (toksPath(statePath), "tb", Seq("_rebanding")))
+      .foreach { case (p, bcol, tags) =>
         StateStore.compactBucketed(spark, p, bcol, stateBuckets,
-          targetFileBytes)
+          targetFileBytes, preserveTags = tags)
       }
 
   /** Production leakage-safe split assignment (the q91 transformation

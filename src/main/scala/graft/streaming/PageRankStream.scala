@@ -373,8 +373,15 @@ object PageRankStream {
     * cadence, like the cluster state's. */
   def compact(spark: SparkSession, statePath: String): Unit = {
     StateStore.compactBucketed(spark, edgesPath(statePath), "eb", stateBuckets)
-    StateStore.compactBucketed(spark, bandsPath(statePath), "bb", stateBuckets)
-    StateStore.compactBucketed(spark, nodesPath(statePath), "nb", stateBuckets)
+    // the band store's _banding tag and the node store's in-progress
+    // _rebanding marker live on directories these swaps replace —
+    // carry them across (compactBucketed's preserveTags), or a
+    // compaction reverts a tagged store to "pre-tag" and the banding
+    // guard wedges a wide stream / lets a default fold mis-adopt it
+    StateStore.compactBucketed(spark, bandsPath(statePath), "bb",
+      stateBuckets, preserveTags = Seq("_banding"))
+    StateStore.compactBucketed(spark, nodesPath(statePath), "nb",
+      stateBuckets, preserveTags = Seq("_rebanding"))
   }
 
   /** Re-rank over the CURRENT edge/node state — q131's exact arithmetic

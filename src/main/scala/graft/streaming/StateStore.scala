@@ -255,19 +255,31 @@ object StateStore {
     * swap, and the modulus marker RE-STAMPED — the swap replaced the
     * directory that carried it, and a site that forgets the restamp
     * silently reverts the layout to marker-less inference. One
-    * definition so it can't be forgotten per caller. */
+    * definition so it can't be forgotten per caller.
+    *
+    * `preserveTags` names the caller's OTHER layout tags (`_banding`,
+    * an in-progress `_rebanding` marker) to carry across the swap the
+    * same way: their values are read BEFORE the directory is replaced
+    * and restamped after. Without this a compaction silently reverts a
+    * tagged store to untagged — which the banding guards then read as
+    * pre-tag state, wedging a non-default stream and letting a default
+    * fold adopt (and mis-stamp) a non-default store. Tags absent before
+    * the swap stay absent. */
   def compactBucketed(spark: SparkSession, path: String, bucketCol: String,
-                      buckets: Int, targetFileBytes: Long = 128L << 20): Unit =
+                      buckets: Int, targetFileBytes: Long = 128L << 20,
+                      preserveTags: Seq[String] = Nil): Unit =
     if (exists(spark, path)) {
       val p = new Path(path)
       val bytes = fs(spark, path).getContentSummary(p).getLength
       val files = math.max(1L,
         (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val kept = preserveTags.flatMap(t => readTag(spark, path, t).map((t, _)))
       graft.sinks.Sinks.snapshotSwap(
         spark.read.parquet(path).distinct().repartition(files, col(bucketCol)),
         path, Seq(bucketCol))
       // buckets == 0: non-modulus partition key (see appendBucketed)
       if (buckets > 0) writeModulus(spark, path, buckets)
+      kept.foreach { case (t, v) => writeTag(spark, path, t, v) }
     }
 
   /** The state slice a delta's probe touches: partition-pruned by the

@@ -64,7 +64,7 @@ object ScaleSanity {
   }
 
   /** q82's fold under [[graft.streaming.NearDup.Banding.wide]] — the
-    * cluster tier's scale setting (4 bands × 3 slices vs the oracle's
+    * cluster tier's scale setting (3 bands × 3 slices vs the oracle's
     * 2×2): same split shape as the oracle row's body, scratch state
     * under the synthetic sf dir. The default cell's second-decade
     * reading (14.5× shuffle, BENCH_SF1.md) is the 2-slice bucket

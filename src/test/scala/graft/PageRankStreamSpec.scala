@@ -162,4 +162,33 @@ class PageRankStreamSpec extends SparkSpec {
     PageRankStream.compact(spark, state)
     assert(streamedRanks(state) == before, "compaction changed the ranks")
   }
+
+  test("compaction preserves the banding tag and an in-progress " +
+      "rebanding marker: a wide store still folds after compact") {
+    val wide = PageRankStream.Banding.wide
+    val state = java.nio.file.Files.createTempDirectory("prs_ctag").toString
+    PageRankStream.foldBatch(docs.filter(col("doc_id") < 250), state, wide)
+    PageRankStream.compact(spark, state)
+    // the band swap inside compact must NOT revert the store to
+    // "pre-tag": a wide fold resumes, and a default fold is still
+    // refused as a mismatch (not silently adopted as default)
+    assert(graft.streaming.StateStore.readTag(spark, s"$state/bands",
+      "_banding").contains(wide.tag),
+      "compaction dropped the _banding tag")
+    PageRankStream.foldBatch(docs.filter(col("doc_id") >= 250), state, wide)
+    val refused = intercept[IllegalArgumentException] {
+      PageRankStream.foldBatch(docs.filter(col("doc_id") < 10), state)
+    }
+    assert(refused.getMessage.contains("refusing to fold"),
+      s"unexpected refusal message: ${refused.getMessage}")
+    // an interrupted re-band's marker (on nodes/, the store rebandTo
+    // never swaps) survives a node compaction too
+    graft.streaming.StateStore.writeTag(spark, s"$state/nodes",
+      "_rebanding", wide.tag)
+    PageRankStream.compact(spark, state)
+    assert(graft.streaming.StateStore.readTag(spark, s"$state/nodes",
+      "_rebanding").contains(wide.tag),
+      "compaction dropped the _rebanding marker")
+    graft.streaming.StateStore.deleteTag(spark, s"$state/nodes", "_rebanding")
+  }
 }

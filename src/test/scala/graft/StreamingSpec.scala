@@ -288,6 +288,37 @@ class StreamingSpec extends SparkSpec {
       "adopted legacy state diverged from the oracle labeling")
   }
 
+  test("compactState preserves the banding tag: a wide store still " +
+      "folds after compaction, and a default fold stays refused") {
+    import graft.streaming.{ClusterMaintenance, NearDup}
+    val wide = NearDup.Banding.wide
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val state = Files.createTempDirectory("cmw-ctag").toString
+    ClusterMaintenance.foldBatch(docs.filter(col("doc_id") < 250), state,
+      banding = wide)
+    ClusterMaintenance.compactState(spark, state)
+    // the band swap inside compactState must NOT revert the store to
+    // "pre-tag": the wide stream resumes, and a default fold is still
+    // a refused mismatch (not a silent adoption-as-default)
+    assert(graft.streaming.StateStore.readTag(spark, s"$state/bands",
+      "_banding").contains(wide.tag),
+      "compaction dropped the _banding tag")
+    ClusterMaintenance.foldBatch(docs.filter(col("doc_id") >= 250), state,
+      banding = wide)
+    val refused = intercept[IllegalArgumentException] {
+      ClusterMaintenance.foldBatch(docs.filter(col("doc_id") < 10), state)
+    }
+    assert(refused.getMessage.contains("refusing to fold"),
+      s"unexpected refusal message: ${refused.getMessage}")
+    // end labeling == the uncompacted wide build over the same corpus
+    val scratch = Files.createTempDirectory("cmw-ctag2").toString
+    ClusterMaintenance.foldBatch(docs, scratch, banding = wide)
+    def labelsOf(s: String) = ClusterMaintenance.labels(spark, s)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labelsOf(state) === labelsOf(scratch),
+      "mid-stream compaction changed the wide labeling")
+  }
+
   test("an empty micro-batch folds to a no-op: no state files, labels unchanged") {
     import graft.streaming.ClusterMaintenance
     import spark.implicits._
