@@ -34,6 +34,7 @@ import graft.llm.TopK
 object AnnIndex {
 
   private def cellsPath(state: String) = s"$state/cells"
+  private def centsPath(state: String) = s"$state/cents"
   private val dot = "vector_dot(%s, %s)"
 
   /** Nearest-centroid assignment of an embedding frame against the
@@ -54,6 +55,13 @@ object AnnIndex {
     * persisted index. Novel ids only; one ≤|cells| file append. */
   def foldBatch(batch: DataFrame, cents: DataFrame, statePath: String): Unit = {
     if (batch.isEmpty) return
+    // an interrupted retrain (marker present) means the persisted
+    // centroid set and the cell layout may disagree — folding now could
+    // assign against the wrong side; heal first (recoverRebalance)
+    require(StateStore.readTag(batch.sparkSession, statePath,
+        "_rebalancing").isEmpty,
+      s"interrupted retrain at $statePath: set and layout may disagree — " +
+        "run AnnIndex.recoverRebalance before folding")
     // staged once: the assignment (batch × centroids + window) otherwise
     // re-executes for the novelty probe's touched-cell collect, the
     // anti-join's left side, AND its broadcast seen-keys subplan
@@ -155,10 +163,49 @@ object AnnIndex {
       val newCents = graft.core.Staging.stage(
         retrain(spark.read.parquet(cellsPath(statePath))
           .select("vec_id", "v", "norm")))
+      // the retrained set is LAYOUT, so it persists WITH the layout
+      // (cents/ under statePath): a restart that folded with the
+      // caller's stale cents0 against the rebalanced cells would
+      // assign replayed vectors to cells the pruned novelty probe
+      // doesn't read — silent duplicates, missed probes. The marker
+      // makes set+layout one atomic unit: it lands on the (never
+      // swapped) state root BEFORE either swap, and folds refuse while
+      // it exists; any crash in between leaves it, and the remedy —
+      // re-running [[recoverRebalance]], which [[sink]] does on start —
+      // replays rebalance against the persisted set idempotently.
+      StateStore.writeTag(spark, statePath, "_rebalancing", "1")
+      graft.sinks.Sinks.snapshotSwap(newCents, centsPath(statePath))
       rebalance(spark, statePath, newCents)
+      StateStore.deleteTag(spark, statePath, "_rebalancing")
       (rep, newCents)
     }
   }
+
+  /** The centroid set in force per the PERSISTED state: the retrained
+    * set `maintain` stored alongside the layout it rebalanced, if any
+    * retrain has fired — callers (a restarted [[sink]], a query path
+    * resolving which set to probe with) prefer this over their seed
+    * set. None before the first retrain: the caller's seed set is the
+    * layout contract until then. */
+  def centroids(spark: SparkSession, statePath: String): Option[DataFrame] =
+    if (StateStore.exists(spark, centsPath(statePath)))
+      Some(spark.read.parquet(centsPath(statePath)))
+    else None
+
+  /** Heal an interrupted retrain: a `_rebalancing` marker means a crash
+    * landed between the centroid-set swap and the cell-store rebalance
+    * (or around either), so set and layout may disagree. Re-running
+    * [[rebalance]] against the persisted set is idempotent (assignment
+    * is deterministic in (vector, centroids)), so the repair is always
+    * "replay it, clear the marker"; a marker with no persisted set yet
+    * means nothing was swapped — the seed-set layout is intact and the
+    * marker just clears. */
+  def recoverRebalance(spark: SparkSession, statePath: String): Unit =
+    if (StateStore.readTag(spark, statePath, "_rebalancing").isDefined) {
+      centroids(spark, statePath)
+        .foreach(cs => rebalance(spark, statePath, cs))
+      StateStore.deleteTag(spark, statePath, "_rebalancing")
+    }
 
   /** Wire [[foldBatch]] as a foreachBatch sink with the engine's
     * compaction cadence AND the retrain loop on its own cadence: every
@@ -175,10 +222,18 @@ object AnnIndex {
     * reference. foreachBatch callbacks run serially, so the reference
     * is never contended — it exists to hand the live set across the
     * sink boundary, not for synchronization. Both cadences key on the
-    * CHECKPOINTED batchId, so the schedule survives restarts; pass 0
-    * to disable either. `budgetCells` is the occupancy yardstick for
-    * the drift verdict (see [[maintain]]) — set it to the target
-    * codebook size when seeding smaller than you intend to grow. */
+    * CHECKPOINTED batchId, so the schedule survives restarts — and so
+    * does the SET: each retrain persists its output under
+    * `statePath/cents/` ([[maintain]]), and a (re)started sink prefers
+    * that persisted set over `cents0`, after first healing any
+    * interrupted retrain ([[recoverRebalance]]) — a restart folding
+    * the caller's stale seed set against a rebalanced layout would
+    * assign replayed vectors to cells the pruned novelty probe doesn't
+    * read. `cents0` is only the seed for a state no retrain has
+    * touched. Pass 0 to disable either cadence. `budgetCells` is the
+    * occupancy yardstick for the drift verdict (see [[maintain]]) —
+    * set it to the target codebook size when seeding smaller than you
+    * intend to grow. */
   def sink(stream: DataFrame, cents0: DataFrame, statePath: String,
            checkpointDir: String, retrain: DataFrame => DataFrame,
            trigger: Trigger = Trigger.AvailableNow(),
@@ -186,7 +241,10 @@ object AnnIndex {
            crowdFactor: Double = 4.0, emptyFrac: Double = 0.5,
            budgetCells: Int = 0)
       : (StreamingQuery, AtomicReference[DataFrame]) = {
-    val cents = new AtomicReference(cents0)
+    val spark = stream.sparkSession
+    recoverRebalance(spark, statePath)
+    val cents = new AtomicReference(
+      centroids(spark, statePath).getOrElse(cents0))
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

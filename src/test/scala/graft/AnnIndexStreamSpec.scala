@@ -342,6 +342,120 @@ class AnnIndexStreamSpec extends SparkSpec {
     assert(recall >= 0.8, s"sink-recovered recall $recall below the 0.8 floor")
   }
 
+  test("one stream, both cadences: compaction and maintenance interleave " +
+      "across 6 micro-batches and the index still answers the batch build") {
+    // the production schedule end to end: 6 landed files -> 6
+    // checkpointed micro-batches, compactEvery=3 (fires after batches
+    // 3 and 6), maintainEvery=2 (fires after batches 2/4/6; the
+    // outgrown 2-cell seed retrains to the 8-cell set on the first
+    // firing, stands down on the rest) — folds, compaction swaps, and
+    // the retrain swap interleaved in ONE stream, no hand-rolling
+    val e = emb
+    val state = java.nio.file.Files.createTempDirectory("ann_both").toString
+    val in = java.nio.file.Files.createTempDirectory("ann_both_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ann_both_ck").toString
+    (0 until 6).foreach { i =>
+      e.filter(col("vec_id") % 6 === i).coalesce(1)
+        .write.mode("append").parquet(in)
+    }
+    val schema = spark.read.parquet(in).schema
+    var trained = 0
+    val (q, centsRef) = AnnIndex.sink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(in),
+      cents(e).filter(col("cent_id") <= 2), state, ckpt,
+      retrain = rows => { trained += 1; cents(e) },
+      compactEvery = 3, maintainEvery = 2, budgetCells = 8)
+    assert(q.awaitTermination(180000), "stream did not drain in time")
+    assert(trained == 1,
+      s"the retrain cadence should fire once then re-arm, got $trained")
+    assert(centsRef.get.count() == 8, "the 8-cell set is what's in force")
+    // answers == a from-scratch batch build under the in-force set
+    val ref = java.nio.file.Files.createTempDirectory("ann_both_ref").toString
+    AnnIndex.foldBatch(e, cents(e), ref)
+    assert(AnnIndex.census(spark, state) == AnnIndex.census(spark, ref),
+      "interleaved cadences diverged from the batch layout")
+    assert(topkOf(state, e) == topkOf(ref, e),
+      "interleaved cadences changed the answers")
+    // the final compaction (after batch 6) left the store compact: one
+    // file per occupied cell (the bucketed layout's compaction granule)
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(s"$state/cells"))
+      .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    assert(files == AnnIndex.census(spark, state).size,
+      s"store not compacted to one file per cell: $files files")
+  }
+
+  test("a restarted sink folds with the PERSISTED retrained set, not the " +
+      "caller's stale seed; an interrupted retrain refuses folds until recovered") {
+    val e = emb
+    val state = java.nio.file.Files.createTempDirectory("ann_restart").toString
+    val in = java.nio.file.Files.createTempDirectory("ann_restart_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ann_restart_ck").toString
+    e.filter(col("vec_id") < 250).coalesce(1).write.mode("append").parquet(in)
+    e.filter(col("vec_id") >= 250).coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val seed2 = cents(e).filter(col("cent_id") <= 2)
+
+    // run 1: 2-cell seed, outgrown against the 8-cell budget — the
+    // cadence fires after batch 2 and re-tiles to the 8-cell set
+    val (q1, ref1) = AnnIndex.sink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(in),
+      seed2, state, ckpt, retrain = rows => cents(e),
+      compactEvery = 0, maintainEvery = 2, budgetCells = 8)
+    assert(q1.awaitTermination(180000), "run 1 did not drain in time")
+    assert(ref1.get.count() == 8, "the cadence should have re-tiled to 8 cells")
+    assert(AnnIndex.centroids(spark, state).exists(_.count() == 8),
+      "the retrained set must persist under statePath alongside the layout")
+
+    // run 2 — the RESTART, seeded with the now-STALE 2-cell set: the
+    // sink must fold the newly landed batch under the persisted 8-cell
+    // set (folding with the stale seed would assign into cells the
+    // pruned novelty probe doesn't read)
+    val permExpr =
+      "transform(sequence(0, 63), i -> element_at(v, ((i + 32) % 64) + 1))"
+    val b = e.select((col("vec_id") + 10000L).as("vec_id"),
+      expr(permExpr).as("v"), col("norm"))
+    b.coalesce(1).write.mode("append").parquet(in)
+    val (q2, ref2) = AnnIndex.sink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(in),
+      seed2, state, ckpt,
+      retrain = rows => fail("maintenance is off on the restart run"),
+      compactEvery = 0, maintainEvery = 0)
+    assert(q2.awaitTermination(180000), "run 2 did not drain in time")
+    assert(ref2.get.count() == 8,
+      "a restarted sink must prefer the persisted retrained set over cents0")
+    // the restarted fold's layout == a from-scratch build under the
+    // 8-cell set over the same corpus (assignment is deterministic)
+    val ref = java.nio.file.Files.createTempDirectory("ann_restart_ref").toString
+    AnnIndex.foldBatch(e.unionByName(b), cents(e), ref)
+    assert(AnnIndex.census(spark, state) == AnnIndex.census(spark, ref),
+      "restart folded the new batch under the wrong centroid set")
+    // and novelty survives: replaying the restart batch appends nothing
+    val rowsBefore = spark.read.parquet(s"$state/cells").count()
+    AnnIndex.foldBatch(b, ref2.get, state)
+    assert(spark.read.parquet(s"$state/cells").count() == rowsBefore,
+      "replay after restart re-appended vectors")
+
+    // an interrupted retrain (marker present) refuses folds outright;
+    // recoverRebalance replays the migration idempotently and clears it
+    graft.streaming.StateStore.writeTag(spark, state, "_rebalancing", "1")
+    val refused = intercept[IllegalArgumentException] {
+      AnnIndex.foldBatch(b, ref2.get, state)
+    }
+    assert(refused.getMessage.contains("interrupted retrain"),
+      s"unexpected refusal message: ${refused.getMessage}")
+    AnnIndex.recoverRebalance(spark, state)
+    assert(graft.streaming.StateStore.readTag(spark, state,
+      "_rebalancing").isEmpty, "recovery must clear the marker")
+    assert(spark.read.parquet(s"$state/cells").count() == rowsBefore,
+      "recovery's idempotent rebalance changed the store")
+    AnnIndex.foldBatch(b, ref2.get, state) // folds resume
+  }
+
   test("an unfolded index answers empty; compaction preserves answers and reclaims files") {
     val e = emb
     val state = java.nio.file.Files.createTempDirectory("ann_cold").toString
