@@ -126,8 +126,9 @@ object ClusterMaintenance {
     * exists was necessarily written by a pre-tag engine version whose
     * constants were inlined — i.e. under [[NearDup.Banding.default]] —
     * so only a default fold may adopt (and stamp) it; re-banding an
-    * existing clustering is a batch rebuild (new statePath), not a
-    * fold. The default answers the q46/q73/q82 oracles verbatim. */
+    * existing clustering is a batch rebuild ([[rebandTo]] in place, or
+    * a new statePath), not a fold. The default answers the q46/q73/q82
+    * oracles verbatim. */
   def foldBatch(batch: DataFrame, statePath: String,
                 threshold: Double = 0.5,
                 banding: NearDup.Banding = NearDup.Banding.default): Unit = {
@@ -138,6 +139,17 @@ object ClusterMaintenance {
     // skip entirely (the isEmpty probe is a LocalLimit(1) scan).
     if (batch.isEmpty) return
     val spark = batch.sparkSession
+
+    // an interrupted [[rebandTo]] leaves the band store and labeling in
+    // a mixed-generation shape its marker records; folding into it
+    // would mix bandings however the tag reads — refuse until it
+    // completes (the marker lives on toks/, the one store the rebuild
+    // never swaps)
+    StateStore.readTag(spark, toksPath(statePath), "_rebanding").foreach { t =>
+      require(requirement = false,
+        s"state at $statePath has an interrupted re-band to $t; " +
+          "re-run rebandTo to complete it before folding")
+    }
 
     // banding-consistency guard (see the scaladoc): refuse a mismatch
     // BEFORE any append can mix settings in one store; an untagged
@@ -150,13 +162,15 @@ object ClusterMaintenance {
         require(t == banding.tag,
           s"band state at $bp was built under banding $t; refusing to " +
             s"fold under ${banding.tag} — re-banding an existing " +
-            "clustering is a batch rebuild (new statePath), not a fold")
+            "clustering is a batch rebuild (rebandTo / new statePath), " +
+            "not a fold")
       case None if StateStore.exists(spark, bp) =>
         require(banding == NearDup.Banding.default,
           s"band state at $bp predates the _banding tag, so it was built " +
             s"under the default ${NearDup.Banding.default.tag}; refusing " +
             s"to fold under ${banding.tag} — re-banding an existing " +
-            "clustering is a batch rebuild (new statePath), not a fold")
+            "clustering is a batch rebuild (rebandTo / new statePath), " +
+            "not a fold")
       case None => () // fresh state: stamped below, before any append
     }
 
@@ -663,6 +677,105 @@ object ClusterMaintenance {
         StateStore.compactBucketed(spark, p, bcol, stateBuckets,
           targetFileBytes, preserveTags = tags)
       }
+
+  /** Re-band an existing clustering to `newBanding` — the batch rebuild
+    * the fold guard's refusals point at, made operational for the
+    * cluster tier (the [[PageRankStream.rebandTo]] pattern): re-sign
+    * every folded doc from the caller's corpus, rebuild the band index
+    * under the new setting, re-derive the verified edge set and the
+    * labeling from scratch (old labels are connectivity over the OLD
+    * banding's candidates — meaningless under the new one), swap
+    * atomically, restamp. The token store — banding-independent, it
+    * holds the verification token sets — is the one store this rebuild
+    * never swaps, so the crash marker lives there. `corpus` must carry
+    * (`doc_id`, `text`) for every folded doc: band state holds buckets,
+    * not text, so re-signing needs the source of truth. Corpus rows
+    * never folded are ignored (this is a re-band, not a fold — fold
+    * them afterwards); folded docs MISSING from the corpus lose their
+    * band rows and pairs, so corpus completeness is the caller's
+    * contract. Cost ∝ corpus — maintenance cadence, never per batch.
+    *
+    * Crash consistency: the `_rebanding` marker lands FIRST, on toks/,
+    * and folds refuse while it exists — without it, the instant between
+    * the band swap (which necessarily drops the `_banding` tag with the
+    * directory it replaces) and the restamp would read as adoptable
+    * pre-tag state. Any crash leaves the marker, so the remedy is
+    * always "re-run rebandTo" (idempotent: each swap publishes
+    * complete-old or complete-new, and the labeling rebuild is a pure
+    * function of (corpus, newBanding, threshold)). */
+  def rebandTo(corpus: DataFrame, statePath: String,
+               newBanding: NearDup.Banding,
+               threshold: Double = 0.5): Unit = {
+    val spark = corpus.sparkSession
+    val tp = toksPath(statePath)
+    val bp = bandsPath(statePath)
+    val lp = labelsPath(statePath)
+    require(StateStore.exists(spark, tp),
+      s"no folded state at $statePath to re-band")
+    StateStore.writeTag(spark, tp, "_rebanding", newBanding.tag)
+    // the folded ledger is the token store's id set; re-sign those docs
+    // from the caller's corpus text under the new setting
+    val foldedIds = spark.read.parquet(tp).select("doc_id").distinct()
+    val docs = corpus.select("doc_id", "text").join(foldedIds, Seq("doc_id"))
+    val delta = Staging.stage(NearDup.bandsAndToks(docs, newBanding))
+    val bandRows = NearDup.explodeBands(delta).drop("toks")
+      .withColumn("pb", bandBucket)
+    val toks = delta.select(col("doc_id"), col("toks"))
+    // the full candidate self-join under the new setting — foldBatch's
+    // delta-vs-delta path at corpus scale (one materialized exchange;
+    // AQE converts the other side to a broadcast when it fits, the
+    // q73-class transition otherwise) — then the shared verification
+    val a = bandRows.select(col("doc_id").as("doc_a"), col("band"),
+      col("bucket"), col("bpre").as("bpre_a"))
+    val b = bandRows.select(col("doc_id").as("doc_b"), col("band"),
+      col("bucket"), col("bpre").as("bpre_b"))
+    val cand = a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(NearDup.lowestBandOnly(col("bpre_a"), col("bpre_b")))
+      .select("doc_a", "doc_b")
+    val scored = cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
+        Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
+        Seq("doc_b"))
+    val edges = Llm.jaccardScore(scored, "toks_a", "toks_b", threshold)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // labeling: a from-scratch connectivity under the new banding,
+    // published per the store's swap protocol; the comp projection is
+    // dropped (its generation could not match the fresh labeling — the
+    // next fold that needs a member lookup rebuilds it on demand)
+    val labeling = Staging.stage(
+      Components.connected(edges).select("id", "comp"))
+    val fs = new Path(lp).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (spark.conf.get("spark.graft.swap", "rename") == "marker")
+      Sinks.snapshotPublish(labeling, lp)
+    else if (labeling.isEmpty) {
+      // an empty labeling is "no state" — a zero-row partitioned write
+      // leaves a dir with no part files, which readers can't infer a
+      // schema from; absence answers empty through labels()
+      fs.delete(new Path(lp), true)
+    } else {
+      Sinks.snapshotSwap(
+        labeling.withColumn("ib", labelsBucketOf(col("id")))
+          .repartition(col("ib")).sortWithinPartitions("id"),
+        lp, Seq("ib"))
+      StateStore.writeTag(spark, lp, GenTag, newGen())
+      StateStore.writeModulus(spark, lp, stateBuckets)
+    }
+    fs.delete(new Path(lp + "_comp"), true)
+    // band store last, then restamp and clear — mirrors foldBatch's
+    // legacy-schema rule: a default store persists without bpre so
+    // pre-tag-era appends still land schema-consistent
+    Sinks.snapshotSwap(
+      (if (newBanding == NearDup.Banding.default) bandRows.drop("bpre")
+       else bandRows).repartition(col("pb")),
+      bp, Seq("pb"))
+    StateStore.writeModulus(spark, bp, stateBuckets)
+    StateStore.writeTag(spark, bp, "_banding", newBanding.tag)
+    StateStore.deleteTag(spark, tp, "_rebanding")
+    Staging.release(delta)
+    Staging.release(labeling)
+  }
 
   /** Production leakage-safe split assignment (the q91 transformation
     * consuming the PERSISTED labeling instead of re-clustering): split =

@@ -288,6 +288,48 @@ class StreamingSpec extends SparkSpec {
       "adopted legacy state diverged from the oracle labeling")
   }
 
+  test("rebandTo rebuilds the clustering under the new banding; folds " +
+      "resume; an interrupted re-band refuses folds until re-run") {
+    import graft.streaming.{ClusterMaintenance, NearDup, StateStore}
+    val wide = NearDup.Banding.wide
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val state = Files.createTempDirectory("cm-reband").toString
+    ClusterMaintenance.foldBatch(docs.filter(col("doc_id") < 250), state)
+    ClusterMaintenance.rebandTo(docs.filter(col("doc_id") < 250), state, wide)
+    assert(StateStore.readTag(spark, s"$state/bands", "_banding")
+      .contains(wide.tag), "re-band must restamp the tag")
+    // folds RESUME under the new setting (and only under it)
+    intercept[IllegalArgumentException] {
+      ClusterMaintenance.foldBatch(docs.filter(col("doc_id") >= 250), state)
+    }
+    ClusterMaintenance.foldBatch(docs.filter(col("doc_id") >= 250), state,
+      banding = wide)
+    // end labeling == a from-scratch wide build over the same corpus
+    val scratch = Files.createTempDirectory("cm-reband2").toString
+    ClusterMaintenance.foldBatch(docs, scratch, banding = wide)
+    def labelsOf(s: String) = ClusterMaintenance.labels(spark, s)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labelsOf(state).nonEmpty, "fixture must contain wide near-dup pairs")
+    assert(labelsOf(state) === labelsOf(scratch),
+      "rebanded-then-folded labeling != from-scratch wide build")
+    // an interrupted re-band (marker present) refuses folds outright
+    StateStore.writeTag(spark, s"$state/toks", "_rebanding", wide.tag)
+    val blocked = intercept[IllegalArgumentException] {
+      ClusterMaintenance.foldBatch(docs.filter(col("doc_id") < 10), state,
+        banding = wide)
+    }
+    assert(blocked.getMessage.contains("interrupted re-band"),
+      s"unexpected message: ${blocked.getMessage}")
+    // re-running rebandTo completes it and clears the marker
+    ClusterMaintenance.rebandTo(docs, state, wide)
+    assert(StateStore.readTag(spark, s"$state/toks", "_rebanding").isEmpty,
+      "completed re-band must clear its marker")
+    ClusterMaintenance.foldBatch(docs.filter(col("doc_id") < 10), state,
+      banding = wide)
+    assert(labelsOf(state) === labelsOf(scratch),
+      "the replayed re-band + replayed fold changed the labeling")
+  }
+
   test("compactState preserves the banding tag: a wide store still " +
       "folds after compaction, and a default fold stays refused") {
     import graft.streaming.{ClusterMaintenance, NearDup}
