@@ -216,8 +216,13 @@ object Llm {
   // hashing), does the mins map-side (partial_min before the shuffle,
   // 4 short strings per doc on the wire), and is the shape that scales —
   // shingle explosion is linear and the shuffle is per-doc, not per-pair.
-  private def minhashSigOf(docs: DataFrame): DataFrame =
-    Staging.spread(docs)
+  // `spread` fans the input out before the shingle explode (the
+  // single-row-group-file fix) — right for the band-index consumers
+  // whose downstream self-joins amortize it, skipped for the
+  // signature-only projection (q45), where the pre-expansion text
+  // shuffle costs more than the explode it unblocks buys back.
+  private def minhashSigOf(docs: DataFrame, spread: Boolean = true): DataFrame =
+    (if (spread) Staging.spread(docs) else docs)
       .withColumn("toks", expr(toksExpr))
       .withColumn("shingles", expr(shingleSparkExpr))
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
@@ -232,7 +237,7 @@ object Llm {
       .withColumn("band1", md5(concat_ws("|", col("mh2"), col("mh3"))))
 
   private def minhashSig(s: SparkSession, dir: String): DataFrame =
-    minhashSigOf(t(s, dir, "documents"))
+    minhashSigOf(t(s, dir, "documents"), spread = false)
 
   private val minhashSigSqlCte =
     s"""b AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -93,7 +93,9 @@ object BandingProbe {
           .count()
         println(s"""{"banding":"$name","tag":"${b.tag}","verified":$nFound,""" +
           s""""default_verified":$nDefault,"missed_vs_default":${missSj.length},""" +
-          s""""gained_vs_default":$gained,"missed_sj":[${
+          s""""gained_vs_default":$gained,"missed_sj_max":${
+            missSj.lastOption.map(q => f"$q%.3f").getOrElse("null")
+          },"missed_sj":[${
             missSj.take(40).map(q => f"$q%.3f").mkString(",")}]}""")
         found.unpersist()
       }
