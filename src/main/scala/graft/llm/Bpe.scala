@@ -118,37 +118,48 @@ object Bpe {
   def train(words: DataFrame, steps: Int,
             observe: Option[(String, Long) => Unit] = None): (DataFrame, DataFrame) = {
     def report(stage: String)(rows: => Long): Unit = observe.foreach(_(stage, rows))
+    val spark = words.sparkSession
+    import spark.implicits._
     var vocab = Staging.stage(withCharSyms(words))
-    val merges = Seq.newBuilder[DataFrame]
+    val mergeRows = Seq.newBuilder[(Int, String, String, Long)]
     var exhausted = false
     for (i <- 1 to steps if !exhausted) {
-      val (bp, rewritten) = step(vocab)
-      // pair exhaustion (every word down to one symbol): stop — the
-      // empty best-pair frame would otherwise annihilate the vocab
-      // through its cross join. bp is staged, so the emptiness probe is
-      // a driver check on a 0/1-row materialized frame, not a job.
-      if (bp.isEmpty) exhausted = true
+      val pos = Staging.stage(positionsOf(vocab))
+      // the best pair is a bounded 1-row TakeOrdered result — COLLECT it
+      // (one driver round trip) instead of staging + isEmpty-probing +
+      // broadcast-building a 1-row frame: the merge rewrite then joins a
+      // driver-local row (LocalTableScan broadcasts without a job), the
+      // exhaustion check is free, and the merges table is assembled on
+      // the driver instead of a k-way union of staged frames — measured
+      // 3 scheduling round trips saved per merge step, exact same pair
+      // by construction (same TakeOrdered(1), same tie-break).
+      val bpRows = bestPairOf(pos).collect()
+      // pair exhaustion (every word down to one symbol): stop — an
+      // empty best pair would otherwise annihilate the vocab through
+      // the cross join.
+      if (bpRows.isEmpty) exhausted = true
       else {
-        merges += bp.withColumn("step", lit(i))
-        vocab = Staging.stage(rewritten)
-        // merge-progress telemetry (the Components discipline — counted
-        // off the STAGED frames, zero cost when unobserved): the chosen
-        // pair's weighted count, and the total symbols left in the
-        // vocabulary (the compression curve a production training run
-        // watches for convergence / early stop)
-        report(s"bpe:step${i}_pair_count")(
-          bp.collect().head.getLong(2))
+        val r = bpRows.head
+        val (x, y, pc) = (r.getString(0), r.getString(1), r.getLong(2))
+        mergeRows += ((i, x, y, pc))
+        val bp = Seq((x, y, pc)).toDF("x", "y", "pair_count")
+        vocab = Staging.stage(applyMerge(pos, bp))
+        // merge-progress telemetry (the Components discipline — zero
+        // cost when unobserved): the chosen pair's weighted count, and
+        // the total symbols left in the vocabulary (the compression
+        // curve a production training run watches for early stop)
+        report(s"bpe:step${i}_pair_count")(pc)
         report(s"bpe:step${i}_vocab_symbols")(
           vocab.agg(sum(size(col("syms")))).collect().head.getLong(0))
       }
     }
-    val mergeFrames = merges.result()
+    val rows = mergeRows.result()
     val mergesDf =
-      if (mergeFrames.isEmpty)
+      if (rows.isEmpty)
         vocab.sparkSession.emptyDataFrame
           .select(lit(1).as("step"), lit("").as("x"), lit("").as("y"),
             lit(0L).as("pair_count")).limit(0)
-      else mergeFrames.reduce(_ unionByName _)
+      else rows.toDF("step", "x", "y", "pair_count")
     (mergesDf.select("step", "x", "y", "pair_count"), vocab)
   }
 
@@ -175,17 +186,25 @@ object Bpe {
                        observe: Option[(String, Long) => Unit] = None)
       : (DataFrame, DataFrame) = {
     def report(stage: String)(rows: => Long): Unit = observe.foreach(_(stage, rows))
+    val spark = words.sparkSession
+    import spark.implicits._
     var vocab = Staging.stage(withCharSyms(words))
     // the one corpus-sized pass: the full pair histogram
     var counts = Staging.stage(pairCountsOf(positionsOf(vocab)))
-    val merges = Seq.newBuilder[DataFrame]
+    val mergeRows = Seq.newBuilder[(Int, String, String, Long)]
     var exhausted = false
     for (i <- 1 to steps if !exhausted) {
-      val bp = Staging.stage(counts
-        .orderBy(col("pair_count").desc, col("x"), col("y")).limit(1))
-      if (bp.isEmpty) exhausted = true
+      // bounded 1-row driver collect, as in [[train]]: saves the staged
+      // frame, the isEmpty probe, and the broadcast-build job per step
+      val bpRows = counts
+        .orderBy(col("pair_count").desc, col("x"), col("y")).limit(1)
+        .collect()
+      if (bpRows.isEmpty) exhausted = true
       else {
-        merges += bp.withColumn("step", lit(i))
+        val r = bpRows.head
+        val (x0, y0, pc) = (r.getString(0), r.getString(1), r.getLong(2))
+        mergeRows += ((i, x0, y0, pc))
+        val bp = Seq((x0, y0, pc)).toDF("x", "y", "pair_count")
         // matched = words containing the pair adjacently — map-only scan
         // the size guard short-circuits single-symbol words: without it
         // sequence(1, 0) DESCENDS under Spark's default step and the
@@ -210,17 +229,17 @@ object Bpe {
           .groupBy("x", "y").agg(sum(col("pair_count")).as("pair_count"))
           .filter(col("pair_count") > 0))
         vocab = Staging.stage(untouched.unionByName(rewritten))
-        report(s"bpe:step${i}_pair_count")(bp.collect().head.getLong(2))
+        report(s"bpe:step${i}_pair_count")(pc)
         report(s"bpe:step${i}_matched_words")(matched.count())
       }
     }
-    val mergeFrames = merges.result()
+    val rows = mergeRows.result()
     val mergesDf =
-      if (mergeFrames.isEmpty)
+      if (rows.isEmpty)
         vocab.sparkSession.emptyDataFrame
           .select(lit(1).as("step"), lit("").as("x"), lit("").as("y"),
             lit(0L).as("pair_count")).limit(0)
-      else mergeFrames.reduce(_ unionByName _)
+      else rows.toDF("step", "x", "y", "pair_count")
     (mergesDf.select("step", "x", "y", "pair_count"), vocab)
   }
 }

@@ -73,26 +73,36 @@ object Wordpiece {
     * @return (merges: (step, x, y, pair_count, left_count, right_count),
     *         vocab: (word, cnt, syms) after all merges) */
   def train(words: DataFrame, steps: Int): (DataFrame, DataFrame) = {
+    val spark = words.sparkSession
+    import spark.implicits._
     var vocab = Staging.stage(withCharSyms(words))
-    val merges = Seq.newBuilder[DataFrame]
+    val mergeRows = Seq.newBuilder[(Int, String, String, Long, Long, Long)]
     var exhausted = false
     for (i <- 1 to steps if !exhausted) {
       val pos = Staging.stage(Bpe.positionsOf(vocab))
-      val bp = Staging.stage(bestPairOf(pos))
-      if (bp.isEmpty) exhausted = true
+      // bounded 1-row driver collect (the Bpe.train discipline): saves
+      // the staged best-pair frame, its isEmpty probe, and the
+      // broadcast-build job per step — same pair by construction
+      val bpRows = bestPairOf(pos).collect()
+      if (bpRows.isEmpty) exhausted = true
       else {
-        merges += bp.withColumn("step", lit(i))
+        val r = bpRows.head
+        mergeRows += ((i, r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        val bp = Seq((r.getString(0), r.getString(1), r.getLong(2)))
+          .toDF("x", "y", "pair_count")
         vocab = Staging.stage(Bpe.applyMerge(pos, bp, joinSym))
       }
     }
-    val mergeFrames = merges.result()
+    val rows = mergeRows.result()
     val mergesDf =
-      if (mergeFrames.isEmpty)
+      if (rows.isEmpty)
         vocab.sparkSession.emptyDataFrame
           .select(lit(1).as("step"), lit("").as("x"), lit("").as("y"),
             lit(0L).as("pair_count"), lit(0L).as("left_count"),
             lit(0L).as("right_count")).limit(0)
-      else mergeFrames.reduce(_ unionByName _)
+      else rows.toDF("step", "x", "y", "pair_count", "left_count",
+        "right_count")
     (mergesDf.select("step", "x", "y", "pair_count", "left_count", "right_count"),
       vocab)
   }
