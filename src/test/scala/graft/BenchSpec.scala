@@ -53,6 +53,22 @@ class BenchSpec extends SparkSpec {
     assert(!Bench.mayRefreshQuiet(keptContended = true, nSections = 2))
   }
 
+  test("a run far above the quiet reference may not claim the quiet chain") {
+    // sustained host steal is invisible to guest loadavg AND to the
+    // within-query spike tripwire, so a steal-soaked single-section run
+    // self-certifies quiet (measured round 17: 191 s on a 138 s ref);
+    // the reference only moves when the total is in the ref's own band
+    assert(!Bench.mayRefreshQuiet(keptContended = false, nSections = 1,
+      total = 191.1, quietRef = Some(138.4)))
+    assert(Bench.mayRefreshQuiet(keptContended = false, nSections = 1,
+      total = 140.0, quietRef = Some(138.4)))
+    assert(Bench.mayRefreshQuiet(keptContended = false, nSections = 1,
+      total = 120.0, quietRef = Some(138.4)))
+    // no existing reference: any quiet run may seed the chain
+    assert(Bench.mayRefreshQuiet(keptContended = false, nSections = 1,
+      total = 191.1, quietRef = None))
+  }
+
   test("keepBest ties on failures break by total over the common-valid queries") {
     // s1's b flaked, s2's c flaked: common-valid = {a}, and s2's a is
     // faster — raw totals would pick s1 (it "measured less" by failing b)
