@@ -1,7 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.core.Staging
@@ -39,8 +38,11 @@ import graft.core.Staging
   *    shuffle carries at most one row per vector, not k);
   *  - the mean update aggregates map-side per (cent_id, dim): shuffle
   *    volume is k*d rows — codebook-sized, independent of corpus size;
-  *  - each iteration stages the (tiny) centroid table so the loop never
-  *    builds an iters-deep optimizer plan over the corpus.
+  *  - the k centroids live on the DRIVER between iterations (a bounded-
+  *    scalar collect of the k mean rows per iteration) and re-enter the
+  *    next assignment as a driver-local frame, so each iteration is ONE
+  *    scheduling round trip and the loop never builds an iters-deep
+  *    optimizer plan over the corpus.
   */
 object Kmeans {
 
@@ -114,27 +116,42 @@ object Kmeans {
     *         to 6 dp (oracle-replayable; see object doc) */
   def train(vectors: DataFrame, k: Int, iters: Int,
             observe: Option[(String, Long) => Unit] = None): DataFrame = {
-    graft.plans.VectorDot.register(vectors.sparkSession)
+    val spark = vectors.sparkSession
+    graft.plans.VectorDot.register(spark)
+    import spark.implicits._
     val en = Staging.stage(vecs(vectors))
     val seedOrd = Seq(md5(col("vec_id").cast("string")), col("vec_id"))
-    // the window numbers a k-row frame (bounded by the preceding limit);
-    // GraftSession filters WindowExec's single-partition warning for
-    // exactly these bounded-by-construction shapes
-    val seeds = en.orderBy(seedOrd: _*).limit(k)
-      .withColumn("cent_id",
-        (row_number().over(Window.orderBy(seedOrd: _*)) - 1).cast("int"))
-    var cb = Staging.stage(seeds.select(col("cent_id"), col("v").as("cv")))
+    // the centroid table is k rows BY CONSTRUCTION (a TakeOrdered(k)
+    // seed, then one mean row per cell) — the engine's sanctioned
+    // bounded-scalar collect, the discipline the BPE trainer proved out:
+    // the seeds are collected ONCE (TakeOrderedAndProject returns rows
+    // already in seed order, so driver index = the old window's
+    // row_number - 1) and each iteration's rounded means are collected
+    // and folded into a driver-local centroid list. The next iteration's
+    // assignment then broadcasts a LocalTableScan (jobless) instead of
+    // staging + broadcast-building a checkpointed k-row frame — one
+    // scheduling round trip per iteration where the staged loop paid
+    // three. Exact same centroids: the means are the same rounded
+    // per-dimension avgs, and getOrElse replicates the left-join
+    // coalesce (empty cells keep their previous centroid).
+    val seedRows = en.orderBy(seedOrd: _*).limit(k).select("v").collect()
+    var cents: Seq[(Int, Seq[Double])] = seedRows.toSeq.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0)) }
     for (i <- 1 to iters) {
-      // staged only when observed, so the unobserved path keeps its
-      // exact plan (and bench cost); the count then scans k staged rows
-      val means =
-        if (observe.isDefined) Staging.stage(meansOf(assignVecs(en, cb)))
-        else meansOf(assignVecs(en, cb))
-      observe.foreach(_(s"kmeans:iter${i}_active_cells", means.count()))
-      cb = Staging.stage(cb.join(means, Seq("cent_id"), "left")
-        .select(col("cent_id"), coalesce(col("ncv"), col("cv")).as("cv")))
+      val cb = cents.toDF("cent_id", "cv")
+      // ONE job per iteration: the corpus-wide assignment + mean
+      // aggregation, collected as k bounded rows
+      val meanRows = meansOf(assignVecs(en, cb)).collect()
+      // active-cell telemetry is now free — the mean rows are on the
+      // driver either way
+      observe.foreach(_(s"kmeans:iter${i}_active_cells", meanRows.length.toLong))
+      val means: Map[Int, Seq[Double]] = meanRows.map { r =>
+        r.getInt(r.fieldIndex("cent_id")) ->
+          r.getSeq[Double](r.fieldIndex("ncv"))
+      }.toMap
+      cents = cents.map { case (cid, cv) => (cid, means.getOrElse(cid, cv)) }
     }
-    cb
+    cents.toDF("cent_id", "cv")
   }
 
   /** Per-cluster 6 dp-rounded dimension means: (cent_id, ncv). Map-side

@@ -34,20 +34,39 @@ import graft.core.Staging
   */
 object Unigram {
 
-  /** (piece, pcnt) → (piece, pcnt, logp): the rounded renormalization.
-    * ONE definition on purpose — the seed inventory and every EM
-    * iteration must renormalize bit-identically or the oracle's replay
-    * diverges. */
-  private def normalized(counts: DataFrame): DataFrame = {
-    val tot = counts.agg(sum("pcnt").cast("double").as("t"))
-    counts.crossJoin(broadcast(tot))
+  /** (piece, pcnt) → (piece, pcnt, logp): the rounded renormalization,
+    * over a DRIVER-LOCAL count list. ONE definition on purpose — the
+    * seed inventory and every EM iteration must renormalize
+    * bit-identically or the oracle's replay diverges. The inventory is
+    * bounded by construction (≤ topS + alphabet pieces), so the counts
+    * ride the engine's sanctioned bounded-scalar collect and re-enter
+    * as a local relation; the logp projection stays a SPARK expression
+    * (the same round(log(pcnt / t), 6) over the same exact inputs — the
+    * total is an exact integer sum, order-free), so the computed bits
+    * cannot drift from the old crossJoin(broadcast(tot)) shape. A
+    * local-relation inventory then broadcasts JOBLESS into every DP
+    * (LocalTableScan collects without a job) where the staged shape
+    * paid a checkpoint job plus a broadcast-build job per iteration. */
+  private def normalizedLocal(spark: org.apache.spark.sql.SparkSession,
+                              counts: Seq[(String, Long)]): DataFrame = {
+    import spark.implicits._
+    val t = counts.map(_._2).sum.toDouble
+    counts.toDF("piece", "pcnt")
       .select(col("piece"), col("pcnt"),
-        round(log(col("pcnt") / col("t")), 6).as("logp"))
+        round(log(col("pcnt") / lit(t)), 6).as("logp"))
   }
+
+  /** Bounded-scalar collect of a (piece, pcnt) aggregate — the ONE job
+    * each EM iteration now runs (the DP + usage count), returning the
+    * inventory-sized count list for the driver-side M-step. */
+  private def collectCounts(use: DataFrame): Seq[(String, Long)] =
+    use.collect().toSeq.map { r =>
+      (r.getString(r.fieldIndex("piece")), r.getLong(r.fieldIndex("pcnt")))
+    }
 
   /** Top-S substring inventory with 6 dp-rounded log-probs.
     * @param words (word, cnt) histogram
-    * @return (piece, pcnt, logp) */
+    * @return (piece, pcnt, logp) — a driver-local (bounded) frame */
   def inventory(words: DataFrame, maxLen: Int, topS: Int): DataFrame = {
     val subs = Staging.stage(words
       .select(col("cnt"), explode(expr(
@@ -59,7 +78,10 @@ object Unigram {
       .groupBy("piece").agg(sum(col("cnt")).as("pcnt")))
     val top = subs.orderBy(col("pcnt").desc, col("piece")).limit(topS)
     val singles = subs.filter(length(col("piece")) === 1)
-    normalized(Staging.stage(top.unionByName(singles).distinct()))
+    // topS + alphabet rows by construction: collect once (one job over
+    // the staged substring counts) and renormalize driver-side
+    normalizedLocal(words.sparkSession,
+      collectCounts(top.unionByName(singles).distinct()))
   }
 
   /** The Viterbi DP table as a column: m[i+1] = (best score, backpointer)
@@ -149,13 +171,17 @@ object Unigram {
     // the histogram is staged ONCE: the seed's substring pass and every
     // iteration's DP re-scan the materialization, never the corpus
     val wh = Staging.stage(words)
-    var inv = Staging.stage(inventory(wh, maxLen, topS))
+    var inv = inventory(wh, maxLen, topS)
     for (_ <- 1 to iters) {
-      val use = Staging.stage(
+      // ONE job per iteration: the map-only DP + usage aggregation,
+      // collected as the (bounded, ≤ inventory-sized) count list; the
+      // M-step renormalization happens driver-side through the shared
+      // normalizedLocal, replacing two staging jobs + a broadcast build
+      val use = collectCounts(
         segments(wh, inv, maxLen)
           .select(col("cnt"), explode(col("pieces")).as("piece"))
           .groupBy("piece").agg(sum(col("cnt")).as("pcnt")))
-      inv = Staging.stage(normalized(use))
+      inv = normalizedLocal(words.sparkSession, use)
     }
     inv
   }
@@ -370,47 +396,81 @@ object Unigram {
   def softEmTrain(words: DataFrame, maxLen: Int, topS: Int,
                   iters: Int): DataFrame = {
     val wh = Staging.stage(words)
-    var inv = Staging.stage(inventory(wh, maxLen, topS))
+    var inv = inventory(wh, maxLen, topS)
     for (_ <- 1 to iters) {
-      val use = Staging.stage(expectedCounts(wh, inv, maxLen)
+      // ONE job per iteration (the forward/backward DPs + the exact
+      // fixed-point expectation aggregate), collected bounded — see
+      // emTrain
+      val use = collectCounts(expectedCounts(wh, inv, maxLen)
         .select(col("piece"), col("pcm").as("pcnt")))
-      inv = Staging.stage(normalized(use))
+      inv = normalizedLocal(words.sparkSession, use)
     }
     inv
   }
 
   def emTrainPruned(words: DataFrame, maxLen: Int, seedS: Int, targetS: Int,
                     iters: Int, keepFrac: Double = 0.8): DataFrame = {
+    val spark = words.sparkSession
     val wh = Staging.stage(words)
-    var inv = Staging.stage(inventory(wh, maxLen, seedS))
+    var inv = inventory(wh, maxLen, seedS)
+    // The whole M-step below runs on the DRIVER over bounded lists (the
+    // usage counts are ≤ inventory-sized): per iteration the only Spark
+    // job is the DP + usage aggregation the collect materializes, where
+    // the staged shape paid ~5 (usage stage, nMulti count, two staging
+    // checkpoints, the tot broadcast). Driver replication of the exact
+    // Spark semantics it replaces:
+    //  - length(piece) counts CODE POINTS (UTF8String.numChars), so the
+    //    single/multi split uses codePointCount, not String.length;
+    //  - orderBy(loss, piece) compares doubles with 0.0 == -0.0 first
+    //    (SQLOrderingUtil) and breaks ties on the UTF-8 encoding's
+    //    unsigned byte order (UTF8String.binaryCompare), replicated
+    //    verbatim — loss itself is the same one IEEE multiply
+    //    cast(pcnt as double) * logp;
+    //  - the left-join coverage floor is getOrElse(0) under max(_, 1),
+    //    the inner loss join is a flatMap over the inventory map.
+    def nChars(s: String): Int = s.codePointCount(0, s.length)
+    val lossOrd: Ordering[(String, Long, Double)] =
+      new Ordering[(String, Long, Double)] {
+        def compare(a: (String, Long, Double), b: (String, Long, Double)): Int = {
+          val c = if (a._3 == b._3) 0 else java.lang.Double.compare(a._3, b._3)
+          if (c != 0) c
+          else java.util.Arrays.compareUnsigned(
+            a._1.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            b._1.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+    // the inventory frame is a local relation — its collect is jobless
+    def invRows(df: DataFrame): Seq[(String, Double)] =
+      df.collect().toSeq.map { r =>
+        (r.getString(r.fieldIndex("piece")),
+          r.getDouble(r.fieldIndex("logp")))
+      }
     // the coverage alphabet: every single-char piece of the SEED
     // inventory (= every character of the corpus), fixed across
     // iterations
-    val alphabet = Staging.stage(
-      inv.filter(length(col("piece")) === 1).select("piece"))
-    val alphabetN = alphabet.count()
-    val targetMulti = math.max(0L, targetS.toLong - alphabetN)
+    val alphabet: Seq[String] =
+      invRows(inv).collect { case (p, _) if nChars(p) == 1 => p }
+    val targetMulti = math.max(0L, targetS.toLong - alphabet.size)
     for (_ <- 1 to iters) {
-      val use = Staging.stage(
+      val invMap: Map[String, Double] = invRows(inv).toMap
+      val use = collectCounts(
         segments(wh, inv, maxLen)
           .select(col("cnt"), explode(col("pieces")).as("piece"))
           .groupBy("piece").agg(sum(col("cnt")).as("pcnt")))
+      val useMap = use.toMap
       // coverage floor: alphabet pieces survive at max(usage, 1)
-      val singles = alphabet
-        .join(use.filter(length(col("piece")) === 1), Seq("piece"), "left")
-        .select(col("piece"), greatest(coalesce(col("pcnt"), lit(0L)), lit(1L))
-          .as("pcnt"))
+      val singles: Seq[(String, Long)] =
+        alphabet.map(p => (p, math.max(useMap.getOrElse(p, 0L), 1L)))
       // loss rank over multi-char pieces: pcnt × the CURRENT logp (both
       // 6 dp-deterministic, so the ranking replays bit-identically)
-      val multi = use.filter(length(col("piece")) > 1)
-        .join(inv.select(col("piece"), col("logp")), Seq("piece"))
-        .withColumn("loss", col("pcnt") * col("logp"))
-      val nMulti = multi.count()
-      val k = math.max(targetMulti, math.ceil(nMulti * keepFrac).toLong)
-      val kept = multi.orderBy(col("loss"), col("piece"))
-        .limit(k.toInt).select("piece", "pcnt")
-      inv = Staging.stage(normalized(
-        Staging.stage(kept.unionByName(singles))))
+      val multi: Seq[(String, Long, Double)] =
+        use.filter(u => nChars(u._1) > 1).flatMap { case (p, c) =>
+          invMap.get(p).map(lp => (p, c, c.toDouble * lp))
+        }
+      val k = math.max(targetMulti, math.ceil(multi.size * keepFrac).toLong)
+      val kept: Seq[(String, Long)] =
+        multi.sorted(lossOrd).take(k.toInt).map(t => (t._1, t._2))
+      inv = normalizedLocal(spark, kept ++ singles)
     }
     inv
   }
