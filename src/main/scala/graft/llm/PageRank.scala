@@ -83,6 +83,25 @@ object PageRank {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(
         pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // The materialized consumer's fast path: when the graph's NODE-sized
+    // tables are bounded (the same gate under which they already ride
+    // broadcasts — i.e. the engine has already committed them to one
+    // JVM's memory), the rank vector lives on the DRIVER between
+    // iterations and each iteration runs exactly ONE distributed job
+    // (the edge-scan inflow aggregate, against a jobless LocalTableScan
+    // broadcast of the per-source contributions). The staged loop paid
+    // a checkpoint job plus three broadcast builds per iteration for
+    // the same arithmetic — see [[ranksDriverBounded]] for the
+    // bit-equality argument. Graphs above the gate (or non-long ids)
+    // keep the distributed strategies below unchanged.
+    val nodes = nodes0.select("doc_id")
+    val nd = nodes.count() // bounded scalar: the vertex count
+    if (stageIterations && nd > 0 && nd <= broadcastableNodes &&
+        nodes.schema.head.dataType ==
+          org.apache.spark.sql.types.LongType) {
+      val nodeIds = nodes.collect().map(_.getLong(0))
+      return ranksDriverBounded(nodes.sparkSession, nodeIds, edges)
+    }
     // the DEGREE TABLE is iteration-invariant and NODE-sized — staged
     // once, it replaces the old edge ⋈ degree hoist (an edge-sized
     // checkpoint): the per-edge contribution round(r_src / deg_src) is
@@ -92,8 +111,6 @@ object PageRank {
     // checkpoints, never shuffles under the broadcast gate.
     val outd = Staging.stage(
       edges.groupBy("src").agg(count(lit(1)).as("deg")))
-    val nodes = nodes0.select("doc_id")
-    val nd = nodes.count() // bounded scalar: the vertex count
     // the DANGLING SET (vertices with no out-edges) is iteration-
     // invariant too: computing it once turns every iteration's dangling
     // mass into a broadcast-semi-join 1-row aggregate over the rank
@@ -154,5 +171,73 @@ object PageRank {
     if (stageIterations) Staging.release(dangN, outd)
     r.select(col("doc_id"),
       round(col("r").cast("double") / lit(1e9), 9).as("pr"))
+  }
+
+  /** The driver-resident strategy for the materialized consumer under
+    * the node-count gate: node-sized tables (rank vector, degree table,
+    * dangling set) live in driver maps, each iteration runs ONE
+    * distributed job — the edge-scan inflow aggregate, joined map-side
+    * against a LocalTableScan broadcast of the per-source contributions
+    * (jobless build) and collected as a ≤ node-sized bounded result.
+    *
+    * Arithmetic-identical to the distributed strategies BY REPLICATION
+    * of the exact expressions on the exact integers:
+    *  - every `round(x)` / `round(x, 9)` is Spark's RoundBase on
+    *    DoubleType — `java.math.BigDecimal.valueOf(x).setScale(s,
+    *    HALF_UP).doubleValue()` (the codegen form; the interpreted
+    *    scala BigDecimal(x) builds the same canonical decimal) — via
+    *    [[rnd]]/[[rnd9]] below;
+    *  - every division/multiplication is the same single IEEE op on the
+    *    same operands ((0.15 * 1e9) / nd, r/deg, 0.85 * (w + share));
+    *  - every sum (inflow, dangling mass) is an exact integer sum,
+    *    order-free.
+    * PageRankSpec pins driver-mode ranks == lazy-mode ranks on a dense
+    * fixture; the q144-vs-q131 oracle equality holds structurally. */
+  private def ranksDriverBounded(
+      spark: org.apache.spark.sql.SparkSession,
+      nodeIds: Array[Long], edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    def rnd(d: Double): Double =
+      if (d.isNaN || d.isInfinite) d
+      else java.math.BigDecimal.valueOf(d)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+    def rnd9(d: Double): Double =
+      if (d.isNaN || d.isInfinite) d
+      else java.math.BigDecimal.valueOf(d)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val nd = nodeIds.length.toLong
+    // degree table: one edge-sized job, node-sized bounded result
+    val deg = new scala.collection.mutable.LongMap[Long](nodeIds.length)
+    edges.groupBy("src").agg(count(lit(1)).as("deg")).collect()
+      .foreach(r => deg.update(r.getLong(0), r.getLong(1)))
+    val dangIds = nodeIds.filterNot(deg.contains)
+    var r = new scala.collection.mutable.LongMap[Long](nodeIds.length)
+    val r0 = rnd(1e9 / nd.toDouble).toLong
+    nodeIds.foreach(id => r.update(id, r0))
+    for (_ <- 1 to iters) {
+      // dangling mass: exact integer sum over the dangling vertices
+      var dang = 0L
+      dangIds.foreach(id => dang += r(id))
+      // per-source contribution w = round(r/deg): only sources that are
+      // ranked nodes AND have out-edges (the inner join's key set)
+      val wRows = deg.iterator.flatMap { case (s, dg) =>
+        r.get(s).map(rv => (s, rnd(rv.toDouble / dg.toDouble).toLong))
+      }.toSeq
+      // THE job: edge scan ⋈ broadcast(local w) → per-dst exact sums
+      val inflow = new scala.collection.mutable.LongMap[Long](nodeIds.length)
+      edges.join(broadcast(wRows.toDF("src", "w")), Seq("src"))
+        .groupBy("dst").agg(sum("w").as("w")).collect()
+        .foreach(row => inflow.update(row.getLong(0), row.getLong(1)))
+      val base = rnd(0.15 * 1e9 / nd.toDouble).toLong
+      val share = rnd(dang.toDouble / nd.toDouble).toLong
+      val next = new scala.collection.mutable.LongMap[Long](nodeIds.length)
+      nodeIds.foreach { id =>
+        val w = inflow.getOrElse(id, 0L)
+        next.update(id, base + rnd(0.85 * (w + share).toDouble).toLong)
+      }
+      r = next
+    }
+    nodeIds.toSeq.map(id => (id, rnd9(r(id).toDouble / 1e9)))
+      .toDF("doc_id", "pr")
   }
 }

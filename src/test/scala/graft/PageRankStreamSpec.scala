@@ -34,6 +34,24 @@ class PageRankStreamSpec extends SparkSpec {
     assert(math.abs(mass - 1.0) < 1e-4, s"rank mass drifted: $mass")
   }
 
+  test("the driver-resident bounded strategy equals the lazy plan, " +
+      "dangling and isolated vertices included") {
+    // nodes 1..6: 1-2-3 a path, 4 isolated (dangling), 5-6 an edge;
+    // exercises every arithmetic seam the driver strategy replicates
+    // (degree contributions, dangling mass, zero-inflow nodes)
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    def got(staged: Boolean): Seq[(Long, Double)] =
+      graft.llm.PageRank.ranks(nodes, pairs, stageIterations = staged)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val driver = got(staged = true)  // bounded ⇒ the driver-resident path
+    val lazyPlan = got(staged = false)
+    assert(driver == lazyPlan,
+      s"driver-resident ranks diverge from the lazy plan:\n$driver\n$lazyPlan")
+  }
+
   test("a finer 4-way split converges to the same ranks") {
     val state = java.nio.file.Files.createTempDirectory("prs_four").toString
     Seq(col("doc_id") < 125,
