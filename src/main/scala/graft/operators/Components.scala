@@ -63,9 +63,9 @@ import graft.core.Staging
   *    relabeling) is staged (Staging.stage), which truncates the
   *    iterated plan — without the cut, level k's logical plan embeds all
   *    k-1 predecessors and the optimizer re-plans the whole history;
-  *  - the convergence probe is `isEmpty` on the STAGED contracted edge
-  *    frame — a LocalLimit(1) scan of materialized blocks, not a
-  *    recompute;
+  *  - the convergence probe is the contracted frame's row count, taken
+  *    by the SAME job that materializes the staging (Staging.stageCounted)
+  *    — no separate isEmpty probe job per level;
   *  - the caller's edge pipeline is staged once; both the level-0
   *    min-merge and the level-0 contraction re-scan that staging, never
   *    the upstream computation.
@@ -121,18 +121,23 @@ object Components {
 
     // rewrite `e` into representative space under `l` (which covers every
     // node of `e` by construction): intra-cluster edges drop, duplicates
-    // collapse, orientation is normalized so (a,b)/(b,a) dedup together
-    def contract(e: DataFrame, l: DataFrame): DataFrame = Staging.stage(
-      e.join(l.select(col("id"), col("comp").as("ca")), "id")
-        .join(l.select(col("id").as("nbr"), col("comp").as("cb")), "nbr")
-        .filter(col("ca") =!= col("cb"))
-        .select(least(col("ca"), col("cb")).as("id"),
-          greatest(col("ca"), col("cb")).as("nbr"))
-        .distinct())
+    // collapse, orientation is normalized so (a,b)/(b,a) dedup together.
+    // Staged WITH its row count in one job (stageCounted): the count IS
+    // the convergence probe, so the per-level isEmpty job the loop used
+    // to pay on top of the staging job is gone — one scheduling round
+    // trip per contraction level instead of two (plus the level-0 pair).
+    def contract(e: DataFrame, l: DataFrame): (DataFrame, Long) =
+      Staging.stageCounted(
+        e.join(l.select(col("id"), col("comp").as("ca")), "id")
+          .join(l.select(col("id").as("nbr"), col("comp").as("cb")), "nbr")
+          .filter(col("ca") =!= col("cb"))
+          .select(least(col("ca"), col("cb")).as("id"),
+            greatest(col("ca"), col("cb")).as("nbr"))
+          .distinct())
 
     val labels = minMerge(e0)
-    var e = contract(e0, labels)
-    report("components:level0_residue_edges")(e.count())
+    var (e, eRows) = contract(e0, labels)
+    report("components:level0_residue_edges")(eRows)
     // Cumulative representative relabeling, kept in CONTRACTED space:
     // (rep, next) over the level-1 edge nodes. Contracted node sets only
     // shrink (every level's labels are drawn from the previous level's
@@ -142,7 +147,7 @@ object Components {
     // of once per level.
     var repMap: DataFrame = null
     var level = 0
-    var done = e.isEmpty
+    var done = eRows == 0L
     while (!done && level < maxRounds) {
       val l = minMerge(e)
       val step = l.select(col("id").as("rep"), col("comp").as("next"))
@@ -152,13 +157,15 @@ object Components {
             step.select(col("rep").as("next"), col("next").as("next2")),
             Seq("next"), "left")
           .select(col("rep"), coalesce(col("next2"), col("next")).as("next")))
-      e = contract(e, l)
+      val (e2, n2) = contract(e, l)
+      e = e2
+      eRows = n2
       level += 1
-      report(s"components:level${level}_residue_edges")(e.count())
-      done = e.isEmpty
+      report(s"components:level${level}_residue_edges")(n2)
+      done = n2 == 0L
     }
     if (!done) {
-      report("components:star_fallback_residue_edges")(e.count())
+      report("components:star_fallback_residue_edges")(eRows)
       // deep-graph fallback: the residue's diameter outlived the
       // contraction budget. starConverge labels every residue node with
       // its component minimum in polylog rounds; that labeling composes

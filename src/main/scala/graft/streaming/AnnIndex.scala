@@ -54,7 +54,16 @@ object AnnIndex {
   /** Fold one micro-batch of embeddings (`vec_id`, `v`, `norm`) into the
     * persisted index. Novel ids only; one ≤|cells| file append. */
   def foldBatch(batch: DataFrame, cents: DataFrame, statePath: String): Unit = {
-    if (batch.isEmpty) return
+    // staged once: the assignment (batch × centroids + window) otherwise
+    // re-executes for the novelty probe's touched-cell collect, the
+    // anti-join's left side, AND its broadcast seen-keys subplan.
+    // Staged WITH the count (stageCounted): the count is the empty gate
+    // (an empty batch assigns zero rows — same skip as the old
+    // batch.isEmpty, whose separate source-probe job this replaces; the
+    // assignment itself touches no state, so staging before the marker
+    // check below is safe).
+    val (rows, nRows) = graft.core.Staging.stageCounted(assigned(batch, cents))
+    if (nRows == 0L) { graft.core.Staging.release(rows); return }
     // an interrupted retrain (marker present) means the persisted
     // centroid set and the cell layout may disagree — folding now could
     // assign against the wrong side; heal first (recoverRebalance)
@@ -62,12 +71,8 @@ object AnnIndex {
         "_rebalancing").isEmpty,
       s"interrupted retrain at $statePath: set and layout may disagree — " +
         "run AnnIndex.recoverRebalance before folding")
-    // staged once: the assignment (batch × centroids + window) otherwise
-    // re-executes for the novelty probe's touched-cell collect, the
-    // anti-join's left side, AND its broadcast seen-keys subplan
-    val rows = graft.core.Staging.stage(assigned(batch, cents))
     val novel = StateStore.novelAgainst(cellsPath(statePath), rows,
-      Seq("vec_id"), "cell", col("cell"))
+      Seq("vec_id"), "cell", col("cell"), deltaRows = nRows)
     StateStore.appendBucketed(novel, cellsPath(statePath), "cell",
       buckets = 0)
   }
@@ -276,7 +281,7 @@ object AnnIndex {
                 newCents: DataFrame): Unit = {
     val p = cellsPath(statePath)
     if (!StateStore.exists(spark, p)) return
-    val rows = spark.read.parquet(p).select("vec_id", "v", "norm")
+    val rows = StateStore.readPacked(spark, p).select("vec_id", "v", "norm")
     graft.sinks.Sinks.snapshotSwap(
       assigned(rows, newCents).repartition(col("cell")), p, Seq("cell"))
   }

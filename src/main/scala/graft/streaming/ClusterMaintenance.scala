@@ -302,8 +302,10 @@ object ClusterMaintenance {
     // SET), and a replayed label fold re-merges idempotently
     awaitBoth(
       {
-        val edges = Staging.stage(dd.unionByName(dc))
-        if (!edges.isEmpty) foldLabels(spark, edges, labelsPath(statePath))
+        // staged WITH the count in one job (stageCounted): the count is
+        // the empty-gate, so the separate isEmpty probe job is gone
+        val (edges, nEdges) = Staging.stageCounted(dd.unionByName(dc))
+        if (nEdges > 0) foldLabels(spark, edges, labelsPath(statePath))
       },
       awaitBoth(
         // at the DEFAULT banding the persisted schema stays the legacy
@@ -387,7 +389,7 @@ object ClusterMaintenance {
       val existing =
         if (Sinks.versionPointerExists(spark, lp))
           Some(Sinks.readSnapshot(spark, lp).select("id", "comp"))
-        else if (bucketed) Some(spark.read.parquet(lp).select("id", "comp"))
+        else if (bucketed) Some(StateStore.readPacked(spark, lp).select("id", "comp"))
         else if (Sinks.snapshotExists(spark, lp))
           Some(Sinks.readSnapshot(spark, lp).select("id", "comp"))
         else None
@@ -445,7 +447,7 @@ object ClusterMaintenance {
       val labelsN = StateStore.parquetRowCount(spark, lp)
       def fullMergeSwap(): Unit = {
         val full = Components.merge(
-          spark.read.parquet(lp).select("id", "comp"), edges)
+          StateStore.readPacked(spark, lp).select("id", "comp"), edges)
           .withColumn("ib", labelsBucketOf(col("id")))
         // advance the generation FIRST: the projection is not rewritten
         // on this path, and the mismatch is what invalidates it
@@ -484,7 +486,7 @@ object ClusterMaintenance {
         StateStore.readTag(spark, cp, GenTag).contains(lpGen) &&
         StateStore.readModulus(spark, cp).contains(stateBuckets)
       if (needMembers && !cpValid) {
-        spark.read.parquet(lp).select("id", "comp")
+        StateStore.readPacked(spark, lp).select("id", "comp")
           .withColumn("cb", compBucketOf(col("comp")))
           .repartition(col("cb")).sortWithinPartitions("comp")
           .write.partitionBy("cb").mode("overwrite").parquet(cp)
@@ -553,7 +555,7 @@ object ClusterMaintenance {
       StateStore.writeTag(spark, lp, GenTag, gNew)
       val touched = updated.select("ib").distinct()
         .collect().map(_.getInt(0)).toIndexedSeq
-      val keep = spark.read.parquet(lp)
+      val keep = StateStore.readPacked(spark, lp)
         .filter(col("ib").isin(touched: _*))
         .join(broadcast(updated.select("id")), Seq("id"), "left_anti")
       val stagedPath = s"${lp}__stage-${java.util.UUID.randomUUID()}"
@@ -574,7 +576,7 @@ object ClusterMaintenance {
         val touchedC = updatedC.select("cb")
           .unionByName(affected.select(compBucketOf(col("comp")).as("cb")))
           .distinct().collect().map(_.getInt(0)).toIndexedSeq
-        val keepC = spark.read.parquet(cp)
+        val keepC = StateStore.readPacked(spark, cp)
           .filter(col("cb").isin(touchedC: _*))
           .join(broadcast(updated.select("id")), Seq("id"), "left_anti")
         val stagedC = s"${cp}__stage-${java.util.UUID.randomUUID()}"
@@ -715,7 +717,7 @@ object ClusterMaintenance {
     StateStore.writeTag(spark, tp, "_rebanding", newBanding.tag)
     // the folded ledger is the token store's id set; re-sign those docs
     // from the caller's corpus text under the new setting
-    val foldedIds = spark.read.parquet(tp).select("doc_id").distinct()
+    val foldedIds = StateStore.readPacked(spark, tp).select("doc_id").distinct()
     val docs = corpus.select("doc_id", "text").join(foldedIds, Seq("doc_id"))
     val delta = Staging.stage(NearDup.bandsAndToks(docs, newBanding))
     val bandRows = NearDup.explodeBands(delta).drop("toks")
@@ -801,7 +803,7 @@ object ClusterMaintenance {
     if (Sinks.versionPointerExists(spark, lp))
       Sinks.readSnapshot(spark, lp).select("id", "comp")
     else if (StateStore.isBucketed(spark, lp, "ib"))
-      spark.read.parquet(lp).select("id", "comp")
+      StateStore.readPacked(spark, lp).select("id", "comp")
     else if (Sinks.snapshotExists(spark, lp))
       Sinks.readSnapshot(spark, lp)
     else {

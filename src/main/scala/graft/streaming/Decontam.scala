@@ -50,11 +50,15 @@ object Decontam {
     * ride a broadcast). Null-shingle docs contribute nothing, matching
     * the batch gate's equi-join semantics. */
   def foldBenchmark(bench: DataFrame, statePath: String): Unit = {
-    if (bench.isEmpty) return
     val p = ngramsPath(statePath)
+    // the staged-count IS the empty gate (an empty bench yields zero
+    // hashes, and nh == 0 short-circuits exactly like the old
+    // bench.isEmpty — appendBucketed skips zero-row deltas) — one job
+    // instead of a source-scan probe plus the staging job
     val (hs, nh) = Staging.stageCounted(Llm.shingleHashes(bench)
       .select("h").filter(col("h").isNotNull).distinct()
       .withColumn("hb", hashBucketOf(col("h"))))
+    if (nh == 0L) { Staging.release(hs); return }
     val novel = StateStore.novelAgainst(p, hs, Seq("h"), "hb", col("hb"),
       256, nh)
     StateStore.appendBucketed(novel.select("h", "hb"), p, "hb", 256,
@@ -107,7 +111,7 @@ object Decontam {
         // grows with the benchmark, ShuffleGrowthSpec's subject).
         // Replay-duplicated hash rows only duplicate join output, and
         // the per-doc countDistinct below collapses them exactly.
-        val benchH = spark.read.parquet(p).select("h")
+        val benchH = StateStore.readPacked(spark, p).select("h")
         (Llm.shingleHashes(batch).filter(col("h").isNotNull)
           .join(broadcast(benchH), Seq("h"))
           .groupBy("doc_id")

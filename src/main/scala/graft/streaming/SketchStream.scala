@@ -101,15 +101,14 @@ object SketchStream {
   def foldBatch(batch: DataFrame, statePath: String): Unit = {
     val spark = batch.sparkSession
     migrateLegacy(spark, statePath)
-    val delta = graft.core.Staging.stage(deltaHashes(batch))
-    // empty-batch early-out off the STAGED delta (a limit-1 probe over
-    // checkpointed blocks) — the old batch.isEmpty cost a source scan
-    // job per fold
-    if (delta.isEmpty) { graft.core.Staging.release(delta); return }
+    // staged WITH the count in one job (stageCounted): the count is the
+    // empty-batch early-out, so the separate limit-1 probe job is gone
+    val (delta, nDelta) = graft.core.Staging.stageCounted(deltaHashes(batch))
+    if (nDelta == 0L) { graft.core.Staging.release(delta); return }
     val wn = Window.partitionBy("source").orderBy("h")
     val p = sketchPath(statePath)
     val hasState = StateStore.exists(spark, p)
-    val old = if (hasState) spark.read.parquet(p) else null
+    val old = if (hasState) StateStore.readPacked(spark, p) else null
 
     val dKmin = delta.withColumn("rn", row_number().over(wn))
       .filter(col("rn") <= kmvK).select("source", "h")
@@ -183,7 +182,7 @@ object SketchStream {
     val spark = batch.sparkSession
     val hasState = StateStore.exists(spark, cmsPath(statePath))
     val old =
-      if (hasState) spark.read.parquet(cmsPath(statePath)) else null
+      if (hasState) StateStore.readPacked(spark, cmsPath(statePath)) else null
     if (hasState && !old.filter(col("kind") === "batch" &&
         col("bid") === batchId).isEmpty) return
     val delta = cmsDelta(batch)
@@ -213,7 +212,7 @@ object SketchStream {
   def cmsEstimates(spark: SparkSession, statePath: String,
                    items: DataFrame): DataFrame = {
     Sinks.recoverSwap(spark, cmsPath(statePath)) // direct read: heal first
-    val cells = spark.read.parquet(cmsPath(statePath))
+    val cells = StateStore.readPacked(spark, cmsPath(statePath))
       .filter(col("kind") === "cell").select("r", "c", "cell")
     cmsCell(items.select(col("item"),
         explode(expr(s"sequence(0, ${cmsD - 1})")).as("r")))
@@ -226,7 +225,7 @@ object SketchStream {
   def report(spark: SparkSession, statePath: String): DataFrame = {
     migrateLegacy(spark, statePath)
     Sinks.recoverSwap(spark, sketchPath(statePath)) // direct read: heal first
-    val snap = spark.read.parquet(sketchPath(statePath))
+    val snap = StateStore.readPacked(spark, sketchPath(statePath))
     val wn = Window.partitionBy("source").orderBy("h")
     val kmv = snap.filter(col("kind") === "kmin")
       .withColumn("rn", row_number().over(wn))
