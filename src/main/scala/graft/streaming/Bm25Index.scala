@@ -165,7 +165,7 @@ object Bm25Index {
                           novelDocs: DataFrame): Unit = {
     val p = dfsumPath(statePath)
     val hasSum = StateStore.exists(spark, p)
-    val old = if (hasSum) spark.read.parquet(p) else null
+    val old = if (hasSum) StateStore.readPacked(spark, p) else null
     if (hasSum && !old.filter(col("kind") === "batch" &&
         col("bid") === batchId).isEmpty) return
     val dfDelta = novelPost.groupBy("term").agg(count(lit(1)).as("df"))
@@ -267,7 +267,7 @@ object Bm25Index {
         !StateStore.exists(spark, postingsPath(statePath)))
       return spark.range(0).select(col("id").as("query_id"),
         col("id").as("doc_id"), col("id").cast("double").as("score"))
-    val sum = spark.read.parquet(dfsumPath(statePath))
+    val sum = StateStore.readPacked(spark, dfsumPath(statePath))
     val dfTab = sum.filter(col("kind") === "df").select("term", "df")
     val scalars = sum.filter(col("kind") === "scalar").select("nd", "sumdl")
     val qterms = Staging.stage(graft.llm.Bm25.workload(dfTab, scalars))

@@ -204,7 +204,7 @@ object CorpusStream {
     // the benchHashes stage below already has; pass-through when no
     // benchmark state exists.
     val exact = Decontam.gate(
-      spark.read.parquet(docsPath(statePath)).dropDuplicates("doc_id"),
+      StateStore.readPacked(spark, docsPath(statePath)).dropDuplicates("doc_id"),
       statePath)
     val clusters = ClusterMaintenance.labels(spark, clusterPath(statePath))
       .select(col("id").as("doc_id"), col("comp").as("cluster_id"))

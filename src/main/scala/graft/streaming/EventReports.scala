@@ -119,7 +119,7 @@ object EventReports {
     * PATH_NOT_FOUND crash. */
   private def cohortsOf(spark: SparkSession, statePath: String): DataFrame =
     if (StateStore.exists(spark, cohortsPath(statePath)))
-      spark.read.parquet(cohortsPath(statePath))
+      StateStore.readPacked(spark, cohortsPath(statePath))
         .groupBy("user_id").agg(min("cohort").as("cohort"))
     else spark.range(0).select(col("id").as("user_id"),
       lit(null).cast("timestamp_ntz").as("cohort"))
@@ -129,7 +129,7 @@ object EventReports {
     * granularity, so no report pays two distinct passes. */
   private def daysRaw(spark: SparkSession, statePath: String): DataFrame =
     if (StateStore.exists(spark, daysPath(statePath)))
-      spark.read.parquet(daysPath(statePath)).select("user_id", "d")
+      StateStore.readPacked(spark, daysPath(statePath)).select("user_id", "d")
     else spark.range(0).select(col("id").as("user_id"),
       lit(null).cast("date").as("d"))
 

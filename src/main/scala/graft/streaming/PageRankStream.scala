@@ -344,7 +344,7 @@ object PageRankStream {
       s"no folded state at $statePath to re-band")
     StateStore.writeTag(spark, np, "_rebanding", newBanding.tag)
     val docs = corpus.select("doc_id", "lang", "text")
-      .join(spark.read.parquet(np).select("doc_id"), Seq("doc_id"))
+      .join(StateStore.readPacked(spark, np).select("doc_id"), Seq("doc_id"))
     val sims = Llm.simhashOf(docs, newBanding.simBits)
     // staged: consumed by both self-join sides and the band swap write
     val bands = Staging.stage(
@@ -392,10 +392,10 @@ object PageRankStream {
     if (!StateStore.exists(spark, nodesPath(statePath)))
       return spark.range(0).select(col("id").as("doc_id"),
         col("id").cast("double").as("pr"))
-    val nodes = spark.read.parquet(nodesPath(statePath)).select("doc_id")
+    val nodes = StateStore.readPacked(spark, nodesPath(statePath)).select("doc_id")
     val pairs =
       if (StateStore.exists(spark, edgesPath(statePath)))
-        spark.read.parquet(edgesPath(statePath)).select("doc_a", "doc_b")
+        StateStore.readPacked(spark, edgesPath(statePath)).select("doc_a", "doc_b")
       else nodes.limit(0).select(col("doc_id").as("doc_a"),
         col("doc_id").as("doc_b"))
     // STAGED iterations with the invariant-join hoist: this frame is

@@ -75,7 +75,7 @@ object QualityStream {
   def train(spark: SparkSession, statePath: String, lr: Double,
             iters: Int, l2: Double = 0.0): Seq[QualityModel.Step] = {
     graft.sinks.Sinks.recoverSwap(spark, featPath(statePath))
-    val raw = spark.read.parquet(featPath(statePath))
+    val raw = StateStore.readPacked(spark, featPath(statePath))
     val cols = Seq("x_stop", "x_mwl", "x_len")
     val (_, mu, sd) = QualityModel.stats(raw, cols)
     val st = Staging.stage(QualityModel.standardize(raw, cols, mu, sd))

@@ -282,6 +282,38 @@ object StateStore {
       kept.foreach { case (t, v) => writeTag(spark, path, t, v) }
     }
 
+  /** On-disk bytes per scan task for state-table reads ([[readPacked]]).
+    * Input-split sizing is session-wide (`maxPartitionBytes` +
+    * `openCostInBytes` charge ~4 MB per FILE), and the bucketed state
+    * layouts are exactly the many-tiny-files shape that defeats it: a
+    * ~2 MB 256-bucket store accumulates hundreds of small part files
+    * across folds and scans as a 144–223-task stage (measured on the
+    * q148 trace) — per-task fixed cost, zero bytes. Per-READ packing
+    * caps the task count from the layout's actual byte size instead,
+    * without touching the session confs the bench's comparability (and
+    * every non-state scan) rides on. 8 MiB on-disk ≈ a few tens of MB
+    * decompressed per task — the same memory class the broadcast-side
+    * policy above commits to. Ops knob: `spark.graft.state.readPackBytes`. */
+  private def readPackBytes(spark: SparkSession): Long = spark.conf
+    .get("spark.graft.state.readPackBytes", (8L << 20).toString).toLong
+
+  /** Read a state layout with its scan tasks PACKED to the layout's
+    * byte size: ⌈bytes / readPackBytes⌉ partitions via coalesce — a
+    * narrow, value-neutral cap (no shuffle, no row changes; filters and
+    * column pruning push through a Repartition node, so bucket-pruned
+    * probes keep their PartitionFilters). One getContentSummary call on
+    * the driver, no job. Large layouts keep byte-proportional
+    * parallelism (the cap grows with the store); only the
+    * many-tiny-files fixed cost is removed. */
+  def readPacked(spark: SparkSession, path: String): DataFrame = {
+    val bytes = fs(spark, path)
+      .getContentSummary(new Path(path)).getLength
+    val parts = math.max(1L,
+      (bytes + readPackBytes(spark) - 1) / readPackBytes(spark))
+    spark.read.parquet(path)
+      .coalesce(math.min(parts, Int.MaxValue.toLong).toInt)
+  }
+
   /** The state slice a delta's probe touches: partition-pruned by the
     * delta's distinct bucket values (a bounded collect — at most the
     * bucket-count, the `Upsert.partitioned` touched-partition category).
@@ -296,11 +328,11 @@ object StateStore {
                       delta: DataFrame, deltaBucket: Column,
                       buckets: Int = 0, deltaRows: Long = -1L): DataFrame = {
     if (buckets > 0 && deltaRows >= buckets.toLong * 16)
-      spark.read.parquet(path)
+      readPacked(spark, path)
     else {
       val touched = delta.select(deltaBucket.as("__b")).distinct()
         .collect().map(_.get(0)).toIndexedSeq
-      spark.read.parquet(path).filter(col(bucketCol).isin(touched: _*))
+      readPacked(spark, path).filter(col(bucketCol).isin(touched: _*))
     }
   }
 

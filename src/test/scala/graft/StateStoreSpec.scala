@@ -43,6 +43,28 @@ class StateStoreSpec extends SparkSpec {
     assert(spark.read.parquet(s"$state/docs").count() > docsAfterFirst)
   }
 
+  test("packed state reads keep partition pruning: the touched-bucket " +
+      "filter reaches the scan through the coalesce") {
+    import graft.streaming.StateStore
+    import spark.implicits._
+    val state = Files.createTempDirectory("packed-prune").toString + "/t"
+    val rows = (0L until 64L).map(i => (i, (i % 4).toInt)).toDF("k", "b")
+    rows.repartition(col("b")).write.partitionBy("b").parquet(state)
+    val delta = Seq((1L, 1)).toDF("k", "b")
+    val pruned = StateStore.prunedByTouched(spark, state, "b", delta, col("b"))
+    // value check: only bucket 1's rows survive
+    assert(pruned.select("k").collect().map(_.getLong(0)).toSet ==
+      (0L until 64L).filter(_ % 4 == 1).toSet)
+    // plan check: the scan itself carries the partition filter (pruning
+    // pushed through readPacked's coalesce), and the scan is coalesced
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scan.nonEmpty, "no file scan in the pruned plan")
+    assert(scan.get.partitionFilters.nonEmpty,
+      s"bucket filter did not reach the scan:\n${pruned.queryExecution}")
+  }
+
   test("a bucket-count DOUBLING is detected via the modulus marker and rewritten") {
     import graft.streaming.StateStore
     import spark.implicits._
