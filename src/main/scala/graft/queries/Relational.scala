@@ -1079,16 +1079,48 @@ object Relational {
   /** Run a streaming frame to completion against the scratch checkpoint,
     * landing every emitted row in `tmp/out`. `mode` must match the
     * stateful operator's declared OutputMode (Sessionize emits Append,
-    * Funnel Update). */
+    * Funnel Update).
+    *
+    * STATE-PARTITION SIZING: a stateful operator's state-store count is
+    * pinned to `spark.sql.shuffle.partitions` at the query's FIRST start
+    * and frozen into the checkpoint — the session default (= core count)
+    * is a batch-shuffle knob, not a state-volume decision, and at
+    * micro-batch state volumes it buys 32 near-empty state-store commits
+    * per micro-batch (per-partition open/commit fixed cost, zero rows).
+    * These proof rows create a FRESH checkpoint per invocation, so the
+    * count may be chosen per run without any migration concern (an
+    * existing checkpoint keeps its own value by Spark's contract —
+    * restarting deployments are unaffected by construction). It is
+    * derived from the landed input's byte size (state ∝ input for these
+    * one-shot AvailableNow streams), `spark.graft.stream.
+    * statePartitionBytes` per partition (default 32 MiB), capped at the
+    * session's shuffle parallelism — scale-adaptive, never a constant
+    * tuned to either local mode or the cluster. The session conf is set
+    * only for the window the stream CLONES its conf in (start()) and
+    * restored immediately after termination. */
   private def runStream(out: DataFrame, tmp: String,
                         mode: String): Unit = {
-    val q = out.writeStream.outputMode(mode)
-      .option("checkpointLocation", s"$tmp/ck")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode("append").parquet(s"$tmp/out"); () }
-      .start()
-    q.awaitTermination()
+    val spark = out.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val scoped = scala.util.Try {
+      val in = new org.apache.hadoop.fs.Path(s"$tmp/in")
+      val bytes = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(in).getLength
+      val per = spark.conf.get("spark.graft.stream.statePartitionBytes",
+        (32L << 20).toString).toLong
+      math.max(1L, math.min(prev.toLong, (bytes + per - 1) / per))
+    }.toOption
+    scoped.foreach(n => spark.conf.set(key, n.toString))
+    try {
+      val q = out.writeStream.outputMode(mode)
+        .option("checkpointLocation", s"$tmp/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(s"$tmp/out"); () }
+        .start()
+      q.awaitTermination()
+    } finally if (scoped.isDefined) spark.conf.set(key, prev)
   }
 
   // ---- streaming sessionization as an oracle row ------------------------
