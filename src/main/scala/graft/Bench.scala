@@ -291,20 +291,20 @@ object Bench {
     // The harness that records this line keeps only the LAST ~2000 chars
     // of the run's output and parses the metric line out of that window:
     // round 5's line (per-query min/med/max for 78 queries, ~3.5 KB)
-    // outgrew it and the round recorded no parseable bench at all. So the
-    // stdout line stays compact — short query keys ("q53"), 3-decimal
-    // medians — and the full record (full names, min/med/max spread,
-    // machine context) goes to BENCH_DETAIL.json next to the build,
-    // referenced from the line. Short keys are unique by construction
-    // (query names are "qNN_slug"); if a collision ever appears the full
-    // name is kept for both sides rather than silently merging them.
-    val shortKey: Map[String, String] = {
-      val pref = kept.stats.map(s => s.name -> s.name.takeWhile(_ != '_'))
-      val collided = pref.groupBy(_._2).filter(_._2.size > 1).keySet
-      pref.map { case (k, p) => k -> (if (collided(p)) k else p) }.toMap
-    }
-    val qs = kept.stats.map(s => "\"" + shortKey(s.name) + "\":" + f(s.med))
-      .mkString("{", ",", "}")
+    // outgrew it and the round recorded no parseable bench at all; the
+    // round-17 COMPACT map (149 short-keyed 3-decimal medians, ~2.4 KB)
+    // outgrew it AGAIN — round 16's line was unparseable and round 17's
+    // only recovered through the BENCH_DETAIL.json fallback, so two
+    // rounds ran with no direct round-over-round PERF. At 149 queries no
+    // honest per-query encoding fits the window next to the totals, so
+    // the line now carries the COMPACT record only (total, floor, sf,
+    // machine context, detail pointer — ~550 chars, parseable however
+    // the tail is cut) and the per-query data lives SOLELY in
+    // BENCH_DETAIL.json (full names, min/med/max spread — written
+    // before the line prints, so the pointer is always valid). The
+    // per-query numbers themselves are unchanged and none were dropped:
+    // every query's min/med/max is in the detail file, which is where
+    // the round drivers have demonstrably read them from since round 5.
     val stats = kept.stats.map { s =>
       s"""\"${s.name}\":{"min":${f(s.min)},"med":${f(s.med)},"max":${f(s.max)}""" +
         (if (s.spiky) ""","retried":true}""" else "}")
@@ -333,7 +333,7 @@ object Bench {
     // started quiet and stayed under every tripwire.
     if (mayRefreshQuiet(kept.contended, sections.size, kept.total, quietRef))
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_QUIET.json"), detailJson)
-    println(s"""{"metric":"total","value":${f(kept.total)},"unit":"sec","queries":$qs""" +
+    println(s"""{"metric":"total","value":${f(kept.total)},"unit":"sec"""" +
       s""","sf":"$sfDir","floor":${f(floor)},$machine,"detail":"${detailFile.toAbsolutePath}"}""")
     graft.core.Staging.reclaim(spark)
     spark.stop()
