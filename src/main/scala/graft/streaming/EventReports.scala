@@ -53,8 +53,6 @@ object EventReports {
   /** Fold one micro-batch of events (`user_id`, `ts`, `event_type`)
     * into the report state. */
   def foldBatch(batch: DataFrame, statePath: String): Unit = {
-    if (batch.isEmpty) return
-
     // cohort candidates: the batch's own signup-week min per user —
     // appended, not merged (min over appended candidates at report
     // time == min over all events, because min is associative)
@@ -64,9 +62,13 @@ object EventReports {
 
     // activity pairs: batch-distinct, then the shared bucketed novelty
     // probe with the DAY as the natural bucket — prune to the batch's
-    // touched days, broadcast the delta, shuffle ∝ batch
-    val bd = Staging.stage(batch
+    // touched days, broadcast the delta, shuffle ∝ batch. Staged WITH
+    // the count in one job (stageCounted): the count is the empty-batch
+    // gate (a batch with rows always has ≥ 1 user-day pair), replacing
+    // the separate batch.isEmpty source-probe job each micro-batch paid
+    val (bd, nBd) = Staging.stageCounted(batch
       .select(col("user_id"), to_date(col("ts")).as("d")).distinct())
+    if (nBd == 0L) { Staging.release(bd); return }
     // the two state tables are independent (cohorts absorb replay via
     // min, days via the novelty probe — no ordering contract), and both
     // writes are fixed-cost-dominated at micro-batch sizes: overlap

@@ -297,19 +297,30 @@ object StateStore {
   private def readPackBytes(spark: SparkSession): Long = spark.conf
     .get("spark.graft.state.readPackBytes", (8L << 20).toString).toLong
 
+  /** Files per packed scan task ([[readPacked]]'s second bound): a task
+    * pays a parquet footer read + stream open PER FILE, sequentially —
+    * collapsing a 500-tiny-file layout to ONE task would serialize 500
+    * opens that the unpacked scan at least parallelized. 32 mirrors the
+    * session default's own per-split file bound (maxPartitionBytes /
+    * openCostInBytes = 128 MB / 4 MB). */
+  private val readPackFilesPerTask = 32L
+
   /** Read a state layout with its scan tasks PACKED to the layout's
-    * byte size: ⌈bytes / readPackBytes⌉ partitions via coalesce — a
-    * narrow, value-neutral cap (no shuffle, no row changes; filters and
-    * column pruning push through a Repartition node, so bucket-pruned
-    * probes keep their PartitionFilters). One getContentSummary call on
-    * the driver, no job. Large layouts keep byte-proportional
-    * parallelism (the cap grows with the store); only the
-    * many-tiny-files fixed cost is removed. */
+    * actual size: max(⌈bytes / readPackBytes⌉, ⌈files / 32⌉) partitions
+    * via coalesce — a narrow, value-neutral cap (no shuffle, no row
+    * changes; filters and column pruning push through a Repartition
+    * node, so bucket-pruned probes keep their PartitionFilters). One
+    * getContentSummary call on the driver (bytes AND file count), no
+    * job. Large layouts keep byte-proportional parallelism and
+    * many-file layouts keep ≥ 1 task per 32 files (parallel file
+    * opens); only the tasks-with-no-bytes fixed cost is removed. */
   def readPacked(spark: SparkSession, path: String): DataFrame = {
-    val bytes = fs(spark, path)
-      .getContentSummary(new Path(path)).getLength
-    val parts = math.max(1L,
-      (bytes + readPackBytes(spark) - 1) / readPackBytes(spark))
+    val cs = fs(spark, path).getContentSummary(new Path(path))
+    val byBytes =
+      (cs.getLength + readPackBytes(spark) - 1) / readPackBytes(spark)
+    val byFiles =
+      (cs.getFileCount + readPackFilesPerTask - 1) / readPackFilesPerTask
+    val parts = math.max(1L, math.max(byBytes, byFiles))
     spark.read.parquet(path)
       .coalesce(math.min(parts, Int.MaxValue.toLong).toInt)
   }
