@@ -107,6 +107,171 @@ object Bpe {
       .orderBy(col("pair_count").desc, col("x"), col("y"))
       .limit(1)
 
+  // ---- driver-resident merge loop (the bounded-table discipline) -------
+  //
+  // The merge LOOP's working set is the word HISTOGRAM — vocabulary-
+  // sized, NOT corpus-sized. When that histogram is bounded (the same
+  // judgment under which PageRank's rank vector goes driver-resident and
+  // the k-means/unigram iteration tables ride bounded collects), every
+  // per-step distributed job — the positions checkpoint, the best-pair
+  // TakeOrdered, the rewrite checkpoint, the count-table fold — is a
+  // scheduling round trip spent on a table that already fits one JVM:
+  // measured at sf0.1, the 4-step trainers pay 40-65 jobs of ~20 ms work
+  // under 0.05 s gaps each (q114 3.8 s wall / 0.96 s task-CPU). Below
+  // [[driverTrainGate]] the loop runs on the driver over the collected
+  // histogram — ONE distributed job total (the histogram stage+count) —
+  // replicating the distributed semantics exactly (integer pair sums,
+  // UTF-8 binary tie-breaks, the greedy even-offset scan, code-point
+  // symbols). Real-corpus vocabularies (Heaps' law: 10^6-10^7 types at
+  // 100 TB) stay far above the gate and keep the distributed path;
+  // BpePropSpec pins driver == distributed == the sequential model.
+
+  /** Histogram-rows gate for the driver-resident loop. 2^17 rows is a
+    * few MB of driver heap (words + symbol arrays) — conservative next
+    * to PageRank's 2^20-node gate because these rows carry strings, not
+    * longs. `spark.graft.tokenizer.driverTrainRows` overrides; 0
+    * disables (every trainer then runs distributed, the A/B knob). */
+  private[llm] def driverTrainGate(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get("spark.graft.tokenizer.driverTrainRows",
+      (1L << 17).toString).toLong
+
+  /** The (word, cnt) histogram, collected when bounded: Right(rows)
+    * below the gate (one stageCounted job, the collect reads its cached
+    * blocks, released immediately), Left(histogram) above it — staged,
+    * so the distributed path's first checkpoint scans blocks — or
+    * verbatim when the gate is disabled. */
+  private[llm] def boundedHistogram(words: DataFrame)
+      : Either[DataFrame, Array[(String, Long)]] = {
+    val gate = driverTrainGate(words.sparkSession)
+    if (gate <= 0L) Left(words)
+    else {
+      val (wh, n) = Staging.stageCounted(words)
+      if (n > gate) Left(wh)
+      else {
+        val rows = wh.collect().map { r =>
+          (r.getString(r.fieldIndex("word")), r.getLong(r.fieldIndex("cnt")))
+        }
+        Staging.release(wh)
+        Right(rows)
+      }
+    }
+  }
+
+  /** Spark's string order is UTF8String.binaryCompare — unsigned UTF-8
+    * bytes, replicated verbatim (the emTrainPruned discipline). */
+  private[llm] def utf8Cmp(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Initial character symbols, driver form: `length`/`substring` count
+    * CODE POINTS, so a surrogate pair is ONE symbol here too. */
+  private[llm] def charSymsLocal(word: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
+  /** The greedy left-to-right merge scan — the ground truth
+    * [[applyMerge]]'s window formulation reproduces (BpePropSpec's
+    * sequential model, verbatim). */
+  private[llm] def mergeWordLocal(syms: Array[String], x: String, y: String,
+      join: (String, String) => String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var j = 0
+    while (j < syms.length) {
+      if (j + 1 < syms.length && syms(j) == x && syms(j + 1) == y) {
+        out += join(syms(j), syms(j + 1)); j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.result()
+  }
+
+  /** Weighted adjacent-pair histogram of a driver vocab — exact integer
+    * sums, the [[pairCountsOf]] arithmetic. */
+  private[llm] def pairCountsLocal(vocab: Array[(String, Long, Array[String])])
+      : scala.collection.mutable.HashMap[(String, String), Long] = {
+    val counts = new scala.collection.mutable.HashMap[(String, String), Long]()
+    vocab.foreach { case (_, cnt, syms) =>
+      var j = 0
+      while (j + 1 < syms.length) {
+        val k = (syms(j), syms(j + 1))
+        counts.update(k, counts.getOrElse(k, 0L) + cnt)
+        j += 1
+      }
+    }
+    counts
+  }
+
+  /** (pair_count DESC, x, y) — [[bestPairOf]]'s cut, picked by a fold
+    * over the map (iteration-order-free: the comparison is a total
+    * order). */
+  private def bestPairLocal(counts: collection.Map[(String, String), Long])
+      : Option[(String, String, Long)] = {
+    var best: ((String, String), Long) = null
+    counts.foreach { e =>
+      val better = best == null || e._2 > best._2 || (e._2 == best._2 && {
+        val cx = utf8Cmp(e._1._1, best._1._1)
+        cx < 0 || (cx == 0 && utf8Cmp(e._1._2, best._1._2) < 0)
+      })
+      if (better) best = e
+    }
+    Option(best).map { case ((x, y), c) => (x, y, c) }
+  }
+
+  /** The driver-resident merge loop. ONE shared loop serves [[train]]
+    * and [[trainIncremental]]: full recount per step equals delta
+    * maintenance by the exactly-once arithmetic BpePropSpec pins, so
+    * below the gate both dispatch here (they differ only in telemetry —
+    * `vocab_symbols` for the full trainer, `matched_words` for the
+    * incremental one, same values the distributed jobs reported). */
+  private def trainDriverLoop(spark: org.apache.spark.sql.SparkSession,
+      hist: Array[(String, Long)], steps: Int,
+      observe: Option[(String, Long) => Unit],
+      reportSymbols: Boolean): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    def report(stage: String)(rows: => Long): Unit = observe.foreach(_(stage, rows))
+    var vocab = hist.map { case (w, c) => (w, c, charSymsLocal(w)) }
+    val mergeRows = Seq.newBuilder[(Int, String, String, Long)]
+    var exhausted = false
+    for (i <- 1 to steps if !exhausted) {
+      bestPairLocal(pairCountsLocal(vocab)) match {
+        case None => exhausted = true
+        case Some((x, y, pc)) =>
+          mergeRows += ((i, x, y, pc))
+          var matched = 0L
+          vocab = vocab.map { case (w, c, syms) =>
+            var j = 0; var has = false
+            while (!has && j + 1 < syms.length) {
+              has = syms(j) == x && syms(j + 1) == y; j += 1
+            }
+            if (has) { matched += 1; (w, c, mergeWordLocal(syms, x, y, _ + _)) }
+            else (w, c, syms)
+          }
+          report(s"bpe:step${i}_pair_count")(pc)
+          if (reportSymbols)
+            report(s"bpe:step${i}_vocab_symbols")(
+              vocab.iterator.map(_._3.length.toLong).sum)
+          else report(s"bpe:step${i}_matched_words")(matched)
+      }
+    }
+    val rows = mergeRows.result()
+    val mergesDf =
+      if (rows.isEmpty)
+        spark.emptyDataFrame
+          .select(lit(1).as("step"), lit("").as("x"), lit("").as("y"),
+            lit(0L).as("pair_count")).limit(0)
+      else rows.toDF("step", "x", "y", "pair_count")
+    val vocabDf = vocab.toSeq.map { case (w, c, s) => (w, c, s.toSeq) }
+      .toDF("word", "cnt", "syms")
+    (mergesDf.select("step", "x", "y", "pair_count"), vocabDf)
+  }
+
   /** Learn `steps` merges from a (word, cnt) histogram.
     * @param observe training telemetry hook `(stage, rows) => Unit`,
     *   zero-cost when None: per step, the chosen pair's weighted count
@@ -116,6 +281,16 @@ object Bpe {
     *         (fewer on pair exhaustion), vocab: (word, cnt, syms) after
     *         all merges) */
   def train(words: DataFrame, steps: Int,
+            observe: Option[(String, Long) => Unit] = None): (DataFrame, DataFrame) =
+    boundedHistogram(words) match {
+      case Right(hist) => trainDriverLoop(words.sparkSession, hist, steps,
+        observe, reportSymbols = true)
+      case Left(wh) => trainDistributed(wh, steps, observe)
+    }
+
+  /** The distributed merge loop — [[train]]'s path above the gate, and
+    * the formulation PlanSpec/ShuffleGrowthSpec pin directly. */
+  private[graft] def trainDistributed(words: DataFrame, steps: Int,
             observe: Option[(String, Long) => Unit] = None): (DataFrame, DataFrame) = {
     def report(stage: String)(rows: => Long): Unit = observe.foreach(_(stage, rows))
     val spark = words.sparkSession
@@ -183,6 +358,21 @@ object Bpe {
     * pairs are dropped so exhaustion and tie-breaks agree.
     * @return (merges, vocab) exactly as [[train]] */
   def trainIncremental(words: DataFrame, steps: Int,
+                       observe: Option[(String, Long) => Unit] = None)
+      : (DataFrame, DataFrame) =
+    boundedHistogram(words) match {
+      // below the gate the incremental count table IS the driver loop's
+      // recount (delta == recount is the operator's own invariant,
+      // BpePropSpec-pinned); only the telemetry channel differs
+      case Right(hist) => trainDriverLoop(words.sparkSession, hist, steps,
+        observe, reportSymbols = false)
+      case Left(wh) => trainIncrementalDistributed(wh, steps, observe)
+    }
+
+  /** The distributed delta-maintained loop — [[trainIncremental]]'s
+    * path above the gate (ShuffleGrowthSpec pins its delta-sized
+    * per-step shuffle directly). */
+  private[graft] def trainIncrementalDistributed(words: DataFrame, steps: Int,
                        observe: Option[(String, Long) => Unit] = None)
       : (DataFrame, DataFrame) = {
     def report(stage: String)(rows: => Long): Unit = observe.foreach(_(stage, rows))

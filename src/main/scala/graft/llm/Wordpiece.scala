@@ -72,7 +72,88 @@ object Wordpiece {
   /** Learn `steps` WordPiece merges from a (word, cnt) histogram.
     * @return (merges: (step, x, y, pair_count, left_count, right_count),
     *         vocab: (word, cnt, syms) after all merges) */
-  def train(words: DataFrame, steps: Int): (DataFrame, DataFrame) = {
+  def train(words: DataFrame, steps: Int): (DataFrame, DataFrame) =
+    Bpe.boundedHistogram(words) match {
+      case Right(hist) => trainDriverLoop(words.sparkSession, hist, steps)
+      case Left(wh) => trainDistributed(wh, steps)
+    }
+
+  /** Driver form of [[joinSym]]: `regexp_replace(y, "^##", "")` strips
+    * one leading marker. */
+  private def joinSymLocal(x: String, y: String): String =
+    x + (if (y.startsWith("##")) y.substring(2) else y)
+
+  /** The driver-resident WordPiece merge loop (see
+    * [[Bpe.boundedHistogram]] for the gate rationale — the loop's
+    * working set is the vocabulary, bounded below the gate). Exact
+    * replication of the distributed semantics: unit counts are exact
+    * integer sums over EVERY position (word-final symbols included, as
+    * in [[bestPairOf]]'s units frame), the score is the same single
+    * IEEE division pair_count / (left_count · right_count) on the same
+    * exact integers, ties compare doubles with 0.0 == -0.0
+    * (SQLOrderingUtil) then break on UTF-8 binary (x, y), and the
+    * rewrite is the greedy scan with the marker-stripping join. */
+  private def trainDriverLoop(spark: org.apache.spark.sql.SparkSession,
+      hist: Array[(String, Long)], steps: Int): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    def initSyms(word: String): Array[String] = {
+      val cs = Bpe.charSymsLocal(word)
+      var i = 1
+      while (i < cs.length) { cs(i) = "##" + cs(i); i += 1 }
+      cs
+    }
+    var vocab = hist.map { case (w, c) => (w, c, initSyms(w)) }
+    val mergeRows = Seq.newBuilder[(Int, String, String, Long, Long, Long)]
+    var exhausted = false
+    for (i <- 1 to steps if !exhausted) {
+      val pairs = Bpe.pairCountsLocal(vocab)
+      if (pairs.isEmpty) exhausted = true
+      else {
+        val units = new scala.collection.mutable.HashMap[String, Long]()
+        vocab.foreach { case (_, cnt, syms) =>
+          syms.foreach(s => units.update(s, units.getOrElse(s, 0L) + cnt))
+        }
+        // (score DESC, x, y) — the same fold-over-the-map pick as
+        // Bpe.bestPairLocal, with the likelihood-gain score first
+        var best: ((String, String), Long, Double) = null
+        pairs.foreach { case (k @ (x, y), pc) =>
+          val score = pc.toDouble / (units(x) * units(y)).toDouble
+          val better = best == null || (if (score == best._3) {
+            val cx = Bpe.utf8Cmp(x, best._1._1)
+            cx < 0 || (cx == 0 && Bpe.utf8Cmp(y, best._1._2) < 0)
+          } else java.lang.Double.compare(score, best._3) > 0)
+          if (better) best = (k, pc, score)
+        }
+        val ((x, y), pc, _) = best
+        mergeRows += ((i, x, y, pc, units(x), units(y)))
+        vocab = vocab.map { case (w, c, syms) =>
+          var j = 0; var has = false
+          while (!has && j + 1 < syms.length) {
+            has = syms(j) == x && syms(j + 1) == y; j += 1
+          }
+          if (has) (w, c, Bpe.mergeWordLocal(syms, x, y, joinSymLocal))
+          else (w, c, syms)
+        }
+      }
+    }
+    val rows = mergeRows.result()
+    val mergesDf =
+      if (rows.isEmpty)
+        spark.emptyDataFrame
+          .select(lit(1).as("step"), lit("").as("x"), lit("").as("y"),
+            lit(0L).as("pair_count"), lit(0L).as("left_count"),
+            lit(0L).as("right_count")).limit(0)
+      else rows.toDF("step", "x", "y", "pair_count", "left_count",
+        "right_count")
+    val vocabDf = vocab.toSeq.map { case (w, c, s) => (w, c, s.toSeq) }
+      .toDF("word", "cnt", "syms")
+    (mergesDf.select("step", "x", "y", "pair_count", "left_count",
+      "right_count"), vocabDf)
+  }
+
+  /** The distributed merge loop — [[train]]'s path above the gate. */
+  private[graft] def trainDistributed(words: DataFrame, steps: Int)
+      : (DataFrame, DataFrame) = {
     val spark = words.sparkSession
     import spark.implicits._
     var vocab = Staging.stage(withCharSyms(words))

@@ -54,7 +54,7 @@ class BpePropSpec extends SparkSpec {
   private def trainDistributed(words: Map[String, Long], steps: Int,
       trainer: (org.apache.spark.sql.DataFrame, Int) =>
         (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
-        (df, s) => Bpe.train(df, s)) = {
+        (df, s) => Bpe.trainDistributed(df, s)) = {
     val (m, v) = trainer(words.toSeq.toDF("word", "cnt"), steps)
     val merges = m.orderBy("step").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toList
@@ -98,31 +98,66 @@ class BpePropSpec extends SparkSpec {
       }.toMap
       val steps = 1 + rnd.nextInt(4)
       val got = trainDistributed(words, steps,
-        (df, s) => Bpe.trainIncremental(df, s))
+        (df, s) => Bpe.trainIncrementalDistributed(df, s))
       val want = model(words, steps)
       assert(got === want, s"iteration $i: words=$words steps=$steps")
     }
   }
 
+  test("driver-resident training (the gated default at bounded vocab) equals the model") {
+    // the PUBLIC entries at fixture scale dispatch to the driver loop
+    // (histogram far below spark.graft.tokenizer.driverTrainRows); pin
+    // BOTH public trainers against the same sequential model on the
+    // same seeded shapes the distributed tests above cover
+    for (trainer <- Seq[(org.apache.spark.sql.DataFrame, Int) =>
+        (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)](
+        (df, s) => Bpe.train(df, s), (df, s) => Bpe.trainIncremental(df, s))) {
+      val rnd = new Random(777)
+      for (i <- 1 to 10) {
+        val alphabet = "ab" + (if (rnd.nextBoolean()) "c" else "")
+        val nWords = 3 + rnd.nextInt(8)
+        val words = (1 to nWords).map { _ =>
+          val len = 1 + rnd.nextInt(8)
+          (List.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString,
+            (1 + rnd.nextInt(20)).toLong)
+        }.toMap
+        val steps = 1 + rnd.nextInt(4)
+        val got = trainDistributed(words, steps, trainer)
+        val want = model(words, steps)
+        assert(got === want, s"iteration $i: words=$words steps=$steps")
+      }
+    }
+  }
+
   test("incremental trainer handles pair exhaustion like the full trainer") {
-    val inc = (df: org.apache.spark.sql.DataFrame, s: Int) =>
-      Bpe.trainIncremental(df, s)
-    val (merges, vocab) = trainDistributed(Map("a" -> 5L, "b" -> 3L), 3, inc)
-    assert(merges === Nil)
-    assert(vocab === Map("a" -> List("a"), "b" -> List("b")))
-    val (m2, v2) = trainDistributed(Map("aa" -> 5L, "b" -> 3L), 3, inc)
-    assert(m2 === List((1, "a", "a", 5L)))
-    assert(v2 === Map("aa" -> List("aa"), "b" -> List("b")))
+    // both paths: the gated public entry (driver at this scale) and the
+    // distributed loop
+    for (inc <- Seq[(org.apache.spark.sql.DataFrame, Int) =>
+        (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)](
+        (df, s) => Bpe.trainIncremental(df, s),
+        (df, s) => Bpe.trainIncrementalDistributed(df, s))) {
+      val (merges, vocab) = trainDistributed(Map("a" -> 5L, "b" -> 3L), 3, inc)
+      assert(merges === Nil)
+      assert(vocab === Map("a" -> List("a"), "b" -> List("b")))
+      val (m2, v2) = trainDistributed(Map("aa" -> 5L, "b" -> 3L), 3, inc)
+      assert(m2 === List((1, "a", "a", 5L)))
+      assert(v2 === Map("aa" -> List("aa"), "b" -> List("b")))
+    }
   }
 
   test("pair exhaustion stops training and PRESERVES the vocabulary") {
-    // all single-char words: step 1 finds no pairs at all
-    val (merges, vocab) = trainDistributed(Map("a" -> 5L, "b" -> 3L), 3)
-    assert(merges === Nil)
-    assert(vocab === Map("a" -> List("a"), "b" -> List("b")))
-    // exhaustion mid-way: "aa" collapses on step 1, steps 2-3 are no-ops
-    val (m2, v2) = trainDistributed(Map("aa" -> 5L, "b" -> 3L), 3)
-    assert(m2 === List((1, "a", "a", 5L)))
-    assert(v2 === Map("aa" -> List("aa"), "b" -> List("b")))
+    for (full <- Seq[(org.apache.spark.sql.DataFrame, Int) =>
+        (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)](
+        (df, s) => Bpe.train(df, s),
+        (df, s) => Bpe.trainDistributed(df, s))) {
+      // all single-char words: step 1 finds no pairs at all
+      val (merges, vocab) = trainDistributed(Map("a" -> 5L, "b" -> 3L), 3, full)
+      assert(merges === Nil)
+      assert(vocab === Map("a" -> List("a"), "b" -> List("b")))
+      // exhaustion mid-way: "aa" collapses on step 1, steps 2-3 are no-ops
+      val (m2, v2) = trainDistributed(Map("aa" -> 5L, "b" -> 3L), 3, full)
+      assert(m2 === List((1, "a", "a", 5L)))
+      assert(v2 === Map("aa" -> List("aa"), "b" -> List("b")))
+    }
   }
 }

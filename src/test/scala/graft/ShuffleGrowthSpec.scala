@@ -249,8 +249,11 @@ class ShuffleGrowthSpec extends SparkSpec {
     }
     val special = Seq("qzwva", "qzwvb", "qzwvc", "qzwvd", "qzwve").map(_ -> 100L)
     val words = (fillers ++ special).toMap.toSeq.toDF("word", "cnt")
+    // the DISTRIBUTED loops (the gated public entries dispatch to the
+    // driver loop at this fixture scale, which shuffles nothing)
     def steps(n: Int, inc: Boolean): Long = measureShuffle {
-      if (inc) Bpe.trainIncremental(words, n) else Bpe.train(words, n)
+      if (inc) Bpe.trainIncrementalDistributed(words, n)
+      else Bpe.trainDistributed(words, n)
     }._1
     val (f1, f3) = (steps(1, inc = false), steps(3, inc = false))
     val (i1, i3) = (steps(1, inc = true), steps(3, inc = true))

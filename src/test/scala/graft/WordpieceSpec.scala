@@ -84,8 +84,11 @@ class WordpieceSpec extends SparkSpec {
     (n, false)
   }
 
-  private def trainDistributed(words: Map[String, Long], steps: Int) = {
-    val (m, v) = Wordpiece.train(words.toSeq.toDF("word", "cnt"), steps)
+  private def trainDistributed(words: Map[String, Long], steps: Int,
+      trainer: (org.apache.spark.sql.DataFrame, Int) =>
+        (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+        (df, s) => Wordpiece.train(df, s)) = {
+    val (m, v) = trainer(words.toSeq.toDF("word", "cnt"), steps)
     val merges = m.orderBy("step").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2),
         r.getLong(3), r.getLong(4), r.getLong(5))).toList
@@ -94,20 +97,28 @@ class WordpieceSpec extends SparkSpec {
     (merges, vocab)
   }
 
-  test("distributed training equals the sequential algorithm on 10 seeded corpora") {
-    val rnd = new Random(4242)
-    for (i <- 1 to 10) {
-      val alphabet = "ab" + (if (rnd.nextBoolean()) "c" else "")
-      val nWords = 3 + rnd.nextInt(8)
-      val words = (1 to nWords).map { _ =>
-        val len = 1 + rnd.nextInt(8)
-        (List.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString,
-          (1 + rnd.nextInt(20)).toLong)
-      }.toMap
-      val steps = 1 + rnd.nextInt(4)
-      val got = trainDistributed(words, steps)
-      val want = model(words, steps)
-      assert(got === want, s"iteration $i: words=$words steps=$steps")
+  test("both trainer paths equal the sequential algorithm on 10 seeded corpora") {
+    // the gated PUBLIC entry dispatches to the driver loop at this scale;
+    // trainDistributed is the loop real-corpus vocabularies keep — pin
+    // both against the same model on the same seeded shapes
+    for (trainer <- Seq[(org.apache.spark.sql.DataFrame, Int) =>
+        (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)](
+        (df, s) => Wordpiece.train(df, s),
+        (df, s) => Wordpiece.trainDistributed(df, s))) {
+      val rnd = new Random(4242)
+      for (i <- 1 to 10) {
+        val alphabet = "ab" + (if (rnd.nextBoolean()) "c" else "")
+        val nWords = 3 + rnd.nextInt(8)
+        val words = (1 to nWords).map { _ =>
+          val len = 1 + rnd.nextInt(8)
+          (List.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString,
+            (1 + rnd.nextInt(20)).toLong)
+        }.toMap
+        val steps = 1 + rnd.nextInt(4)
+        val got = trainDistributed(words, steps, trainer)
+        val want = model(words, steps)
+        assert(got === want, s"iteration $i: words=$words steps=$steps")
+      }
     }
   }
 
